@@ -1,0 +1,209 @@
+"""Typed configuration for the TPU-native RAG framework.
+
+Capability parity with the reference's dataclass configs —
+``PipelineConfig`` (pipeline.py:37-57), ``RetrievalConfig``
+(retrieval.py:70-101), ``IndexConfig`` (indexing.py:62-77) — plus the
+YAML loader (config.py:18-52).  TPU-specific knobs (mesh shape, dtypes,
+IVF geometry, scan block size) are added on top; Milvus connection knobs
+are gone because the index lives in device HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+from .utils.constants import (
+    IndexConstants,
+    PerformanceConstants,
+    RetrievalConstants,
+)
+
+
+class IndexType(str, Enum):
+    """Index families (reference indexing.py:53-60)."""
+
+    SEMANTIC = "semantic"
+    SPARSE = "sparse"
+    DOMAIN = "domain"
+    HYBRID = "hybrid"
+
+
+class Metric(str, Enum):
+    """Dense similarity metrics (reference indexing.py:66-67)."""
+
+    COSINE = "cosine"
+    INNER_PRODUCT = "ip"
+    L2 = "l2"
+
+
+@dataclass
+class IndexConfig:
+    """Geometry + quality knobs for one device index.
+
+    Replaces reference IndexConfig (indexing.py:62-77).  HNSW
+    M/efConstruction/ef become IVF nlist/nprobe with the same recall
+    intent; ``index_kind='flat'`` is an exact brute-force scan, which at
+    <=1M x 768 already meets the 80 ms budget on one chip.
+    """
+
+    index_type: IndexType = IndexType.SEMANTIC
+    dim: int = IndexConstants.SEMANTIC_DIM
+    metric: Metric = Metric.COSINE
+    index_kind: str = "flat"                # "flat" | "ivf"
+    dtype: str = "bfloat16"                 # storage dtype for embeddings
+    nlist: int = 0                          # 0 -> auto (factor * sqrt(N))
+    nprobe: int = IndexConstants.IVF_NPROBE
+    kmeans_iters: int = IndexConstants.IVF_KMEANS_ITERS
+    scan_block_size: int = IndexConstants.SCAN_BLOCK_SIZE
+    min_capacity: int = IndexConstants.MIN_CAPACITY
+    # Sparse/BM25 knobs (reference indexing.py:158-167, constants.py:179)
+    vocab_size: int = IndexConstants.SPARSE_VOCAB_SIZE
+    doc_nnz: int = IndexConstants.SPARSE_DOC_NNZ
+    query_nnz: int = IndexConstants.SPARSE_QUERY_NNZ
+    drop_ratio: float = IndexConstants.SPARSE_DROP_RATIO
+    bm25_k1: float = IndexConstants.BM25_K1
+    bm25_b: float = IndexConstants.BM25_B
+    # Sharding (replaces Milvus num_shards=4, indexing.py:234-239)
+    num_shards: int = 1
+
+
+@dataclass
+class RetrievalConfig:
+    """Hybrid retrieval knobs (reference retrieval.py:70-101)."""
+
+    top_k: int = RetrievalConstants.DEFAULT_TOP_K
+    max_top_k: int = RetrievalConstants.MAX_TOP_K
+    dense_weight: float = RetrievalConstants.DENSE_WEIGHT
+    sparse_weight: float = RetrievalConstants.SPARSE_WEIGHT
+    domain_weight: float = RetrievalConstants.DOMAIN_WEIGHT
+    rrf_k: int = RetrievalConstants.RRF_K
+    use_mmr: bool = True
+    mmr_lambda: float = RetrievalConstants.MMR_LAMBDA
+    use_reranking: bool = True
+    enable_domain: bool = False
+    enable_sparse: bool = True
+    over_retrieve_factor: int = RetrievalConstants.OVER_RETRIEVE_FACTOR
+    timeout_seconds: float = RetrievalConstants.TIMEOUT_SECONDS
+    adaptive_weights: bool = False
+    recency_half_life_days: float = RetrievalConstants.RECENCY_HALF_LIFE_DAYS
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout for sharded search / training.
+
+    Replaces the reference's delegated Milvus sharding (indexing.py:234-239)
+    with an explicit jax.sharding mesh: the corpus axis is sharded over
+    ``shard`` (ICI), queries ride ``data``.
+    """
+
+    shard_axis: str = "shard"
+    data_axis: str = "data"
+    mesh_shape: Optional[Tuple[int, int]] = None   # None -> (n_devices, 1)
+
+
+@dataclass
+class PipelineConfig:
+    """End-to-end pipeline knobs (reference pipeline.py:37-57)."""
+
+    target_latency_ms: float = PerformanceConstants.TARGET_LATENCY_MS
+    hybrid_alpha: float = 0.7
+    top_k: int = 20
+    rerank_top_k: int = 5
+    enable_reranking: bool = True
+    enable_mmr: bool = True
+    enable_sparse: bool = True
+    enable_domain: bool = False
+    enable_enrichment: bool = True
+    enable_query_rewriting: bool = True
+    hallucination_threshold: float = 0.15
+    faithfulness_threshold: float = 0.7
+    drift_threshold: float = 0.15
+    enable_compliance: bool = True
+    compliance_tenant: str = "default"
+    retention_days: int = 365
+    embed_batch_size: int = PerformanceConstants.EMBED_BATCH_SIZE
+    semantic_dim: int = IndexConstants.SEMANTIC_DIM
+    domain_dim: int = IndexConstants.DOMAIN_DIM
+    sparse_vocab_size: int = IndexConstants.SPARSE_VOCAB_SIZE
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def _apply_section(cfg: Any, section: Dict[str, Any]) -> Any:
+    """Overlay a dict onto a dataclass, ignoring unknown keys."""
+    if not dataclasses.is_dataclass(cfg):
+        raise TypeError(f"not a dataclass: {type(cfg)}")
+    names = {f.name: f for f in dataclasses.fields(cfg)}
+    updates = {}
+    for key, value in (section or {}).items():
+        if key not in names:
+            continue
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            updates[key] = _apply_section(current, value)
+        elif isinstance(current, Enum):
+            updates[key] = type(current)(value)
+        else:
+            updates[key] = value
+    return dataclasses.replace(cfg, **updates)
+
+
+def load_yaml_config(path: str | Path) -> Dict[str, Any]:
+    """Load a raw YAML config file (reference config.py:18-24)."""
+    import yaml
+
+    with open(path, "r", encoding="utf-8") as f:
+        data = yaml.safe_load(f) or {}
+    if not isinstance(data, dict):
+        raise ValueError(f"config root must be a mapping: {path}")
+    return data
+
+
+def load_pipeline_config(path: str | Path) -> PipelineConfig:
+    """YAML -> PipelineConfig (reference config.py:26-33)."""
+    data = load_yaml_config(path)
+    cfg = PipelineConfig()
+    cfg = _apply_section(cfg, data.get("pipeline", {}))
+    if "retrieval" in data:
+        cfg = dataclasses.replace(
+            cfg, retrieval=_apply_section(cfg.retrieval, data["retrieval"])
+        )
+    if "mesh" in data:
+        cfg = dataclasses.replace(cfg, mesh=_apply_section(cfg.mesh, data["mesh"]))
+    return cfg
+
+
+def load_component_configs(path: str | Path) -> Dict[str, Dict[str, Any]]:
+    """Per-component raw sections (reference config.py:35-52)."""
+    data = load_yaml_config(path)
+    sections = (
+        "index",
+        "chunking",
+        "embeddings",
+        "reranking",
+        "evaluation",
+        "domains",
+        "monitoring",
+        "storage",
+        "security",
+        "mesh",
+    )
+    return {name: data.get(name, {}) for name in sections}
+
+
+__all__ = [
+    "IndexType",
+    "Metric",
+    "IndexConfig",
+    "RetrievalConfig",
+    "MeshConfig",
+    "PipelineConfig",
+    "load_yaml_config",
+    "load_pipeline_config",
+    "load_component_configs",
+]
