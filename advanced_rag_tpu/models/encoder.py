@@ -1,0 +1,159 @@
+"""MiniLM-class transformer encoder in Flax — the on-chip embedding model.
+
+Replaces the reference's thread-pooled external embedding calls and
+random-vector placeholders (indexing.py:553-599, :594-597) with a real
+jitted forward pass: bf16 activations on the MXU, mean pooling over the
+attention mask, projection to the index dimension, L2 normalization.
+The same trunk backs the bi-encoder (embedder.py) and the cross-encoder
+reranker (cross_encoder.py).
+
+TPU notes: static [B, L] shapes (tokenizer pads), pre-LN blocks so the
+residual stream stays bf16-stable, f32 layernorm/softmax accumulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 32768
+    hidden_dim: int = 384          # MiniLM-L6 geometry
+    num_layers: int = 6
+    num_heads: int = 12
+    mlp_dim: int = 1536
+    max_len: int = 128
+    num_segments: int = 2
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16      # activation dtype (params stay f32)
+
+
+class TransformerBlock(nn.Module):
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        cfg = self.config
+        # Pre-LN attention. LayerNorm accumulates in f32 for stability.
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(cfg.dtype)
+        attn_mask = mask[:, None, None, :] > 0  # [B, 1, 1, L]
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            dtype=cfg.dtype,
+            dropout_rate=cfg.dropout,
+            deterministic=deterministic,
+        )(h, h, mask=attn_mask)
+        x = x + h
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(cfg.dtype)
+        h = nn.Dense(cfg.mlp_dim, dtype=cfg.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(cfg.hidden_dim, dtype=cfg.dtype)(h)
+        return x + h
+
+
+class TransformerTrunk(nn.Module):
+    """Token + position + segment embeddings -> N pre-LN blocks -> LN."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, ids, mask, segments=None, deterministic: bool = True):
+        cfg = self.config
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_dim, dtype=cfg.dtype,
+                       name="tok_embed")(ids)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (cfg.max_len, cfg.hidden_dim),
+        )
+        x = tok + pos[None, : ids.shape[1], :].astype(cfg.dtype)
+        if segments is not None:
+            seg = nn.Embed(cfg.num_segments, cfg.hidden_dim, dtype=cfg.dtype,
+                           name="seg_embed")(segments)
+            x = x + seg
+        x = x * mask[:, :, None].astype(cfg.dtype)
+        for i in range(cfg.num_layers):
+            x = TransformerBlock(cfg, name=f"block_{i}")(
+                x, mask, deterministic=deterministic
+            )
+        return nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)  # f32 out
+
+
+class BiEncoder(nn.Module):
+    """Sentence embedder: trunk -> masked mean pool -> projection -> L2."""
+
+    config: EncoderConfig
+    out_dim: int = 384
+
+    @nn.compact
+    def __call__(self, ids, mask, deterministic: bool = True):
+        h = TransformerTrunk(self.config, name="trunk")(
+            ids, mask, deterministic=deterministic
+        )                                                     # [B, L, H] f32
+        m = mask[:, :, None].astype(jnp.float32)
+        pooled = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        out = nn.Dense(self.out_dim, dtype=jnp.float32, name="proj")(pooled)
+        norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))
+        return out / jnp.maximum(norm, 1e-12)
+
+
+class CrossEncoder(nn.Module):
+    """Pairwise relevance scorer: trunk([CLS] q [SEP] d [SEP]) -> scalar.
+
+    Replaces the reference's dummy ms-marco-MiniLM placeholder
+    (retrieval.py:651-681) with a real jitted model.
+    """
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, ids, mask, segments, deterministic: bool = True):
+        h = TransformerTrunk(self.config, name="trunk")(
+            ids, mask, segments=segments, deterministic=deterministic
+        )
+        cls = h[:, 0, :]                                      # [B, H]
+        cls = nn.tanh(nn.Dense(self.config.hidden_dim, dtype=jnp.float32,
+                               name="pool")(cls))
+        return nn.Dense(1, dtype=jnp.float32, name="score")(cls)[:, 0]
+
+
+def init_bi_encoder(
+    config: EncoderConfig,
+    out_dim: int,
+    seed: int = 0,
+) -> tuple[BiEncoder, Any]:
+    model = BiEncoder(config, out_dim=out_dim)
+    rng = jax.random.PRNGKey(seed)
+    ids = jnp.zeros((1, config.max_len), jnp.int32)
+    mask = jnp.ones((1, config.max_len), jnp.float32)
+    params = model.init(rng, ids, mask)
+    return model, params
+
+
+def init_cross_encoder(
+    config: EncoderConfig, seed: int = 0
+) -> tuple[CrossEncoder, Any]:
+    model = CrossEncoder(config)
+    rng = jax.random.PRNGKey(seed)
+    ids = jnp.zeros((1, config.max_len), jnp.int32)
+    mask = jnp.ones((1, config.max_len), jnp.float32)
+    segs = jnp.zeros((1, config.max_len), jnp.int32)
+    params = model.init(rng, ids, mask, segs)
+    return model, params
+
+
+__all__ = [
+    "EncoderConfig",
+    "TransformerTrunk",
+    "TransformerBlock",
+    "BiEncoder",
+    "CrossEncoder",
+    "init_bi_encoder",
+    "init_cross_encoder",
+]

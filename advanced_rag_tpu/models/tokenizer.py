@@ -1,0 +1,90 @@
+"""Deterministic hashing tokenizer for the on-chip models.
+
+The reference delegates tokenization to whatever embedding API is
+plugged in (indexing.py:580-587) and ships random-vector placeholders.
+Here the models are real jitted transformers, so they need a real
+tokenizer with zero external downloads: words map to stable blake2b
+buckets in a fixed-size vocab, with reserved special tokens.  When a
+local HuggingFace checkpoint is supplied (models/embedder.py
+``from_hf``), its own tokenizer is used instead; this one is the
+self-contained default.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    vocab_size: int = 32768
+    max_len: int = 128
+    # reserved ids
+    pad_id: int = 0
+    cls_id: int = 1
+    sep_id: int = 2
+    unk_id: int = 3
+    num_reserved: int = 8
+
+
+class HashingTokenizer:
+    """Stable word -> id tokenizer producing fixed-length padded batches."""
+
+    def __init__(self, config: TokenizerConfig | None = None):
+        self.config = config or TokenizerConfig()
+
+    def _word_id(self, word: str) -> int:
+        cfg = self.config
+        h = hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest()
+        bucket = int.from_bytes(h, "little") % (cfg.vocab_size - cfg.num_reserved)
+        return cfg.num_reserved + bucket
+
+    def tokenize(self, text: str) -> List[int]:
+        return [self._word_id(w) for w in _WORD_RE.findall(text.lower())]
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int | None = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (ids [B, L] i32, mask [B, L] f32) with [CLS] ... [SEP] framing."""
+        cfg = self.config
+        L = max_len or cfg.max_len
+        ids = np.full((len(texts), L), cfg.pad_id, dtype=np.int32)
+        mask = np.zeros((len(texts), L), dtype=np.float32)
+        for row, text in enumerate(texts):
+            toks = [cfg.cls_id] + self.tokenize(text)[: L - 2] + [cfg.sep_id]
+            ids[row, : len(toks)] = toks
+            mask[row, : len(toks)] = 1.0
+        return ids, mask
+
+    def encode_pairs(
+        self,
+        queries: Sequence[str],
+        docs: Sequence[str],
+        max_len: int | None = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Cross-encoder input: [CLS] q [SEP] d [SEP] with segment ids."""
+        cfg = self.config
+        L = max_len or cfg.max_len
+        n = len(queries)
+        ids = np.full((n, L), cfg.pad_id, dtype=np.int32)
+        mask = np.zeros((n, L), dtype=np.float32)
+        segments = np.zeros((n, L), dtype=np.int32)
+        for row, (q, d) in enumerate(zip(queries, docs)):
+            q_toks = self.tokenize(q)[: max(1, (L - 3) // 3)]
+            d_budget = L - 3 - len(q_toks)
+            d_toks = self.tokenize(d)[:d_budget]
+            toks = [cfg.cls_id] + q_toks + [cfg.sep_id] + d_toks + [cfg.sep_id]
+            ids[row, : len(toks)] = toks
+            mask[row, : len(toks)] = 1.0
+            segments[row, len(q_toks) + 2 : len(toks)] = 1
+        return ids, mask, segments
+
+
+__all__ = ["HashingTokenizer", "TokenizerConfig"]
