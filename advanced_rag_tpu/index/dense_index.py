@@ -1,0 +1,118 @@
+"""Dense vector index: device-resident embedding matrix + jitted search.
+
+Replaces the Milvus HNSW semantic/domain collections (reference
+indexing.py:143-262).  The index IS the array: ``emb[capacity, D]`` in
+HBM (bf16 by default), appended with `dynamic_update_slice`, searched by
+``ops.dense.dense_topk`` (exact) or the IVF path (ops/ivf.py) once the
+corpus outgrows brute force.  Rows align 1:1 with CorpusStore rows; the
+store's validity/filter masks plug straight into the masked top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IndexConfig, Metric
+from ..ops.dense import dense_topk, l2_normalize
+from .corpus import next_pow2, pad_rows_pow2
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_rows(emb: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
+    return jax.lax.dynamic_update_slice(emb, vals, (start, 0))
+
+
+class DenseIndex:
+    """One embedding family (semantic or domain)."""
+
+    def __init__(self, config: IndexConfig):
+        self.config = config
+        self.dim = config.dim
+        self.capacity = int(config.min_capacity)
+        self.size = 0
+        self._dtype = jnp.dtype(config.dtype)
+        self.emb = jnp.zeros((self.capacity, self.dim), dtype=self._dtype)
+        # numpy mirror (f32) for exact growth/persistence and IVF builds
+        self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
+        self._ivf = None  # built lazily by ops/ivf.py when configured
+
+    def _prepare(self, vectors: np.ndarray) -> np.ndarray:
+        v = np.asarray(vectors, dtype=np.float32)
+        if v.ndim != 2 or v.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {v.shape}")
+        if self.config.metric == Metric.COSINE:
+            # store normalized -> search reduces to inner product
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / np.maximum(norms, 1e-12)
+        return v
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        grown = np.zeros((new_cap, self.dim), dtype=np.float32)
+        grown[: self.capacity] = self._host
+        self._host = grown
+        self.capacity = new_cap
+        self.emb = jnp.asarray(grown, dtype=self._dtype)
+
+    def append(self, start: int, vectors: np.ndarray) -> None:
+        """Write vectors at rows [start, start+N) — row ids come from the
+        CorpusStore so every index family stays aligned."""
+        v = self._prepare(vectors)
+        n = v.shape[0]
+        if n == 0:
+            return
+        self._ensure_capacity(start + next_pow2(n))
+        self._host[start : start + n] = v
+        self.emb = _append_rows(
+            self.emb, jnp.int32(start),
+            jnp.asarray(pad_rows_pow2(v), dtype=self._dtype),
+        )
+        self.size = max(self.size, start + n)
+        self._ivf = None  # coarse quantizer is stale after growth
+
+    @property
+    def search_metric(self) -> str:
+        # cosine is pre-normalized at append -> ip at query time, with
+        # queries normalized in-op.
+        return "ip" if self.config.metric == Metric.COSINE else self.config.metric.value
+
+    def search(
+        self,
+        queries: np.ndarray | jnp.ndarray,   # [Q, D]
+        k: int,
+        mask: Optional[jnp.ndarray] = None,  # [capacity] bool (valid+filters)
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Masked top-k -> (scores [Q, k] f32, rows [Q, k] i32)."""
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.config.metric == Metric.COSINE:
+            q = l2_normalize(q)
+        return dense_topk(
+            self.emb,
+            q,
+            k,
+            mask,
+            metric=self.search_metric,
+            block_size=self.config.scan_block_size,
+            normalize_queries=False,
+        )
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        """Host-side gather of stored (normalized) vectors for MMR/drift."""
+        return self._host[np.asarray(rows, dtype=np.int64)]
+
+    def memory_bytes(self) -> int:
+        return self.capacity * self.dim * self.emb.dtype.itemsize
+
+
+__all__ = ["DenseIndex"]

@@ -1,0 +1,328 @@
+"""Multi-index manager: the TPU-native replacement for MilvusIndexManager.
+
+Capability parity with reference indexing.py:80-713 — three row-aligned
+index families over one CorpusStore:
+
+- ``semantic``: dense bi-encoder embeddings (HNSW collection equivalent)
+- ``sparse``:  BM25 hashed-term index (SPARSE_INVERTED_INDEX equivalent)
+- ``domain``:  dense domain embeddings (domain HNSW equivalent, optional)
+
+Differences by design: no connection management (the "server" is device
+HBM — `connect=False` escape hatches become unnecessary but are accepted
+for API parity), no flush (appends are durable in HBM immediately;
+host-side persistence is utils/checkpoint.py), batch embedding is one
+jitted forward instead of a thread pool (indexing.py:122-126), and
+search never needs tenacity retries because there is no network.
+
+IMPORTANT: every search must pass a row mask (validity or compiled
+filters) because device arrays are padded to capacity; the manager does
+this on all paths.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IndexConfig, IndexType, Metric, PipelineConfig
+from ..models.embedder import Embedder, HashingEmbedder
+from ..utils.cache import EmbeddingCache, domain_cache, semantic_cache
+from ..utils.constants import IndexConstants
+from ..utils.exceptions import IndexingError, ValidationError
+from .corpus import ChunkRecord, CorpusStore
+from .dense_index import DenseIndex
+from .sparse_index import SparseIndex
+
+logger = logging.getLogger(__name__)
+
+
+class MultiIndexManager:
+    """Owns the corpus store + index families; exposes search/ingest."""
+
+    def __init__(
+        self,
+        config: Optional[PipelineConfig] = None,
+        embedder: Optional[Embedder] = None,
+        domain_embedder: Optional[Embedder] = None,
+        *,
+        enable_sparse: bool = True,
+        enable_domain: bool = False,
+        semantic_cache_: Optional[EmbeddingCache] = None,
+        domain_cache_: Optional[EmbeddingCache] = None,
+        connect: bool = True,  # accepted for reference API parity; unused
+    ):
+        self.config = config or PipelineConfig()
+        self.store = CorpusStore()
+        # Default embedder: deterministic hashing projection — the
+        # meaningful analogue of the reference's random placeholder
+        # (indexing.py:594-597). Swap in NeuralEmbedder for real models.
+        self.embedder = embedder or HashingEmbedder(dim=self.config.semantic_dim)
+        if self.embedder.dim != self.config.semantic_dim:
+            self.config.semantic_dim = self.embedder.dim
+        self.semantic = DenseIndex(
+            IndexConfig(index_type=IndexType.SEMANTIC, dim=self.embedder.dim,
+                        metric=Metric.COSINE)
+        )
+        self.enable_sparse = enable_sparse
+        self.sparse = (
+            SparseIndex(IndexConfig(index_type=IndexType.SPARSE))
+            if enable_sparse
+            else None
+        )
+        self.enable_domain = enable_domain
+        self.domain_embedder = domain_embedder
+        self.domain: Optional[DenseIndex] = None
+        if enable_domain:
+            self.domain_embedder = domain_embedder or HashingEmbedder(
+                dim=self.config.domain_dim, seed=17
+            )
+            self.domain = DenseIndex(
+                IndexConfig(index_type=IndexType.DOMAIN,
+                            dim=self.domain_embedder.dim, metric=Metric.COSINE)
+            )
+        self._semantic_cache = semantic_cache_ or semantic_cache
+        self._domain_cache = domain_cache_ or domain_cache
+        self._closed = False
+
+    # -- embeddings ----------------------------------------------------------
+
+    def _embed_batch_cached(
+        self, texts: Sequence[str], embedder: Embedder, cache: EmbeddingCache,
+        namespace: str,
+    ) -> np.ndarray:
+        """Cache-aware batch embedding: misses are embedded in ONE jitted
+        forward pass (replaces per-text thread pool, indexing.py:553-599)."""
+        out = np.zeros((len(texts), embedder.dim), np.float32)
+        miss_pos: List[int] = []
+        miss_texts: List[str] = []
+        for i, text in enumerate(texts):
+            hit = cache.get_sync(text, namespace)
+            if hit is not None:
+                out[i] = hit
+            else:
+                miss_pos.append(i)
+                miss_texts.append(text)
+        if miss_texts:
+            fresh = embedder.encode(miss_texts)
+            for j, pos in enumerate(miss_pos):
+                out[pos] = fresh[j]
+                cache.put_sync(miss_texts[j], fresh[j], namespace)
+        return out
+
+    def generate_semantic_embedding(self, text: str) -> np.ndarray:
+        """Single-text semantic embedding (reference indexing.py:601-627)."""
+        return self._embed_batch_cached([text], self.embedder,
+                                        self._semantic_cache, "semantic")[0]
+
+    def generate_domain_embedding(self, text: str) -> np.ndarray:
+        if not self.domain_embedder:
+            raise IndexingError("domain index not enabled")
+        return self._embed_batch_cached([text], self.domain_embedder,
+                                        self._domain_cache, "domain")[0]
+
+    # reference-compat private aliases (tests in the reference monkeypatch
+    # `_generate_*_embedding`; keeping the names keeps the test pattern)
+    _generate_semantic_embedding = generate_semantic_embedding
+    _generate_domain_embedding = generate_domain_embedding
+
+    # -- ingest ----------------------------------------------------------------
+
+    def index_chunks(self, chunks: Sequence[Any]) -> Dict[str, Any]:
+        """Index chunk objects (anything with .content/.chunk_id/.doc_id or
+        ChunkRecord).  Returns a per-batch report mirroring reference
+        indexing.py:264-437 (indexed counts + per-chunk errors)."""
+        t0 = time.perf_counter()
+        records: List[ChunkRecord] = []
+        errors: List[Dict[str, str]] = []
+        for pos, chunk in enumerate(chunks):
+            try:
+                records.append(self._to_record(chunk))
+            except Exception as exc:  # per-chunk error capture (:363-367)
+                errors.append({"chunk": str(pos), "error": str(exc)})
+        report: Dict[str, Any] = {
+            "total": len(chunks),
+            "indexed": 0,
+            "errors": errors,
+            "elapsed_ms": 0.0,
+        }
+        if not records:
+            report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
+            return report
+
+        first_new = self.store.size
+        rows = self.store.append(records)
+        # Only embed rows that are NEW (idempotent re-ingest skips work).
+        new_rows: List[int] = []
+        new_records: List[ChunkRecord] = []
+        seen = set()
+        for row, rec in zip(rows, records):
+            if row >= first_new and row not in seen:
+                seen.add(row)
+                new_rows.append(row)
+                new_records.append(rec)
+        if new_rows:
+            start = min(new_rows)
+            # rows from CorpusStore.append are contiguous for fresh records
+            texts = [r.content for r in new_records]
+            emb = self._embed_batch_cached(
+                texts, self.embedder, self._semantic_cache, "semantic"
+            )
+            self.semantic.append(start, emb)
+            if self.sparse is not None:
+                self.sparse.append_texts(start, texts)
+            if self.domain is not None and self.domain_embedder is not None:
+                demb = self._embed_batch_cached(
+                    texts, self.domain_embedder, self._domain_cache, "domain"
+                )
+                self.domain.append(start, demb)
+        report["indexed"] = len(records)
+        report["rows"] = rows
+        report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
+        return report
+
+    @staticmethod
+    def _to_record(chunk: Any) -> ChunkRecord:
+        if isinstance(chunk, ChunkRecord):
+            if not chunk.content:
+                raise ValidationError("empty chunk content")
+            return chunk
+        content = getattr(chunk, "content", None)
+        if not content:
+            raise ValidationError("empty chunk content")
+        meta = getattr(chunk, "metadata", None)
+
+        def get(name: str, default: Any) -> Any:
+            if meta is None:
+                return default
+            value = getattr(meta, name, None)
+            return default if value is None else value
+
+        return ChunkRecord(
+            chunk_id=getattr(chunk, "chunk_id", None) or get("chunk_id", f"chunk-{id(chunk)}"),
+            doc_id=getattr(chunk, "doc_id", None) or get("doc_id", "unknown"),
+            content=content,
+            chunk_index=int(get("chunk_index", 0)),
+            token_count=int(get("token_count", len(content.split()))),
+            entropy=float(get("entropy", 0.0)),
+            redundancy=float(get("redundancy", 0.0)),
+            domain_density=float(get("domain_density", 0.0)),
+            timestamp=float(get("timestamp", time.time())),
+            metadata=dict(getattr(meta, "extra", None) or {}),
+        )
+
+    # -- search ------------------------------------------------------------------
+
+    def _row_mask(self, filters: Optional[Dict[str, Any]]) -> jnp.ndarray:
+        mask = self.store.build_filter_mask(filters)
+        return mask if mask is not None else self.store.valid_mask
+
+    def search_sync(
+        self,
+        index_type: IndexType | str,
+        query: str,
+        k: int,
+        filters: Optional[Dict[str, Any]] = None,
+        query_embedding: Optional[np.ndarray] = None,
+    ) -> List[Dict[str, Any]]:
+        """Search one index family; returns hydrated hit dicts sorted by
+        score (reference indexing.py:445-551, minus the gRPC/retry
+        machinery that a device-resident index does not need)."""
+        index_type = IndexType(index_type)
+        if self._closed:
+            raise IndexingError("index manager is closed")
+        if k <= 0:
+            raise ValidationError("k must be positive")
+        k = min(k, self.config.retrieval.max_top_k)
+        if self.store.n_valid() == 0:
+            return []
+        mask = self._row_mask(filters)
+
+        if index_type == IndexType.SEMANTIC:
+            q = (query_embedding if query_embedding is not None
+                 else self.generate_semantic_embedding(query))
+            scores, rows = self.semantic.search(np.asarray(q)[None, :], k, mask)
+        elif index_type == IndexType.SPARSE:
+            if self.sparse is None:
+                return []
+            scores, rows = self.sparse.search_texts([query], k, mask)
+        elif index_type == IndexType.DOMAIN:
+            if self.domain is None or self.domain_embedder is None:
+                return []
+            q = (query_embedding if query_embedding is not None
+                 else self.generate_domain_embedding(query))
+            scores, rows = self.domain.search(np.asarray(q)[None, :], k, mask)
+        else:
+            raise ValidationError(f"cannot search index type {index_type}")
+
+        return self._hydrate(np.asarray(scores)[0], np.asarray(rows)[0],
+                             method=index_type.value)
+
+    async def search(
+        self,
+        index_type: IndexType | str,
+        query: str,
+        k: int,
+        filters: Optional[Dict[str, Any]] = None,
+        query_embedding: Optional[np.ndarray] = None,
+    ) -> List[Dict[str, Any]]:
+        """Async wrapper (parity with reference async search API)."""
+        return await asyncio.to_thread(
+            self.search_sync, index_type, query, k, filters, query_embedding
+        )
+
+    def _hydrate(
+        self, scores: np.ndarray, rows: np.ndarray, method: str
+    ) -> List[Dict[str, Any]]:
+        hits = []
+        for score, row in zip(scores.tolist(), rows.tolist()):
+            if row < 0:
+                continue
+            hits.append(self.store.hit(int(row), float(score), method=method))
+        return hits
+
+    # -- admin ---------------------------------------------------------------------
+
+    def delete_by_filter(self, filters: Dict[str, Any], *,
+                         forget_content: bool = False) -> int:
+        """Delete rows matching a filter spec (reference indexing.py:692)."""
+        mask = self.store.build_filter_mask(filters)
+        if mask is None:
+            raise ValidationError("delete_by_filter requires filters")
+        rows = np.nonzero(np.asarray(mask))[0].tolist()
+        deleted = self.store.delete_rows(rows, forget_content=forget_content)
+        if deleted and self.sparse is not None:
+            self.sparse.remove_rows(rows)
+        return deleted
+
+    def get_collection_stats(self) -> Dict[str, Any]:
+        """Reference indexing.py:678-690 equivalent."""
+        stats: Dict[str, Any] = {"store": self.store.stats()}
+        stats["semantic"] = {
+            "rows": self.semantic.size,
+            "dim": self.semantic.dim,
+            "memory_bytes": self.semantic.memory_bytes(),
+        }
+        if self.sparse is not None:
+            stats["sparse"] = {
+                "rows": self.sparse.size,
+                "vocab_size": self.sparse.vocab_size,
+                "memory_bytes": self.sparse.memory_bytes(),
+            }
+        if self.domain is not None:
+            stats["domain"] = {
+                "rows": self.domain.size,
+                "dim": self.domain.dim,
+                "memory_bytes": self.domain.memory_bytes(),
+            }
+        return stats
+
+    def close(self) -> None:
+        self._closed = True
+
+
+__all__ = ["MultiIndexManager"]

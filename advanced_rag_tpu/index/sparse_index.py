@@ -1,0 +1,164 @@
+"""Sparse lexical index: fixed-nnz padded rows + device BM25 scoring.
+
+Replaces the Milvus SPARSE_INVERTED_INDEX collection (reference
+indexing.py:158-167, :375-420 CSR insert path).  Layout and scoring
+rationale live in ops/sparse.py; this class owns the arrays, the df
+table, and append/delete bookkeeping, row-aligned with CorpusStore.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IndexConfig
+from ..ops.sparse import sparse_topk
+from .corpus import next_pow2, pad_rows_pow2
+from .text import encode_documents, encode_queries, remove_documents_df
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_2d(arr: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
+    return jax.lax.dynamic_update_slice(arr, vals, (start, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_1d(arr: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
+    return jax.lax.dynamic_update_slice(arr, vals, (start,))
+
+
+class SparseIndex:
+    """BM25/IP lexical index over hashed terms."""
+
+    def __init__(self, config: IndexConfig):
+        self.config = config
+        self.vocab_size = config.vocab_size
+        self.doc_nnz = config.doc_nnz
+        self.capacity = int(config.min_capacity)
+        self.size = 0
+        self.n_docs = 0
+        self.doc_idx = jnp.full((self.capacity, self.doc_nnz), -1, jnp.int32)
+        self.doc_tf = jnp.zeros((self.capacity, self.doc_nnz), jnp.float32)
+        self.doc_len = jnp.zeros((self.capacity,), jnp.float32)
+        self._host_idx = np.full((self.capacity, self.doc_nnz), -1, np.int32)
+        self._host_tf = np.zeros((self.capacity, self.doc_nnz), np.float32)
+        self._host_len = np.zeros((self.capacity,), np.float32)
+        self._df = np.zeros((self.vocab_size,), np.int64)
+        self.df = jnp.asarray(self._df.astype(np.int32))
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        grown_idx = np.full((new_cap, self.doc_nnz), -1, np.int32)
+        grown_idx[: self.capacity] = self._host_idx
+        grown_tf = np.zeros((new_cap, self.doc_nnz), np.float32)
+        grown_tf[: self.capacity] = self._host_tf
+        grown_len = np.zeros((new_cap,), np.float32)
+        grown_len[: self.capacity] = self._host_len
+        self._host_idx, self._host_tf, self._host_len = grown_idx, grown_tf, grown_len
+        self.capacity = new_cap
+        self.doc_idx = jnp.asarray(grown_idx)
+        self.doc_tf = jnp.asarray(grown_tf)
+        self.doc_len = jnp.asarray(grown_len)
+
+    def append_texts(self, start: int, texts: Sequence[str]) -> None:
+        idx, tf, lens, df_delta = encode_documents(
+            list(texts), self.vocab_size, self.doc_nnz
+        )
+        self.append_encoded(start, idx, tf, lens, df_delta)
+
+    def append_encoded(
+        self,
+        start: int,
+        idx: np.ndarray,
+        tf: np.ndarray,
+        lens: np.ndarray,
+        df_delta: np.ndarray,
+    ) -> None:
+        n = idx.shape[0]
+        if n == 0:
+            return
+        self._ensure_capacity(start + next_pow2(n))
+        self._host_idx[start : start + n] = idx
+        self._host_tf[start : start + n] = tf
+        self._host_len[start : start + n] = lens
+        pad_idx = pad_rows_pow2(idx)
+        # padding rows must stay -1 (no terms), not 0
+        if pad_idx.shape[0] != n:
+            pad_idx = pad_idx.copy()
+            pad_idx[n:] = -1
+        self.doc_idx = _append_2d(self.doc_idx, jnp.int32(start), jnp.asarray(pad_idx))
+        self.doc_tf = _append_2d(self.doc_tf, jnp.int32(start),
+                                 jnp.asarray(pad_rows_pow2(tf)))
+        self.doc_len = _append_1d(self.doc_len, jnp.int32(start),
+                                  jnp.asarray(pad_rows_pow2(lens)))
+        self._df += df_delta.astype(np.int64)
+        self.df = jnp.asarray(np.minimum(self._df, 2**31 - 1).astype(np.int32))
+        self.size = max(self.size, start + n)
+        self.n_docs += n
+
+    def remove_rows(self, rows: Sequence[int]) -> None:
+        """df bookkeeping for deletes (validity masking happens upstream)."""
+        rows = [r for r in rows if 0 <= r < self.size]
+        if not rows:
+            return
+        df_delta = remove_documents_df(self._host_idx[np.asarray(rows)], self.vocab_size)
+        self._df = np.maximum(self._df - df_delta.astype(np.int64), 0)
+        self.df = jnp.asarray(np.minimum(self._df, 2**31 - 1).astype(np.int32))
+        self.n_docs = max(self.n_docs - len(rows), 0)
+
+    def encode_query(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        return encode_queries(
+            list(texts),
+            self.vocab_size,
+            self.config.query_nnz,
+            drop_ratio=self.config.drop_ratio,
+        )
+
+    def search(
+        self,
+        q_idx: np.ndarray,
+        q_tf: np.ndarray,
+        k: int,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        scoring: str = "bm25",
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return sparse_topk(
+            self.doc_idx,
+            self.doc_tf,
+            self.doc_len,
+            self.df,
+            jnp.float32(max(self.n_docs, 1)),
+            jnp.asarray(q_idx),
+            jnp.asarray(q_tf),
+            k,
+            mask,
+            scoring=scoring,
+            k1=self.config.bm25_k1,
+            b=self.config.bm25_b,
+        )
+
+    def search_texts(
+        self,
+        texts: Sequence[str],
+        k: int,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        scoring: str = "bm25",
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        q_idx, q_tf = self.encode_query(texts)
+        return self.search(q_idx, q_tf, k, mask, scoring=scoring)
+
+    def memory_bytes(self) -> int:
+        return self.capacity * self.doc_nnz * 8 + self.capacity * 4
+
+
+__all__ = ["SparseIndex"]
