@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.text import encode_documents
 from .encoder import BiEncoder, EncoderConfig, init_bi_encoder
 from .tokenizer import HashingTokenizer, TokenizerConfig
 
@@ -131,6 +130,9 @@ class HashingEmbedder:
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         if len(texts) == 0:
             return np.zeros((0, self.dim), np.float32)
+        # Deferred: index.text also imports the models package (cycle).
+        from ..index.text import encode_documents
+
         idx, tf, _, _ = encode_documents(list(texts), self.vocab_size, self.doc_nnz)
         emb = self._project(self._proj, jnp.asarray(idx), jnp.asarray(tf))
         return np.asarray(emb)

@@ -69,6 +69,9 @@ def sparse_topk(
     q_tf: jnp.ndarray,      # [Q, T] f32 query term frequencies
     k: int,
     valid: Optional[jnp.ndarray] = None,   # [N] bool
+    avg_len: Optional[jnp.ndarray] = None,  # scalar; None -> from valid rows.
+    # Sharded callers pass the GLOBAL average (psum over shards) so BM25
+    # length normalization is identical to the single-device program.
     *,
     scoring: str = "bm25",   # "bm25" | "ip"
     k1: float = 1.2,
@@ -105,9 +108,12 @@ def sparse_topk(
     table = _query_weight_table(q_idx, q_w, vocab_size)       # [V, Q]
 
     v = valid.astype(jnp.bool_) if valid is not None else jnp.ones((n,), jnp.bool_)
-    avg_len = jnp.sum(jnp.where(v, doc_len.astype(jnp.float32), 0.0)) / jnp.maximum(
-        jnp.sum(v.astype(jnp.float32)), 1.0
-    )
+    if avg_len is None:
+        avg_len = jnp.sum(
+            jnp.where(v, doc_len.astype(jnp.float32), 0.0)
+        ) / jnp.maximum(jnp.sum(v.astype(jnp.float32)), 1.0)
+    else:
+        avg_len = jnp.asarray(avg_len, jnp.float32)
 
     bsz = min(block_size, n)
     nblocks = cdiv(n, bsz)

@@ -1,0 +1,29 @@
+"""Sharding & collectives layer: mesh construction, sharded search
+programs, cross-shard top-k merges over ICI (SURVEY.md §7 B4)."""
+
+from .mesh import (
+    build_mesh,
+    corpus_sharding,
+    pad_to_shards,
+    replicated,
+    single_device_mesh,
+)
+from .sharded_search import (
+    shard_corpus_arrays,
+    sharded_dense_topk,
+    sharded_sparse_topk,
+)
+from .topk import gather_merge_topk, tree_merge_topk
+
+__all__ = [
+    "build_mesh",
+    "single_device_mesh",
+    "corpus_sharding",
+    "replicated",
+    "pad_to_shards",
+    "sharded_dense_topk",
+    "sharded_sparse_topk",
+    "shard_corpus_arrays",
+    "gather_merge_topk",
+    "tree_merge_topk",
+]
