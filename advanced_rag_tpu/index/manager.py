@@ -26,6 +26,7 @@ import logging
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -274,6 +275,130 @@ class MultiIndexManager:
         return await asyncio.to_thread(
             self.search_sync, index_type, query, k, filters, query_embedding
         )
+
+    # -- fused hybrid search ---------------------------------------------------
+
+    def hybrid_search_sync(
+        self,
+        query: str,
+        k: int,
+        filters: Optional[Dict[str, Any]] = None,
+        *,
+        dense_weight: float = 0.7,
+        sparse_weight: float = 0.3,
+        domain_weight: float = 0.2,
+        rrf_k: int = 60,
+        use_mmr: bool = True,
+        mmr_lambda: float = 0.8,
+        over_retrieve: int = 2,
+        query_embedding: Optional[np.ndarray] = None,
+    ) -> List[Dict[str, Any]]:
+        """Dense + BM25 (+ domain) + RRF + MMR in ONE device dispatch.
+
+        Replaces the reference's asyncio fan-out over per-index searches
+        plus CPU fusion (retrieval.py:249-516).  k-shapes are bucketed to
+        multiples of 8 so distinct profiles share compiled programs.
+        """
+        from ..ops.hybrid import hybrid_retrieve
+
+        if self._closed:
+            raise IndexingError("index manager is closed")
+        if k <= 0:
+            raise ValidationError("k must be positive")
+        k = min(k, self.config.retrieval.max_top_k)
+        if self.store.n_valid() == 0:
+            return []
+        mask = self._row_mask(filters)
+
+        k_out = min(-(-k // 8) * 8, self.config.retrieval.max_top_k)
+        k_cand = min(-(-(k * max(over_retrieve, 1)) // 8) * 8,
+                     2 * self.config.retrieval.max_top_k)
+        k_cand = max(k_cand, k_out)
+
+        # Keep the query embedding ON DEVICE: encode_device dispatches
+        # async, the fused program queues behind it, and the only host
+        # sync is the final result fetch — one round-trip total instead
+        # of embed->host->search->host (each RTT costs ~28 ms through
+        # the remote-chip tunnel, more than the search compute itself).
+        from ..ops.dense import l2_normalize
+        from ..config import Metric
+
+        cache_fill: Optional[str] = None
+        if query_embedding is not None:
+            q = jnp.asarray(np.asarray(query_embedding, np.float32)[None, :])
+        else:
+            hit = self._semantic_cache.get_sync(query, "semantic")
+            if hit is not None:
+                q = jnp.asarray(hit[None, :])
+            else:
+                q = self.embedder.encode_device([query])
+                cache_fill = query
+        if self.semantic.config.metric == Metric.COSINE:
+            q = l2_normalize(q)
+
+        sparse_on = self.sparse is not None
+        if sparse_on:
+            q_idx, q_tf = self.sparse.encode_query([query])
+            sp = self.sparse
+            if sp.capacity != self.semantic.capacity:
+                raise IndexingError(
+                    "index capacities diverged (semantic "
+                    f"{self.semantic.capacity} vs sparse {sp.capacity})"
+                )
+            sparse_args = (sp.doc_idx, sp.doc_tf, sp.doc_len, sp.df,
+                           jnp.float32(max(sp.n_docs, 1)))
+        else:
+            n_cap = self.semantic.capacity
+            q_idx = np.full((1, 1), -1, np.int32)
+            q_tf = np.zeros((1, 1), np.float32)
+            sparse_args = (
+                jnp.full((n_cap, 1), -1, jnp.int32),
+                jnp.zeros((n_cap, 1), jnp.float32),
+                jnp.zeros((n_cap,), jnp.float32),
+                jnp.zeros((8,), jnp.int32),
+                jnp.float32(1.0),
+            )
+
+        domain_emb = q_dom = None
+        weights = [dense_weight, sparse_weight]
+        if self.domain is not None and self.domain_embedder is not None:
+            if self.domain.capacity != self.semantic.capacity:
+                raise IndexingError("index capacities diverged (domain)")
+            domain_emb = self.domain.emb
+            qd = jnp.asarray(
+                self.generate_domain_embedding(query)[None, :], jnp.float32
+            )
+            q_dom = l2_normalize(qd) if self.domain.config.metric == Metric.COSINE else qd
+            weights.append(domain_weight)
+
+        res = hybrid_retrieve(
+            self.semantic.emb, *sparse_args,
+            q, jnp.asarray(q_idx), jnp.asarray(q_tf),
+            mask,
+            jnp.asarray(np.asarray(weights, np.float32)),
+            jnp.float32(mmr_lambda),
+            domain_emb, q_dom,
+            k_cand=k_cand, k_out=k_out,
+            metric=self.semantic.search_metric,
+            rrf_k=rrf_k, use_mmr=use_mmr, enable_sparse=sparse_on,
+            dense_block_size=self.semantic.config.scan_block_size,
+        )
+        # One blocking transfer for everything the host needs.
+        ids, scores, counts, q_host = jax.device_get(
+            (res.ids, res.scores, res.method_counts, q)
+        )
+        ids, scores, counts = ids[0], scores[0], counts[0]
+        if cache_fill is not None:
+            self._semantic_cache.put_sync(
+                cache_fill, np.asarray(q_host[0], np.float32), "semantic"
+            )
+        hits: List[Dict[str, Any]] = []
+        for row, score, cnt in zip(ids.tolist(), scores.tolist(), counts.tolist()):
+            if row < 0 or len(hits) >= k:
+                continue
+            hits.append(self.store.hit(int(row), float(score),
+                                       method="hybrid", method_count=int(cnt)))
+        return hits
 
     def _hydrate(
         self, scores: np.ndarray, rows: np.ndarray, method: str

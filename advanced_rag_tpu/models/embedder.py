@@ -77,6 +77,19 @@ class NeuralEmbedder:
 
         self._apply = _apply
 
+    def encode_device(self, texts: Sequence[str]) -> jnp.ndarray:
+        """Single-bucket device encode; returns WITHOUT blocking so the
+        caller can queue the search program behind it (async dispatch).
+        For > max_batch texts use `encode`."""
+        b = _bucket(max(len(texts), 1), self.max_batch)
+        ids, mask = self.tokenizer.encode_batch(list(texts))
+        if ids.shape[0] < b:
+            pad = b - ids.shape[0]
+            ids = np.pad(ids, ((0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, pad), (0, 0)))
+        return self._apply(self.params, jnp.asarray(ids),
+                           jnp.asarray(mask))[: len(texts)]
+
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         if len(texts) == 0:
             return np.zeros((0, self.dim), np.float32)
@@ -127,15 +140,18 @@ class HashingEmbedder:
 
         self._project = _project
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        if len(texts) == 0:
-            return np.zeros((0, self.dim), np.float32)
+    def encode_device(self, texts: Sequence[str]) -> jnp.ndarray:
+        """Device encode without host sync (see NeuralEmbedder.encode_device)."""
         # Deferred: index.text also imports the models package (cycle).
         from ..index.text import encode_documents
 
         idx, tf, _, _ = encode_documents(list(texts), self.vocab_size, self.doc_nnz)
-        emb = self._project(self._proj, jnp.asarray(idx), jnp.asarray(tf))
-        return np.asarray(emb)
+        return self._project(self._proj, jnp.asarray(idx), jnp.asarray(tf))
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        if len(texts) == 0:
+            return np.zeros((0, self.dim), np.float32)
+        return np.asarray(self.encode_device(texts))
 
 
 __all__ = ["Embedder", "NeuralEmbedder", "HashingEmbedder"]

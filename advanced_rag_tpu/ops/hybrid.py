@@ -1,0 +1,140 @@
+"""Fused hybrid retrieval: dense + sparse + RRF + MMR in ONE program.
+
+The reference fans out per-index searches with `asyncio.gather`
+(retrieval.py:293-306), then fuses and diversifies on the CPU
+(retrieval.py:421-516).  On TPU every dispatch has fixed host->device
+cost (measured ~28 ms over the axon tunnel — more than the entire
+compute), so the whole query path is one jitted program: masked dense
+top-k, masked BM25 top-k, weighted RRF with dedup, candidate-embedding
+gather, and greedy MMR, with XLA overlapping the dense scan and the
+sparse gather.  One dispatch, one result.
+
+Conventions: candidate ids are CorpusStore rows, -1 = padding;
+scores NEG_INF = absent, matching ops/dense.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .dense import NEG_INF, dense_topk, l2_normalize
+from .fusion import mmr_select, rrf_fuse
+from .sparse import sparse_topk
+
+
+class HybridResult(NamedTuple):
+    ids: jnp.ndarray            # [Q, k_out] i32 final ranked rows (-1 pad)
+    scores: jnp.ndarray         # [Q, k_out] f32 fused RRF scores
+    method_counts: jnp.ndarray  # [Q, k_out] i32 how many indexes hit each id
+    dense_ids: jnp.ndarray      # [Q, k_cand] per-index candidates (for eval)
+    dense_scores: jnp.ndarray
+    sparse_ids: jnp.ndarray
+    sparse_scores: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_cand", "k_out", "metric", "scoring", "rrf_k", "use_mmr",
+        "dense_block_size", "sparse_block_size", "enable_sparse",
+    ),
+)
+def hybrid_retrieve(
+    # dense index
+    emb: jnp.ndarray,           # [N, D] storage dtype (pre-normalized if cosine)
+    # sparse index (pass zeros-shaped dummies when enable_sparse=False)
+    doc_idx: jnp.ndarray,       # [N, P] i32
+    doc_tf: jnp.ndarray,        # [N, P] f32
+    doc_len: jnp.ndarray,       # [N] f32
+    df: jnp.ndarray,            # [V]
+    n_docs: jnp.ndarray,        # scalar
+    # query
+    q_dense: jnp.ndarray,       # [Q, D] f32 (normalized upstream if cosine)
+    q_idx: jnp.ndarray,         # [Q, T] i32
+    q_tf: jnp.ndarray,          # [Q, T] f32
+    # row mask (validity AND compiled filters)
+    valid: Optional[jnp.ndarray],
+    # fusion knobs
+    weights: jnp.ndarray,       # [M] f32: (dense, sparse[, domain])
+    mmr_lambda: jnp.ndarray,    # scalar f32
+    # optional third family: domain embeddings (HNSW domain collection
+    # equivalent, reference indexing.py:169-177) — both or neither.
+    domain_emb: Optional[jnp.ndarray] = None,   # [N, Dd]
+    q_domain: Optional[jnp.ndarray] = None,     # [Q, Dd]
+    *,
+    k_cand: int,                # per-index over-retrieval (2x top_k, retrieval.py:351)
+    k_out: int,
+    metric: str = "ip",
+    scoring: str = "bm25",
+    rrf_k: int = 60,
+    use_mmr: bool = True,
+    enable_sparse: bool = True,
+    dense_block_size: int = 65536,
+    sparse_block_size: int = 8192,
+) -> HybridResult:
+    """One-dispatch hybrid search (reference call stack 3.2 collapsed).
+
+    Replaces: parallel index fan-out + `_fuse_results` RRF k=60
+    (retrieval.py:421-491) + `_mmr_diversify` (:493-516) — MMR here uses
+    embedding cosine instead of token Jaccard (better and MXU-friendly).
+    """
+    d_s, d_i = dense_topk(
+        emb, q_dense, k_cand, valid,
+        metric=metric, block_size=dense_block_size, normalize_queries=False,
+    )
+    methods_i = [d_i]
+    if enable_sparse:
+        s_s, s_i = sparse_topk(
+            doc_idx, doc_tf, doc_len, df, n_docs, q_idx, q_tf, k_cand, valid,
+            scoring=scoring, block_size=sparse_block_size,
+        )
+        methods_i.append(s_i)
+    else:
+        s_s = jnp.full_like(d_s, NEG_INF)
+        s_i = jnp.full_like(d_i, -1)
+    if domain_emb is not None and q_domain is not None:
+        _, dom_i = dense_topk(
+            domain_emb, q_domain, k_cand, valid,
+            metric=metric, block_size=dense_block_size, normalize_queries=False,
+        )
+        methods_i.append(dom_i)
+    cand_ids = jnp.stack(methods_i, axis=0)                  # [M, Q, K]
+    w = weights[: len(methods_i)]
+
+    # Fuse over the full candidate pool; MMR then SELECTS k_out diverse
+    # results from the k_cand-deep pool (reference fuses all candidates,
+    # then diversifies down to final_k — retrieval.py:421-516).
+    fused_s, fused_i, counts = rrf_fuse(cand_ids, w, rrf_k=rrf_k, k_out=k_cand)
+
+    if use_mmr:
+        # Gather pool embeddings for cosine-MMR; -1 ids clipped to row 0
+        # but masked invalid so they are never selected.
+        safe = jnp.clip(fused_i, 0)
+        cand_emb = emb[safe].astype(jnp.float32)             # [Q, k_cand, D]
+        ok = fused_i >= 0
+
+        def per_query(ce, rel, okq, lam):
+            return mmr_select(ce, rel, k_out, lam, okq)      # [k_out] positions
+
+        pos = jax.vmap(per_query, in_axes=(0, 0, 0, None))(
+            cand_emb, fused_s, ok, mmr_lambda
+        )
+        sel_ok = pos >= 0
+        safe_pos = jnp.clip(pos, 0)
+        out_i = jnp.where(sel_ok, jnp.take_along_axis(fused_i, safe_pos, 1), -1)
+        out_s = jnp.where(sel_ok, jnp.take_along_axis(fused_s, safe_pos, 1),
+                          NEG_INF)
+        out_c = jnp.where(sel_ok, jnp.take_along_axis(counts, safe_pos, 1), 0)
+    else:
+        out_i = fused_i[:, :k_out]
+        out_s = fused_s[:, :k_out]
+        out_c = counts[:, :k_out]
+
+    return HybridResult(out_i, out_s, out_c, d_i, d_s, s_i, s_s)
+
+
+__all__ = ["hybrid_retrieve", "HybridResult"]
