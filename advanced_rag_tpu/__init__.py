@@ -19,15 +19,54 @@ from .config import (
     load_pipeline_config,
     load_yaml_config,
 )
+from .index import ChunkRecord, CorpusStore, DenseIndex, MultiIndexManager, SparseIndex
+from .pipeline import (
+    AdaptiveChunker,
+    AdvancedRAGPipeline,
+    ComplianceManager,
+    DocumentDiagnostics,
+    ExperimentManager,
+    HybridRetriever,
+    LearnedHybridAdapter,
+    LearnedRanker,
+    QueryClassifier,
+    QueryDecomposer,
+    QueryRewriter,
+    RAGEvaluator,
+    RetrievalResult,
+    SemanticEnricher,
+)
+from .utils.exceptions import AdvancedRAGException, RAGException
 
 __all__ = [
     "__version__",
+    "AdaptiveChunker",
+    "AdvancedRAGException",
+    "AdvancedRAGPipeline",
+    "ChunkRecord",
+    "ComplianceManager",
+    "CorpusStore",
+    "DenseIndex",
+    "DocumentDiagnostics",
+    "ExperimentManager",
+    "HybridRetriever",
     "IndexConfig",
     "IndexType",
+    "LearnedHybridAdapter",
+    "LearnedRanker",
     "MeshConfig",
     "Metric",
+    "MultiIndexManager",
     "PipelineConfig",
+    "QueryClassifier",
+    "QueryDecomposer",
+    "QueryRewriter",
+    "RAGEvaluator",
+    "RAGException",
     "RetrievalConfig",
+    "RetrievalResult",
+    "SemanticEnricher",
+    "SparseIndex",
     "load_component_configs",
     "load_pipeline_config",
     "load_yaml_config",

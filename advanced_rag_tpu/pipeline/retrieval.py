@@ -1,0 +1,241 @@
+"""Hybrid retriever: profile routing, fused device search, reranking.
+
+Capability parity with reference retrieval.py:104-681:
+- per-class retrieval profiles tuning top_k / MMR / rerank (:142-213);
+- `retrieve` with an end-to-end timeout budget and graceful
+  degrade-to-empty (:215-247);
+- query classification -> profile select (:270-284), adaptive
+  dense/sparse weights hook (:308-320);
+- over-retrieval 2x per index (:351, :384) and RRF fusion k=60 with
+  method weights (:421-491) — executed INSIDE the fused device program
+  (ops/hybrid.py) instead of asyncio fan-out + CPU loops;
+- recency annotation from chunk timestamps (:472-483);
+- `rerank` with learned-ranker / cross-encoder / score passthrough
+  (:518-563) — the passthrough is deterministic, not the reference's
+  score+noise placeholder;
+- metadata filters: the typed spec compiled to a device mask
+  (CorpusStore.build_filter_mask) replaces the string `expr` builder
+  (:566-632).
+
+The timeout uses a worker thread (the search itself is a C-level XLA
+call that cannot be interrupted; on timeout the result is discarded on
+arrival, matching the reference's degrade-to-empty contract).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+import time
+from dataclasses import dataclass, replace
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import RetrievalConfig
+from ..index.manager import MultiIndexManager
+from ..utils.constants import RetrievalConstants as RC
+from .query_ops import QueryClassifier
+from .ranker import LearnedHybridAdapter, LearnedRanker
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class RetrievalProfile:
+    """Per-query-class knobs (reference retrieval.py:142-213)."""
+
+    top_k: int = RC.DEFAULT_TOP_K
+    use_mmr: bool = True
+    mmr_lambda: float = RC.MMR_LAMBDA
+    use_reranking: bool = True
+    dense_weight: float = RC.DENSE_WEIGHT
+    sparse_weight: float = RC.SPARSE_WEIGHT
+    over_retrieve: int = RC.OVER_RETRIEVE_FACTOR
+
+
+DEFAULT_PROFILES: Dict[str, RetrievalProfile] = {
+    # troubleshooting: precision over diversity, lexical matters (errors
+    # quote exact strings) — reference retrieval.py:150-162
+    "troubleshooting": RetrievalProfile(top_k=15, use_mmr=False,
+                                        dense_weight=0.55, sparse_weight=0.45),
+    # summary: broad and diverse — reference :164-175
+    "summary": RetrievalProfile(top_k=30, use_mmr=True, mmr_lambda=0.6,
+                                use_reranking=False),
+    # faq: small, rerank hard — reference :177-188
+    "faq": RetrievalProfile(top_k=10, use_mmr=False, use_reranking=True),
+    # analysis: deep pull — reference :190-201
+    "analysis": RetrievalProfile(top_k=25, use_mmr=True, mmr_lambda=0.75),
+    "default": RetrievalProfile(),
+}
+
+
+class HybridRetriever:
+    """Reference retrieval.py:104-563, device-resident."""
+
+    def __init__(
+        self,
+        index_manager: MultiIndexManager,
+        config: Optional[RetrievalConfig] = None,
+        profiles: Optional[Dict[str, RetrievalProfile]] = None,
+        classifier: Optional[QueryClassifier] = None,
+        learned_ranker: Optional[LearnedRanker] = None,
+        reranker: Any = None,                 # CrossEncoderReranker-like
+        weight_adapter: Optional[LearnedHybridAdapter] = None,
+    ):
+        self.index_manager = index_manager
+        self.config = config or RetrievalConfig()
+        self.profiles = dict(DEFAULT_PROFILES)
+        if profiles:
+            self.profiles.update(profiles)
+        self.classifier = classifier or QueryClassifier()
+        self.learned_ranker = learned_ranker
+        self.reranker = reranker
+        self.weight_adapter = weight_adapter
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="retrieve"
+        )
+        self.last_profile: Optional[str] = None
+        self._warm_keys: set = set()
+
+    #: budget multiplier until the first successful search has compiled
+    #: the fused program (XLA first-compile is seconds; steady-state is
+    #: tens of ms — the strict budget applies once warm).
+    COLD_BUDGET_S = 120.0
+
+    # -- profile selection -------------------------------------------------------
+
+    def profile_for(self, query: str) -> Tuple[str, RetrievalProfile]:
+        """Classify + per-REQUEST profile (no shared-config mutation —
+        the reference mutates self.config per request, a documented race
+        it acknowledges at service.py:166-168)."""
+        cls = self.classifier.classify(query)
+        return cls, self.profiles.get(cls, self.profiles["default"])
+
+    # -- retrieval ------------------------------------------------------------------
+
+    def retrieve_sync(
+        self,
+        query: str,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+        timeout_s: Optional[float] = None,
+    ) -> List[Dict[str, Any]]:
+        """Hybrid retrieve with budget + degrade-to-empty
+        (reference retrieval.py:215-247)."""
+        budget = timeout_s if timeout_s is not None else self.config.timeout_seconds
+        key = self._program_key(query, top_k)
+        if key not in self._warm_keys:
+            budget = max(budget, self.COLD_BUDGET_S)
+        future = self._executor.submit(self._retrieve_inner, query, top_k, filters)
+        try:
+            result = future.result(timeout=budget)
+            self._warm_keys.add(key)
+            return result
+        except concurrent.futures.TimeoutError:
+            logger.warning("retrieve timed out after %.0f ms; degrading to []",
+                           budget * 1e3)
+            future.cancel()
+            return []
+        except Exception:
+            logger.exception("retrieve failed; degrading to []")
+            return []
+
+    async def retrieve(self, query: str, top_k: Optional[int] = None,
+                       filters: Optional[Dict[str, Any]] = None,
+                       timeout_s: Optional[float] = None) -> List[Dict[str, Any]]:
+        import asyncio
+
+        return await asyncio.to_thread(
+            self.retrieve_sync, query, top_k, filters, timeout_s
+        )
+
+    def _program_key(self, query: str, top_k: Optional[int]) -> tuple:
+        """Static signature of the fused program a query will hit: each
+        distinct (k, use_mmr) pair compiles once, so the strict latency
+        budget applies only after that signature has been compiled."""
+        _, profile = self.profile_for(query)
+        k = min(top_k or profile.top_k, self.config.max_top_k)
+        return (-(-k // 8) * 8, profile.use_mmr and self.config.use_mmr)
+
+    def _retrieve_inner(
+        self,
+        query: str,
+        top_k: Optional[int],
+        filters: Optional[Dict[str, Any]],
+    ) -> List[Dict[str, Any]]:
+        """Reference retrieval.py:249-339 collapsed onto the fused program."""
+        if not query or not query.strip():
+            return []
+        cls, profile = self.profile_for(query)
+        self.last_profile = cls
+        k = min(top_k or profile.top_k, self.config.max_top_k)
+
+        dense_w, sparse_w = profile.dense_weight, profile.sparse_weight
+        if self.weight_adapter is not None and self.config.adaptive_weights:
+            dense_w, sparse_w = self.weight_adapter(query, dense_w, sparse_w)
+
+        hits = self.index_manager.hybrid_search_sync(
+            query, k,
+            filters=filters,
+            dense_weight=dense_w,
+            sparse_weight=sparse_w,
+            domain_weight=self.config.domain_weight,
+            rrf_k=self.config.rrf_k,
+            use_mmr=profile.use_mmr and self.config.use_mmr,
+            mmr_lambda=profile.mmr_lambda,
+            over_retrieve=profile.over_retrieve,
+        )
+        now = time.time()
+        for h in hits:
+            h["query_class"] = cls
+            h["methods"] = ["hybrid"] * max(int(h.get("method_count", 1)), 1)
+            age_days = max(now - float(h.get("timestamp", now)), 0.0) / 86400.0
+            h["recency"] = float(
+                2.0 ** (-age_days / max(self.config.recency_half_life_days, 1e-6))
+            )
+        return hits
+
+    # -- rerank (reference retrieval.py:518-563) ------------------------------------
+
+    def rerank_sync(
+        self,
+        query: str,
+        results: List[Dict[str, Any]],
+        top_k: int,
+    ) -> List[Dict[str, Any]]:
+        if not results:
+            return []
+        cls, profile = self.profile_for(query)
+        if not (profile.use_reranking and self.config.use_reranking):
+            return results[:top_k]
+        if self.learned_ranker is not None:
+            scores = self.learned_ranker.score_sync(results)
+        elif self.reranker is not None:
+            scores = np.asarray(
+                self.reranker.score(query, [r.get("content") or "" for r in results])
+            ).tolist()
+        else:
+            # deterministic passthrough (the reference adds noise here,
+            # retrieval.py:549-553 — a quirk we do not replicate)
+            scores = [float(r.get("score", 0.0)) for r in results]
+        order = np.argsort(-np.asarray(scores, np.float64), kind="stable")
+        out = []
+        for rank, idx in enumerate(order[:top_k]):
+            r = dict(results[int(idx)])
+            r["rerank_score"] = float(scores[int(idx)])
+            r["rerank_position"] = rank
+            out.append(r)
+        return out
+
+    async def rerank(self, query: str, results: List[Dict[str, Any]],
+                     top_k: int) -> List[Dict[str, Any]]:
+        import asyncio
+
+        return await asyncio.to_thread(self.rerank_sync, query, results, top_k)
+
+    def close(self) -> None:
+        self._executor.shutdown(wait=False)
+
+
+__all__ = ["HybridRetriever", "RetrievalProfile", "DEFAULT_PROFILES"]

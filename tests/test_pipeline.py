@@ -1,0 +1,319 @@
+"""Pipeline layer: diagnostics, chunking, query ops, rankers, experiments,
+evaluation, compliance, end-to-end orchestrator (reference test strategy
+SURVEY.md §4 — pure-math unit tests + end-to-end with the real device
+index on the virtual CPU mesh)."""
+
+import numpy as np
+import pytest
+
+from advanced_rag_tpu.pipeline import (
+    AdaptiveChunker,
+    AdvancedRAGPipeline,
+    AuditEventType,
+    ComplianceManager,
+    DocumentDiagnostics,
+    ExperimentManager,
+    LearnedHybridAdapter,
+    LearnedRanker,
+    QueryClassifier,
+    QueryDecomposer,
+    QueryRewriter,
+    RAGEvaluator,
+    SemanticEnricher,
+)
+from advanced_rag_tpu.utils.exceptions import ComplianceError
+
+
+class TestDiagnostics:
+    def test_entropy_bounds(self):
+        d = DocumentDiagnostics()
+        assert d.shannon_entropy([]) == 0.0
+        assert d.shannon_entropy(["a"] * 10) == 0.0
+        uniform = [f"w{i}" for i in range(64)]
+        assert d.shannon_entropy(uniform) == pytest.approx(1.0)
+
+    def test_redundancy_detects_repeats(self):
+        d = DocumentDiagnostics()
+        rep, _ = d.redundancy(["a", "b"] * 50)
+        uniq, _ = d.redundancy([f"w{i}" for i in range(100)])
+        assert rep > 0.5 > uniq
+
+    def test_domain_density(self):
+        d = DocumentDiagnostics()
+        m = d.analyze_document(
+            "The algorithm uses a cache and a compiler on the gpu runtime."
+        )
+        assert m.domain_scores["technical"] > 0
+        assert m.domain_density == max(m.domain_scores.values())
+
+    def test_coherence(self):
+        d = DocumentDiagnostics()
+        coherent = d.coherence(["the cat sat here", "the cat sat there"])
+        incoherent = d.coherence(["alpha beta gamma", "delta epsilon zeta"])
+        assert coherent > incoherent
+
+    def test_analyze_document_full(self):
+        m = DocumentDiagnostics().analyze_document(
+            "Systems research. " * 5 + "Novel words appear here often."
+        )
+        assert 0 <= m.entropy <= 1
+        assert m.token_count > 0
+        assert m.sentence_count >= 2
+
+
+class TestChunker:
+    def test_empty(self):
+        assert AdaptiveChunker().chunk_document("") == []
+
+    def test_sizing_heuristics(self):
+        from advanced_rag_tpu.pipeline.diagnostics import DiagnosticMetrics
+
+        c = AdaptiveChunker()
+        big = c.target_chunk_size(DiagnosticMetrics(entropy=0.9, coherence=0.9))
+        small = c.target_chunk_size(DiagnosticMetrics(entropy=0.2, redundancy=0.7,
+                                                      coherence=0.1))
+        assert big > c.base_chunk_size
+        assert small < c.base_chunk_size
+        assert small >= c.min_chunk_size
+
+    def test_chunking_covers_text(self):
+        text = ". ".join(f"Sentence number {i} about topic {i % 7}"
+                         for i in range(200)) + "."
+        chunks = AdaptiveChunker(base_chunk_size=64).chunk_document(text)
+        assert len(chunks) > 1
+        assert all(ch.metadata.token_count > 0 for ch in chunks)
+        # idempotent ids
+        again = AdaptiveChunker(base_chunk_size=64).chunk_document(text)
+        assert [c.chunk_id for c in chunks] == [c.chunk_id for c in again]
+
+    def test_overlap(self):
+        text = ". ".join(f"Sentence {i} unique token tok{i}" for i in range(60)) + "."
+        chunks = AdaptiveChunker(base_chunk_size=40,
+                                 overlap_ratio=0.3).chunk_document(text)
+        assert len(chunks) >= 2
+        # consecutive chunks share at least one sentence token
+        a = set(chunks[0].content.split())
+        b = set(chunks[1].content.split())
+        assert a & b
+
+
+class TestQueryOps:
+    def test_rewriter(self):
+        r = QueryRewriter()
+        assert "retrieval augmented generation" in r.rewrite("what is RAG?")
+        assert r.rewrite("plain query") == "plain query"
+
+    def test_decomposer(self):
+        d = QueryDecomposer()
+        res = d.decompose("explain dense retrieval and compare sparse scoring methods")
+        assert res.is_complex and len(res.sub_queries) == 2
+        simple = d.decompose("short query")
+        assert not simple.is_complex
+
+    def test_classifier(self):
+        c = QueryClassifier()
+        assert c.classify("getting an error when indexing") == "troubleshooting"
+        assert c.classify("summarize the architecture") == "summary"
+        assert c.classify("what is a vector index?") == "faq"
+        assert c.classify("x " * 150) == "analysis"
+        assert c.classify("vector databases") == "default"
+
+
+class TestRankers:
+    def test_learned_ranker_update(self):
+        r = LearnedRanker()
+        res = {"score": 0.9, "method_count": 2, "timestamp": 0.0}
+        before = r.score_sync([res])[0]
+        for _ in range(20):
+            r.update_from_feedback(res, positive=False)
+        after = r.score_sync([res])[0]
+        assert after < before
+
+    def test_adapter_normalizes(self):
+        a = LearnedHybridAdapter()
+        d, s = a("some medium length query here", 0.7, 0.3)
+        assert d + s == pytest.approx(1.0)
+        assert 0.1 <= d <= 0.9
+
+    def test_adapter_learns(self):
+        a = LearnedHybridAdapter()
+        a.fit_from_feedback([("sparse", True)] * 30 + [("semantic", False)] * 30)
+        d, s = a("medium length query words here", 0.5, 0.5)
+        assert s > d
+
+
+class TestExperiments:
+    def test_greedy_picks_best(self):
+        m = ExperimentManager(epsilon=0.0)
+        m.record_outcome("a", True, 1.0)
+        m.record_outcome("b", False, 0.0)
+        assert m.choose_variant() == "a"
+
+    def test_auto_register_and_report(self):
+        m = ExperimentManager(epsilon=0.0)
+        m.record_outcome("new", True)
+        assert m.report()[0]["name"] == "new"
+
+
+class TestEvaluator:
+    def test_rank_metrics(self):
+        e = RAGEvaluator()
+        retrieved = ["a", "b", "c", "d"]
+        relevant = ["b", "x"]
+        assert e.precision_at_k(retrieved, relevant, 4) == pytest.approx(0.25)
+        assert e.recall_at_k(retrieved, relevant, 4) == pytest.approx(0.5)
+        assert e.mrr(retrieved, relevant) == pytest.approx(0.5)
+        assert 0 < e.ndcg_at_k(retrieved, relevant, 4) < 1
+
+    def test_evaluate_retrieval(self):
+        e = RAGEvaluator()
+        results = [
+            {"chunk_id": "a", "content": "vector search on tpu", "score": 0.9},
+            {"chunk_id": "b", "content": "sparse lexical scoring", "score": 0.5},
+        ]
+        m = e.evaluate_retrieval("vector search", results, relevant_ids=["a"])
+        assert m.precision_at_k > 0
+        assert 0 <= m.hallucination_risk <= 1
+        assert m.coverage > 0
+        assert len(e.score_history) == 1
+
+    def test_empty_results_max_risk(self):
+        m = RAGEvaluator().evaluate_retrieval("q", [])
+        assert m.hallucination_risk == 1.0
+
+    def test_drift_detects_shift(self):
+        e = RAGEvaluator(history_maxlen=100)
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            e.embedding_history.append(
+                rng.standard_normal(8).astype(np.float32) + np.array([5.0] + [0] * 7,
+                                                                     np.float32))
+        for _ in range(20):
+            e.embedding_history.append(
+                rng.standard_normal(8).astype(np.float32) + np.array([-5.0] + [0] * 7,
+                                                                     np.float32))
+        rep = e.detect_drift()
+        assert rep.embedding_divergence > 0.5
+        assert rep.drift_detected
+        assert rep.recommendations
+
+
+class TestCompliance:
+    def test_versioning_and_integrity(self):
+        c = ComplianceManager()
+        v1 = c.create_version("d1", "content one")
+        v2 = c.create_version("d1", "content two")
+        assert (v1.version, v2.version) == (1, 2)
+        assert c.verify_data_integrity("d1", "content two")
+        assert not c.verify_data_integrity("d1", "content one")
+
+    def test_legal_hold_blocks_forget(self):
+        c = ComplianceManager()
+        c.create_version("d1", "x")
+        c.apply_legal_hold("d1")
+        with pytest.raises(ComplianceError):
+            c.forget_document("d1")
+        c.release_legal_hold("d1")
+        c.forget_document("d1")
+        assert "d1" in c.forgotten
+
+    def test_audit_query_filters(self):
+        c = ComplianceManager()
+        c.log_ingestion("d1", 3)
+        c.log_retrieval("query", ["d1"])
+        logs = c.query_audit_logs(event_type=AuditEventType.INGESTION)
+        assert len(logs) == 1 and logs[0].doc_id == "d1"
+        report = c.generate_compliance_report()
+        assert report["total_audit_events"] >= 2
+
+    def test_lineage(self):
+        c = ComplianceManager()
+        c.add_lineage("child", ["p1", "p2"])
+        tree = c.get_lineage_tree("child")
+        assert {p["doc_id"] for p in tree["parents"]} == {"p1", "p2"}
+
+
+class TestEnricher:
+    def test_entities_and_topics(self):
+        r = SemanticEnricher().enrich(
+            "JAX compiles programs for Google TPU hardware. TPU programs use XLA."
+        )
+        assert "TPU" in r.entities or "JAX" in r.entities
+        assert r.topics
+
+
+DOCS = [
+    {"doc_id": "tpu", "content": "TPU systolic arrays excel at matrix "
+     "multiplication. The MXU processes bfloat16 tiles. XLA compiles and "
+     "fuses operations for high throughput on the matrix unit."},
+    {"doc_id": "rag", "content": "Retrieval augmented generation combines "
+     "a vector index with a language model. Hybrid retrieval fuses dense "
+     "embeddings with sparse BM25 scores using reciprocal rank fusion."},
+    {"doc_id": "ops", "content": "Error handling uses circuit breakers and "
+     "timeouts. When the index fails, the service degrades gracefully and "
+     "returns empty results instead of crashing."},
+]
+
+
+class TestPipelineEndToEnd:
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        p = AdvancedRAGPipeline()
+        report = p.ingest_documents(DOCS)
+        assert report["indexed"] > 0
+        return p
+
+    def test_retrieve_relevant(self, pipe):
+        out = pipe.retrieve("how does hybrid retrieval fuse dense and sparse?")
+        assert out["results"]
+        assert out["results"][0].doc_id == "rag"
+        assert out["metrics"].num_results > 0
+
+    def test_retrieve_with_filter(self, pipe):
+        out = pipe.retrieve("matrix multiplication", filters={"doc_id": "tpu"})
+        assert out["results"]
+        assert all(r.doc_id == "tpu" for r in out["results"])
+
+    def test_rewriting_applied(self, pipe):
+        out = pipe.retrieve("what is rag?")
+        assert "retrieval augmented generation" in out["rewritten_query"]
+
+    def test_plan_and_execute(self, pipe):
+        out = pipe.plan_and_execute(
+            "explain tpu matrix units and describe hybrid retrieval fusion"
+        )
+        assert out["is_complex"]
+        assert len(out["sub_queries"]) == 2
+        doc_ids = {r.doc_id for r in out["results"]}
+        assert {"tpu", "rag"} <= doc_ids
+
+    def test_performance_report(self, pipe):
+        pipe.retrieve("anything at all")
+        rep = pipe.get_performance_report()
+        assert rep["retrieve_ms"]["count"] >= 1
+        assert 0 <= rep["sla_compliance"] <= 1
+        assert rep["index"]["store"]["valid"] > 0
+
+    def test_drift_report(self, pipe):
+        rep = pipe.detect_drift(["tpu matmul", "hybrid fusion"])
+        assert 0 <= rep.magnitude <= 1
+
+    def test_forget_document(self):
+        p = AdvancedRAGPipeline()
+        p.ingest_documents(DOCS)
+        removed = p.forget_document("ops")
+        assert removed > 0
+        out = p.retrieve("circuit breakers timeouts degrade")
+        assert all(r.doc_id != "ops" for r in out["results"])
+        # forgetting under legal hold raises
+        p.compliance.apply_legal_hold("tpu")
+        with pytest.raises(ComplianceError):
+            p.forget_document("tpu")
+
+    def test_quality_flags(self):
+        p = AdvancedRAGPipeline()
+        rep = p.ingest_documents(["", "tiny", "word " * 100])
+        flags = {f["flag"] for f in rep["quality_flags"]}
+        assert "empty_document" in flags
+        assert "very_short_document" in flags
+        assert "high_redundancy" in flags or "low_vocabulary_diversity" in flags
