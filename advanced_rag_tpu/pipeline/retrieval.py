@@ -35,6 +35,7 @@ import numpy as np
 from ..config import RetrievalConfig
 from ..index.manager import MultiIndexManager
 from ..utils.constants import RetrievalConstants as RC
+from ..utils.exceptions import ValidationError
 from .query_ops import QueryClassifier
 from .ranker import LearnedHybridAdapter, LearnedRanker
 
@@ -137,6 +138,8 @@ class HybridRetriever:
                            budget * 1e3)
             future.cancel()
             return []
+        except ValidationError:
+            raise  # client error (bad filter/k) — not a degradation case
         except Exception:
             logger.exception("retrieve failed; degrading to []")
             return []

