@@ -85,18 +85,54 @@ class DenseIndex:
         # queries normalized in-op.
         return "ip" if self.config.metric == Metric.COSINE else self.config.metric.value
 
+    def build_ivf(self, nlist: int = 0, *, train_sample: int = 262144,
+                  seed: int = 0) -> None:
+        """Train the coarse quantizer and pack partitions (ops/ivf.py).
+
+        Call after bulk ingest; appends invalidate it (search falls back
+        to the exact scan until rebuilt).  Replaces Milvus HNSW build
+        at efConstruction=200 (reference indexing.py:150-153)."""
+        from ..ops.ivf import auto_nlist, build_ivf
+        from ..utils.constants import IndexConstants
+
+        if self.size == 0:
+            raise ValueError("cannot build IVF over an empty index")
+        nlist = nlist or self.config.nlist or auto_nlist(
+            self.size, IndexConstants.IVF_NLIST_FACTOR)
+        nlist = min(nlist, self.size)
+        self._ivf = build_ivf(
+            self._host[: self.size], nlist,
+            dtype=self.config.dtype,
+            kmeans_iters=self.config.kmeans_iters,
+            train_sample=train_sample,
+            seed=seed,
+        )
+
+    @property
+    def has_ivf(self) -> bool:
+        return self._ivf is not None
+
     def search(
         self,
         queries: np.ndarray | jnp.ndarray,   # [Q, D]
         k: int,
         mask: Optional[jnp.ndarray] = None,  # [capacity] bool (valid+filters)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Masked top-k -> (scores [Q, k] f32, rows [Q, k] i32)."""
+        """Masked top-k -> (scores [Q, k] f32, rows [Q, k] i32).
+
+        Uses the IVF path when built (nprobe from config), exact scan
+        otherwise — same result contract either way."""
         q = jnp.asarray(queries, dtype=jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
         if self.config.metric == Metric.COSINE:
             q = l2_normalize(q)
+        if self._ivf is not None:
+            from ..ops.ivf import ivf_topk
+
+            return ivf_topk(self._ivf, q, k, mask,
+                            nprobe=min(self.config.nprobe,
+                                       self._ivf.centroids.shape[0]))
         return dense_topk(
             self.emb,
             q,

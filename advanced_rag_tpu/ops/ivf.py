@@ -1,0 +1,223 @@
+"""IVF (inverted-file) partitioned ANN: the 10M-chunk-scale dense path.
+
+Replaces Milvus HNSW at scale (reference indexing.py:150-153: M=16,
+efConstruction=200, ef=64).  Graph ANN is pointer-chasing — hostile to a
+machine built for dense tiles — so the TPU-native equivalent is IVF
+(SURVEY.md §7 B1): a k-means coarse quantizer + packed partitions, where
+a query scores ``nprobe`` partitions instead of the whole corpus,
+cutting HBM traffic by ~nlist/nprobe while matching HNSW-class recall
+at equal memory (centroids add <1% overhead; no graph edges needed).
+
+Static-shape layout (XLA-friendly):
+- ``centroids [nlist, D]`` f32, trained by jitted Lloyd's iterations;
+- ``packed_emb [nlist, cap, D]`` storage dtype — each partition padded
+  to the same capacity; rows that overflow a full partition spill into a
+  brute-force tail scanned every query (bounded by construction);
+- ``packed_rows [nlist, cap]`` i32 original row ids (-1 = pad).
+
+Search = one jitted program: centroid matmul -> top-nprobe -> partition
+gather (nprobe row-granular DMAs) -> masked scoring -> top-k, merged
+with the tail scan.  Validity/filter masks apply via ``mask[packed_rows]``
+so deletes/filters behave identically to the flat path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .dense import NEG_INF, dense_topk, l2_normalize, merge_topk
+
+
+class IVFPartitions(NamedTuple):
+    centroids: jnp.ndarray     # [nlist, D] f32
+    packed_emb: jnp.ndarray    # [nlist, cap, D] storage dtype
+    packed_rows: jnp.ndarray   # [nlist, cap] i32, -1 pad
+    tail_emb: jnp.ndarray      # [T, D] overflow rows (brute-forced)
+    tail_rows: jnp.ndarray     # [T] i32
+
+
+# -- k-means training -----------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nlist", "iters", "block"))
+def kmeans_fit(
+    x: jnp.ndarray,            # [M, D] f32 training sample (normalized ok)
+    init: jnp.ndarray,         # [nlist, D] f32 initial centroids
+    *,
+    nlist: int,
+    iters: int = 16,
+    block: int = 65536,
+) -> jnp.ndarray:
+    """Jitted Lloyd's iterations; empty clusters keep their centroid."""
+    m, d = x.shape
+
+    def assign(c):
+        # blockwise argmax of cosine/IP against centroids
+        nb = -(-m // block)
+        pad = nb * block - m
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+
+        def body(_, blk):
+            xb = lax.dynamic_slice(xp, (blk * block, 0), (block, d))
+            s = jnp.dot(xb, c.T, preferred_element_type=jnp.float32)
+            return None, jnp.argmax(s, axis=1).astype(jnp.int32)
+
+        _, parts = lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
+        return parts.reshape(-1)[:m]
+
+    def step(c, _):
+        a = assign(c)
+        sums = jnp.zeros((nlist, d), jnp.float32).at[a].add(x)
+        counts = jnp.zeros((nlist,), jnp.float32).at[a].add(1.0)
+        new_c = jnp.where(counts[:, None] > 0,
+                          sums / jnp.maximum(counts[:, None], 1.0), c)
+        return new_c, None
+
+    c, _ = lax.scan(step, init.astype(jnp.float32), None, length=iters)
+    return c
+
+
+def kmeans_init(x: np.ndarray, nlist: int, seed: int = 0) -> np.ndarray:
+    """k-means++-lite init: random distinct points (host-side)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(x.shape[0], size=min(nlist, x.shape[0]), replace=False)
+    init = x[idx]
+    if init.shape[0] < nlist:  # tiny corpora: tile
+        reps = -(-nlist // init.shape[0])
+        init = np.tile(init, (reps, 1))[:nlist]
+    return init.astype(np.float32)
+
+
+# -- build ------------------------------------------------------------------------
+
+def build_ivf(
+    emb_host: np.ndarray,      # [N, D] f32 (pre-normalized for cosine)
+    nlist: int,
+    *,
+    dtype: str = "bfloat16",
+    kmeans_iters: int = 16,
+    train_sample: int = 262144,
+    capacity_factor: float = 2.0,
+    seed: int = 0,
+) -> IVFPartitions:
+    """Train + pack.  cap = factor * N/nlist; rows beyond a partition's
+    capacity spill to the tail (scanned exactly, so recall never drops
+    from overflow — only speed does, and factor 2 keeps the tail tiny)."""
+    n, d = emb_host.shape
+    x = emb_host
+    if n > train_sample:
+        sel = np.random.default_rng(seed).choice(n, train_sample, replace=False)
+        x = emb_host[sel]
+    cent = np.asarray(
+        kmeans_fit(jnp.asarray(x), jnp.asarray(kmeans_init(x, nlist, seed)),
+                   nlist=nlist, iters=kmeans_iters)
+    )
+
+    # assign every row on device, blockwise
+    assign = []
+    block = 262144
+    cj = jnp.asarray(cent)
+    for start in range(0, n, block):
+        xb = jnp.asarray(emb_host[start : start + block])
+        s = jnp.dot(xb, cj.T, preferred_element_type=jnp.float32)
+        assign.append(np.asarray(jnp.argmax(s, axis=1)))
+    a = np.concatenate(assign)
+
+    cap = max(8, int(np.ceil(capacity_factor * n / nlist)))
+    packed_rows = np.full((nlist, cap), -1, np.int32)
+    fill = np.zeros(nlist, np.int64)
+    tail: list[int] = []
+    order = np.argsort(a, kind="stable")
+    for row in order:
+        c = a[row]
+        if fill[c] < cap:
+            packed_rows[c, fill[c]] = row
+            fill[c] += 1
+        else:
+            tail.append(row)
+    tail_rows = np.asarray(tail, np.int32) if tail else np.zeros(0, np.int32)
+
+    jdt = jnp.dtype(dtype)
+    gather_rows = np.where(packed_rows >= 0, packed_rows, 0)
+    packed_emb = emb_host[gather_rows.reshape(-1)].reshape(nlist, cap, d)
+    packed_emb = packed_emb * (packed_rows >= 0)[:, :, None]
+    t = max(len(tail), 1)
+    tail_emb = np.zeros((t, d), np.float32)
+    if len(tail):
+        tail_emb[: len(tail)] = emb_host[tail_rows]
+    if not len(tail):
+        tail_rows = np.full(1, -1, np.int32)
+
+    return IVFPartitions(
+        centroids=jnp.asarray(cent),
+        packed_emb=jnp.asarray(packed_emb, dtype=jdt),
+        packed_rows=jnp.asarray(packed_rows),
+        tail_emb=jnp.asarray(tail_emb, dtype=jdt),
+        tail_rows=jnp.asarray(tail_rows),
+    )
+
+
+# -- search -----------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_topk(
+    parts: IVFPartitions,
+    queries: jnp.ndarray,               # [Q, D] f32 (normalized upstream)
+    k: int,
+    valid: Optional[jnp.ndarray] = None,  # [N_capacity] bool over ORIGINAL rows
+    *,
+    nprobe: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked IVF top-k -> (scores [Q, k], original row ids [Q, k])."""
+    q = queries.astype(jnp.float32)
+    nlist, cap, d = parts.packed_emb.shape
+
+    c_scores = jnp.dot(q, parts.centroids.T,
+                       preferred_element_type=jnp.float32)   # [Q, nlist]
+    _, probe = lax.top_k(c_scores, nprobe)                   # [Q, nprobe]
+
+    def one_query(qv, probes):
+        pe = parts.packed_emb[probes]                        # [nprobe, cap, D]
+        pr = parts.packed_rows[probes]                       # [nprobe, cap]
+        s = jnp.einsum("d,pcd->pc", qv, pe.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        ok = pr >= 0
+        if valid is not None:
+            ok = jnp.logical_and(ok, valid[jnp.clip(pr, 0)])
+        s = jnp.where(ok, s, NEG_INF)
+        flat_s = s.reshape(-1)
+        flat_r = jnp.where(ok, pr, -1).reshape(-1)
+        top_s, sel = lax.top_k(flat_s, k)
+        return top_s, flat_r[sel]
+
+    top_s, top_i = jax.vmap(one_query)(q, probe)
+
+    # exact tail merge (overflow rows)
+    ts = jnp.dot(q, parts.tail_emb.T.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)         # [Q, T]
+    ok = parts.tail_rows >= 0
+    if valid is not None:
+        ok = jnp.logical_and(ok, valid[jnp.clip(parts.tail_rows, 0)])
+    ts = jnp.where(ok[None, :], ts, NEG_INF)
+    kk = min(k, parts.tail_emb.shape[0])
+    tail_s, sel = lax.top_k(ts, kk)
+    tail_i = jnp.where(tail_s <= NEG_INF, -1,
+                       parts.tail_rows[sel])
+    top_s, top_i = merge_topk(top_s, top_i, tail_s, tail_i, k)
+    top_i = jnp.where(top_s <= NEG_INF, -1, top_i)
+    return top_s, top_i
+
+
+def auto_nlist(n: int, factor: float = 4.0) -> int:
+    """nlist ~ factor * sqrt(N), rounded to a multiple of 8."""
+    raw = int(factor * np.sqrt(max(n, 1)))
+    return max(8, (raw // 8) * 8)
+
+
+__all__ = ["IVFPartitions", "build_ivf", "ivf_topk", "kmeans_fit",
+           "kmeans_init", "auto_nlist"]

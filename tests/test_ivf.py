@@ -1,0 +1,114 @@
+"""IVF partitioned ANN: recall vs exact oracle, masks, overflow tail.
+
+The HNSW-parity check from SURVEY.md §6/§7: recall@10 vs brute force on
+clustered data (real embedding distributions are clustered; IVF recall
+on them is the meaningful metric).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advanced_rag_tpu.config import IndexConfig, IndexType, Metric
+from advanced_rag_tpu.index.dense_index import DenseIndex
+from advanced_rag_tpu.ops.dense import dense_topk
+from advanced_rag_tpu.ops.ivf import auto_nlist, build_ivf, ivf_topk, kmeans_fit, kmeans_init
+
+
+def _clustered(rng, n=8192, d=32, n_clusters=64):
+    """Mixture of Gaussians, normalized (cosine geometry)."""
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 3
+    which = rng.integers(0, n_clusters, n)
+    x = centers[which] + rng.standard_normal((n, d)).astype(np.float32) * 0.4
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def _recall(got_ids, ref_ids):
+    hits = 0
+    for g, r in zip(np.asarray(got_ids), np.asarray(ref_ids)):
+        hits += len(set(g.tolist()) & set(r.tolist()))
+    return hits / ref_ids.size
+
+
+class TestKMeans:
+    def test_centroids_reduce_distortion(self, rng):
+        x = _clustered(rng, n=2048, d=16, n_clusters=16)
+        init = kmeans_init(x, 16, seed=0)
+        fit = np.asarray(kmeans_fit(jnp.asarray(x), jnp.asarray(init),
+                                    nlist=16, iters=10))
+
+        def distortion(c):
+            s = x @ c.T
+            return float(np.mean(np.max(s, axis=1)))
+
+        assert distortion(fit) > distortion(init)
+
+    def test_auto_nlist(self):
+        assert auto_nlist(1_000_000) == 4000
+        assert auto_nlist(1) == 8
+
+
+class TestIVFSearch:
+    @pytest.fixture(scope="class")
+    def data(self):
+        rng = np.random.default_rng(0)
+        x = _clustered(rng, n=8192, d=32)
+        q = _clustered(rng, n=16, d=32, n_clusters=8)
+        parts = build_ivf(x, nlist=64, kmeans_iters=10, seed=0)
+        ref_s, ref_i = dense_topk(jnp.asarray(x), jnp.asarray(q), 10,
+                                  metric="ip")
+        return x, q, parts, ref_i
+
+    def test_recall_at_10(self, data):
+        x, q, parts, ref_i = data
+        _, got_i = ivf_topk(parts, jnp.asarray(q), 10, nprobe=16)
+        assert _recall(got_i, np.asarray(ref_i)) >= 0.95
+
+    def test_full_probe_is_exact(self, data):
+        """nprobe == nlist at f32 storage reproduces brute force exactly
+        (bf16 storage flips near-ties: ~0.98 — still above the HNSW bar)."""
+        x, q, _, ref_i = data
+        parts32 = build_ivf(x, nlist=64, kmeans_iters=10, seed=0,
+                            dtype="float32")
+        _, got_i = ivf_topk(parts32, jnp.asarray(q), 10, nprobe=64)
+        assert _recall(got_i, np.asarray(ref_i)) == 1.0
+
+    def test_mask_respected(self, data):
+        x, q, parts, _ = data
+        valid = np.zeros(x.shape[0], bool)
+        valid[:100] = True
+        _, got_i = ivf_topk(parts, jnp.asarray(q), 10,
+                            jnp.asarray(valid), nprobe=64)
+        ids = np.asarray(got_i)
+        assert ((ids < 100) | (ids == -1)).all()
+
+    def test_overflow_tail_preserves_recall(self, rng):
+        """Tiny capacity factor forces spills; tail scan keeps recall=1
+        at full probe."""
+        x = _clustered(rng, n=2048, d=16)
+        parts = build_ivf(x, nlist=16, kmeans_iters=5,
+                          capacity_factor=0.5, seed=0, dtype="float32")
+        assert parts.tail_emb.shape[0] > 1  # spills happened
+        q = x[:4]
+        ref_s, ref_i = dense_topk(jnp.asarray(x), jnp.asarray(q), 5,
+                                  metric="ip")
+        _, got_i = ivf_topk(parts, jnp.asarray(q), 5, nprobe=16)
+        assert _recall(got_i, np.asarray(ref_i)) == 1.0
+
+
+class TestDenseIndexIVF:
+    def test_index_dispatches_to_ivf(self, rng):
+        x = _clustered(rng, n=4096, d=32)
+        idx = DenseIndex(IndexConfig(index_type=IndexType.SEMANTIC, dim=32,
+                                     metric=Metric.COSINE, nprobe=16))
+        idx.append(0, x)
+        s_flat, i_flat = idx.search(x[:4], 5)
+        idx.build_ivf(nlist=64)
+        assert idx.has_ivf
+        s_ivf, i_ivf = idx.search(x[:4], 5)
+        # self-query top-1 must be the row itself on both paths
+        np.testing.assert_array_equal(np.asarray(i_ivf)[:, 0], np.arange(4))
+        # appends invalidate the quantizer
+        idx.append(4096, x[:8])
+        assert not idx.has_ivf
