@@ -109,8 +109,14 @@ def split_hash64(h: int) -> tuple[int, int]:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _append_column(col: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
-    return jax.lax.dynamic_update_slice(col, vals, (start,))
+def _append_columns(cols: dict, start: jnp.ndarray, vals: dict):
+    """ALL metadata columns + validity in ONE program: one compile per
+    pow2 batch bucket and one dispatch per append, instead of 11 of each
+    (compiles cost seconds on a remote chip; dispatches cost ~28 ms)."""
+    return {
+        name: jax.lax.dynamic_update_slice(col, vals[name], (start,))
+        for name, col in cols.items()
+    }
 
 
 def next_pow2(n: int) -> int:
@@ -224,16 +230,17 @@ class CorpusStore:
         }
         for name, vals in cols.items():
             self._host_cols[name][start : start + n] = vals
-            self._dev_cols[name] = _append_column(
-                self._dev_cols[name], jnp.int32(start),
-                jnp.asarray(pad_rows_pow2(vals)),
-            )
         self._host_valid[start : start + n] = True
         valid_vals = np.zeros(n_pad, dtype=bool)
         valid_vals[:n] = True
-        self._dev_valid = _append_column(
-            self._dev_valid, jnp.int32(start), jnp.asarray(valid_vals)
-        )
+        dev_vals = {name: jnp.asarray(pad_rows_pow2(vals))
+                    for name, vals in cols.items()}
+        dev_vals["__valid__"] = jnp.asarray(valid_vals)
+        all_cols = dict(self._dev_cols)
+        all_cols["__valid__"] = self._dev_valid
+        updated = _append_columns(all_cols, jnp.int32(start), dev_vals)
+        self._dev_valid = updated.pop("__valid__")
+        self._dev_cols = updated
         # host records, in fresh order (rows start..start+n-1)
         for offset, rec in enumerate(fresh):
             self.chunk_ids.append(rec.chunk_id)

@@ -371,6 +371,14 @@ class MultiIndexManager:
             q_dom = l2_normalize(qd) if self.domain.config.metric == Metric.COSINE else qd
             weights.append(domain_weight)
 
+        # Impl selection (measured on v5e, ops/hybrid.py docstring):
+        # approx dense + Pallas sparse on real TPUs; exact scan + XLA
+        # compare kernel elsewhere (Pallas interpret mode is for tests).
+        on_tpu = jax.default_backend() == "tpu"
+        dense_impl = ("approx"
+                      if on_tpu and self.semantic.capacity <= 4_194_304
+                      else "scan")
+        sparse_impl = "pallas" if on_tpu else "xla"
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
             q, jnp.asarray(q_idx), jnp.asarray(q_tf),
@@ -382,6 +390,7 @@ class MultiIndexManager:
             metric=self.semantic.search_metric,
             rrf_k=rrf_k, use_mmr=use_mmr, enable_sparse=sparse_on,
             dense_block_size=self.semantic.config.scan_block_size,
+            dense_impl=dense_impl, sparse_impl=sparse_impl,
         )
         # One blocking transfer for everything the host needs.
         ids, scores, counts, q_host = jax.device_get(

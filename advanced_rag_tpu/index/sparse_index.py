@@ -21,14 +21,16 @@ from .corpus import next_pow2, pad_rows_pow2
 from .text import encode_documents, encode_queries, remove_documents_df
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _append_2d(arr: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
-    return jax.lax.dynamic_update_slice(arr, vals, (start, 0))
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _append_1d(arr: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
-    return jax.lax.dynamic_update_slice(arr, vals, (start,))
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _append_sparse(idx: jnp.ndarray, tf: jnp.ndarray, lens: jnp.ndarray,
+                   start: jnp.ndarray, idx_v: jnp.ndarray,
+                   tf_v: jnp.ndarray, len_v: jnp.ndarray):
+    """idx/tf/len updates in ONE program (one compile, one dispatch)."""
+    return (
+        jax.lax.dynamic_update_slice(idx, idx_v, (start, 0)),
+        jax.lax.dynamic_update_slice(tf, tf_v, (start, 0)),
+        jax.lax.dynamic_update_slice(lens, len_v, (start,)),
+    )
 
 
 class SparseIndex:
@@ -94,11 +96,11 @@ class SparseIndex:
         if pad_idx.shape[0] != n:
             pad_idx = pad_idx.copy()
             pad_idx[n:] = -1
-        self.doc_idx = _append_2d(self.doc_idx, jnp.int32(start), jnp.asarray(pad_idx))
-        self.doc_tf = _append_2d(self.doc_tf, jnp.int32(start),
-                                 jnp.asarray(pad_rows_pow2(tf)))
-        self.doc_len = _append_1d(self.doc_len, jnp.int32(start),
-                                  jnp.asarray(pad_rows_pow2(lens)))
+        self.doc_idx, self.doc_tf, self.doc_len = _append_sparse(
+            self.doc_idx, self.doc_tf, self.doc_len, jnp.int32(start),
+            jnp.asarray(pad_idx), jnp.asarray(pad_rows_pow2(tf)),
+            jnp.asarray(pad_rows_pow2(lens)),
+        )
         self._df += df_delta.astype(np.int64)
         self.df = jnp.asarray(np.minimum(self._df, 2**31 - 1).astype(np.int32))
         self.size = max(self.size, start + n)

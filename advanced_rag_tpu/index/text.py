@@ -61,6 +61,11 @@ def encode_documents(
     truncation).  ``df_delta`` counts one per (doc, distinct-term) for
     the corpus document-frequency table.
     """
+    from ..native import encode_documents_native
+
+    fast = encode_documents_native(texts, vocab_size, doc_nnz)
+    if fast is not None:
+        return fast
     n = len(texts)
     doc_idx = np.full((n, doc_nnz), -1, dtype=np.int32)
     doc_tf = np.zeros((n, doc_nnz), dtype=np.float32)
@@ -90,6 +95,12 @@ def encode_queries(
     ``drop_ratio`` prunes the lowest-tf fraction of query terms — parity
     with Milvus ``drop_ratio_search=0.2`` (reference retrieval.py:97-101).
     """
+    from ..native import encode_queries_native
+
+    fast = encode_queries_native(texts, vocab_size, query_nnz,
+                                 drop_ratio=drop_ratio)
+    if fast is not None:
+        return fast
     q = len(texts)
     q_idx = np.full((q, query_nnz), -1, dtype=np.int32)
     q_tf = np.zeros((q, query_nnz), dtype=np.float32)

@@ -1,0 +1,145 @@
+"""Native (C++) fast paths, loaded via ctypes.
+
+The reference's only native component is the external Milvus server;
+here the device kernels replace that, and this package natively
+accelerates the remaining HOST hot loops — per-token hashing/tf
+aggregation and n-gram diagnostics (SURVEY.md §3.1 hot loops #1-#3).
+
+The shared library compiles on first use with g++ (cached next to the
+source, keyed by source hash) and is OPTIONAL: every entry point has a
+pure-Python reference implementation (index/text.py,
+pipeline/diagnostics.py) that remains the source of truth.  Disable
+with ADVANCED_RAG_TPU_NO_NATIVE=1.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).parent / "text_native.cpp"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    src = _SRC.read_text()
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    out = _SRC.parent / f"text_native_{tag}.so"
+    if not out.exists():
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               str(_SRC), "-o", str(out)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError) as exc:
+            logger.info("native build unavailable (%s); using python path", exc)
+            return None
+    lib = ctypes.CDLL(str(out))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.art_encode_documents.argtypes = [
+        ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, i32p, f32p, f32p, i32p]
+    lib.art_encode_queries.argtypes = [
+        ctypes.c_char_p, i64p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_float, i32p, f32p]
+    lib.art_text_stats.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, f64p]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if os.environ.get("ADVANCED_RAG_TPU_NO_NATIVE"):
+        return None
+    with _LOCK:
+        if not _TRIED:
+            _TRIED = True
+            try:
+                _LIB = _build_and_load()
+            except Exception:  # any failure -> python fallback
+                logger.exception("native load failed; using python path")
+                _LIB = None
+        return _LIB
+
+
+def _pack(texts: Sequence[str]) -> Tuple[bytes, np.ndarray]:
+    encoded = [t.encode("utf-8", "ignore") for t in texts]
+    offsets = np.zeros(len(encoded) + 1, np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    return b"".join(encoded), offsets
+
+
+def encode_documents_native(
+    texts: Sequence[str], vocab_size: int, doc_nnz: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """C++ fast path for index.text.encode_documents; None if unavailable."""
+    lib = get_lib()
+    if lib is None or not texts:
+        return None
+    buf, offsets = _pack(texts)
+    n = len(texts)
+    doc_idx = np.full((n, doc_nnz), -1, np.int32)
+    doc_tf = np.zeros((n, doc_nnz), np.float32)
+    doc_len = np.zeros((n,), np.float32)
+    df_delta = np.zeros((vocab_size,), np.int32)
+    lib.art_encode_documents(
+        buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, vocab_size, doc_nnz,
+        doc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        doc_tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        doc_len.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        df_delta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return doc_idx, doc_tf, doc_len, df_delta
+
+
+def encode_queries_native(
+    texts: Sequence[str], vocab_size: int, query_nnz: int,
+    drop_ratio: float = 0.0,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = get_lib()
+    if lib is None or not texts:
+        return None
+    buf, offsets = _pack(texts)
+    n = len(texts)
+    q_idx = np.full((n, query_nnz), -1, np.int32)
+    q_tf = np.zeros((n, query_nnz), np.float32)
+    lib.art_encode_queries(
+        buf, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, vocab_size, query_nnz, drop_ratio,
+        q_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        q_tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return q_idx, q_tf
+
+
+def text_stats_native(text: str, drop_stopwords: bool = False):
+    """(tokens, entropy, r1, r2, r3, distinct) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = text.encode("utf-8", "ignore")
+    out = np.zeros(6, np.float64)
+    lib.art_text_stats(data, len(data), int(drop_stopwords),
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return tuple(out.tolist())
+
+
+__all__ = [
+    "get_lib",
+    "encode_documents_native",
+    "encode_queries_native",
+    "text_stats_native",
+]

@@ -41,6 +41,7 @@ class HybridResult(NamedTuple):
     static_argnames=(
         "k_cand", "k_out", "metric", "scoring", "rrf_k", "use_mmr",
         "dense_block_size", "sparse_block_size", "enable_sparse",
+        "dense_impl", "sparse_impl",
     ),
 )
 def hybrid_retrieve(
@@ -75,23 +76,46 @@ def hybrid_retrieve(
     enable_sparse: bool = True,
     dense_block_size: int = 65536,
     sparse_block_size: int = 8192,
+    dense_impl: str = "scan",    # "scan" exact stream | "approx" approx_max_k
+    sparse_impl: str = "xla",    # "xla" compare-scan | "pallas" VMEM kernel
 ) -> HybridResult:
     """One-dispatch hybrid search (reference call stack 3.2 collapsed).
 
     Replaces: parallel index fan-out + `_fuse_results` RRF k=60
     (retrieval.py:421-491) + `_mmr_diversify` (:493-516) — MMR here uses
     embedding cosine instead of token Jaccard (better and MXU-friendly).
+
+    impl knobs (measured at 1M x 384 on v5e): dense "approx" halves the
+    dense stage (7 -> 3.6 ms) by materializing [Q, N] scores and using
+    the TPU-native sort-free approx_max_k at recall_target 0.99; sparse
+    "pallas" keeps corpus blocks VMEM-resident across query terms
+    (ops/pallas_sparse.py) instead of re-streaming HBM per term.
     """
-    d_s, d_i = dense_topk(
-        emb, q_dense, k_cand, valid,
-        metric=metric, block_size=dense_block_size, normalize_queries=False,
-    )
+    if dense_impl == "approx":
+        from .dense import dense_topk_approx
+
+        d_s, d_i = dense_topk_approx(
+            emb, q_dense, k_cand, valid, metric=metric, recall_target=0.99,
+        )
+    else:
+        d_s, d_i = dense_topk(
+            emb, q_dense, k_cand, valid,
+            metric=metric, block_size=dense_block_size, normalize_queries=False,
+        )
     methods_i = [d_i]
     if enable_sparse:
-        s_s, s_i = sparse_topk(
-            doc_idx, doc_tf, doc_len, df, n_docs, q_idx, q_tf, k_cand, valid,
-            scoring=scoring, block_size=sparse_block_size,
-        )
+        if sparse_impl == "pallas":
+            from .pallas_sparse import sparse_topk_pallas
+
+            s_s, s_i = sparse_topk_pallas(
+                doc_idx, doc_tf, doc_len, df, n_docs, q_idx, q_tf, k_cand,
+                valid, scoring=scoring, reduce="approx",
+            )
+        else:
+            s_s, s_i = sparse_topk(
+                doc_idx, doc_tf, doc_len, df, n_docs, q_idx, q_tf, k_cand,
+                valid, scoring=scoring, block_size=sparse_block_size,
+            )
         methods_i.append(s_i)
     else:
         s_s = jnp.full_like(d_s, NEG_INF)

@@ -1,0 +1,165 @@
+"""Index persistence: serialize device state to disk and mmap-restore.
+
+The reference's durability is Milvus ``flush()`` after insert
+(indexing.py:429-431) plus content-hash chunk ids for idempotent
+re-ingest.  Here the index IS device arrays, so durability = writing
+the host mirrors + record tables to disk (SURVEY.md §5 "checkpoint /
+resume": serialize index shards and restore).
+
+Format: a directory with
+- ``manifest.json``  — sizes, dims, dtypes, framework version;
+- ``columns.npz``    — corpus metadata columns + validity;
+- ``dense_<name>.npy`` (mmap-restorable) — embedding matrices;
+- ``sparse.npz``     — doc_idx/doc_tf/doc_len/df;
+- ``records.jsonl``  — chunk_id/doc_id/content/metadata rows.
+
+Orbax is available in this image but targets pytree model checkpoints;
+the index wants column-level mmap restore, so this stays explicit.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import TYPE_CHECKING, Any, Dict
+
+import numpy as np
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..index.manager import MultiIndexManager
+
+FORMAT_VERSION = 1
+
+
+def save_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]:
+    """Write the full index state; returns the manifest."""
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    store = manager.store
+
+    np.savez_compressed(
+        root / "columns.npz",
+        valid=store._host_valid[: store.size],
+        **{name: col[: store.size] for name, col in store._host_cols.items()},
+    )
+
+    manifest: Dict[str, Any] = {
+        "format_version": FORMAT_VERSION,
+        "saved_at": time.time(),
+        "size": store.size,
+        "dense": {},
+        "sparse": None,
+    }
+
+    families = {"semantic": manager.semantic}
+    if manager.domain is not None:
+        families["domain"] = manager.domain
+    for name, idx in families.items():
+        np.save(root / f"dense_{name}.npy", idx._host[: idx.size])
+        manifest["dense"][name] = {
+            "dim": idx.dim,
+            "size": idx.size,
+            "dtype": str(idx.config.dtype),
+            "metric": idx.config.metric.value,
+        }
+
+    if manager.sparse is not None:
+        sp = manager.sparse
+        np.savez_compressed(
+            root / "sparse.npz",
+            doc_idx=sp._host_idx[: sp.size],
+            doc_tf=sp._host_tf[: sp.size],
+            doc_len=sp._host_len[: sp.size],
+            df=sp._df,
+        )
+        manifest["sparse"] = {
+            "vocab_size": sp.vocab_size,
+            "doc_nnz": sp.doc_nnz,
+            "size": sp.size,
+            "n_docs": sp.n_docs,
+        }
+
+    with open(root / "records.jsonl", "w", encoding="utf-8") as f:
+        for row in range(store.size):
+            f.write(json.dumps({
+                "chunk_id": store.chunk_ids[row],
+                "doc_id": store.doc_ids[row],
+                "content": store.contents[row],
+                "metadata": store.metadata[row],
+            }) + "\n")
+
+    with open(root / "manifest.json", "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]:
+    """Restore state saved by ``save_index`` into a FRESH manager.
+
+    Embedding matrices load via np.load(mmap_mode='r') and stream to the
+    device in one put per family — no per-row python loop.
+    """
+    root = Path(path)
+    with open(root / "manifest.json", encoding="utf-8") as f:
+        manifest = json.load(f)
+    if manifest["format_version"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported checkpoint format "
+                         f"{manifest['format_version']}")
+    store = manager.store
+    if store.size != 0:
+        raise ValueError("load_index requires a fresh manager")
+
+    n = manifest["size"]
+    cols = np.load(root / "columns.npz")
+
+    # records first (host tables)
+    with open(root / "records.jsonl", encoding="utf-8") as f:
+        for row, line in enumerate(f):
+            rec = json.loads(line)
+            store.chunk_ids.append(rec["chunk_id"])
+            store.doc_ids.append(rec["doc_id"])
+            store.contents.append(rec["content"])
+            store.metadata.append(rec["metadata"])
+            store._chunk_row[rec["chunk_id"]] = row
+
+    store._ensure_capacity(n)
+    for name in store._host_cols:
+        store._host_cols[name][:n] = cols[name]
+    store._host_valid[:n] = cols["valid"]
+    store.size = n
+    import jax.numpy as jnp
+
+    store._dev_cols = {name: jnp.asarray(col)
+                       for name, col in store._host_cols.items()}
+    store._dev_valid = jnp.asarray(store._host_valid)
+
+    for name, meta in manifest["dense"].items():
+        idx = manager.semantic if name == "semantic" else manager.domain
+        if idx is None:
+            continue
+        emb = np.load(root / f"dense_{name}.npy", mmap_mode="r")
+        idx._ensure_capacity(meta["size"])
+        idx._host[: meta["size"]] = emb
+        idx.emb = jnp.asarray(idx._host, dtype=idx._dtype)
+        idx.size = meta["size"]
+
+    if manifest["sparse"] and manager.sparse is not None:
+        sp = manager.sparse
+        data = np.load(root / "sparse.npz")
+        size = manifest["sparse"]["size"]
+        sp._ensure_capacity(size)
+        sp._host_idx[:size] = data["doc_idx"]
+        sp._host_tf[:size] = data["doc_tf"]
+        sp._host_len[:size] = data["doc_len"]
+        sp._df[:] = data["df"]
+        sp.doc_idx = jnp.asarray(sp._host_idx)
+        sp.doc_tf = jnp.asarray(sp._host_tf)
+        sp.doc_len = jnp.asarray(sp._host_len)
+        sp.df = jnp.asarray(np.minimum(sp._df, 2**31 - 1).astype(np.int32))
+        sp.size = size
+        sp.n_docs = manifest["sparse"]["n_docs"]
+    return manifest
+
+
+__all__ = ["save_index", "load_index", "FORMAT_VERSION"]

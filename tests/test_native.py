@@ -1,0 +1,102 @@
+"""Native C++ text kernels == the pure-Python reference implementation.
+
+The native path mirrors index/text.py exactly (same blake2b hash, same
+tokenizer, same Counter tie-break), so indexes built by either path are
+interchangeable.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from advanced_rag_tpu.native import (
+    encode_documents_native,
+    encode_queries_native,
+    get_lib,
+    text_stats_native,
+)
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native toolchain unavailable")
+
+TEXTS = [
+    "The Quick Brown Fox jumps over the lazy dog!  Again: quick, quick.",
+    "alpha beta GAMMA delta alpha beta alpha 42 numbers 42 too",
+    "",
+    "stopwords the and of in a an should vanish from this text",
+    "unicode café naïve über tokens split on non-ascii",
+]
+
+
+def _python_encode_documents(texts, vocab, nnz):
+    os.environ["ADVANCED_RAG_TPU_NO_NATIVE"] = "1"
+    try:
+        import importlib
+
+        from advanced_rag_tpu.index import text as text_mod
+        return text_mod.encode_documents.__wrapped__(texts, vocab, nnz) \
+            if hasattr(text_mod.encode_documents, "__wrapped__") \
+            else _call_python(text_mod, texts, vocab, nnz)
+    finally:
+        del os.environ["ADVANCED_RAG_TPU_NO_NATIVE"]
+
+
+def _call_python(text_mod, texts, vocab, nnz):
+    return text_mod.encode_documents(texts, vocab, nnz)
+
+
+def test_encode_documents_matches_python():
+    from advanced_rag_tpu.index import text as text_mod
+
+    vocab, nnz = 4096, 16
+    native = encode_documents_native(TEXTS, vocab, nnz)
+    assert native is not None
+    os.environ["ADVANCED_RAG_TPU_NO_NATIVE"] = "1"
+    try:
+        ref = text_mod.encode_documents(TEXTS, vocab, nnz)
+    finally:
+        del os.environ["ADVANCED_RAG_TPU_NO_NATIVE"]
+    for got, want, name in zip(native, ref,
+                               ("doc_idx", "doc_tf", "doc_len", "df_delta")):
+        np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def test_encode_queries_matches_python():
+    from advanced_rag_tpu.index import text as text_mod
+
+    vocab, nnz = 4096, 8
+    queries = ["Quick fox QUERY", "alpha beta alpha beta gamma delta x y z w"]
+    native = encode_queries_native(queries, vocab, nnz, drop_ratio=0.2)
+    assert native is not None
+    os.environ["ADVANCED_RAG_TPU_NO_NATIVE"] = "1"
+    try:
+        ref = text_mod.encode_queries(queries, vocab, nnz, drop_ratio=0.2)
+    finally:
+        del os.environ["ADVANCED_RAG_TPU_NO_NATIVE"]
+    np.testing.assert_array_equal(native[0], ref[0])
+    np.testing.assert_array_equal(native[1], ref[1])
+
+
+def test_text_stats_sane():
+    stats = text_stats_native("one two three one two one", drop_stopwords=False)
+    tokens, entropy, r1, r2, r3, distinct = stats
+    assert tokens == 6 and distinct == 3
+    assert 0 < entropy <= 1
+    assert r1 == pytest.approx(0.5)   # 3 unique / 6 total
+    assert 0 <= r2 <= 1 and 0 <= r3 <= 1
+
+
+def test_repeated_text_redundancy():
+    stats = text_stats_native("same same same same", drop_stopwords=False)
+    assert stats[2] == pytest.approx(0.75)  # 1 unique / 4
+    assert stats[1] == 0.0                  # zero entropy
+
+
+def test_hash_parity_with_python():
+    """The blake2b term hash must match hashlib exactly."""
+    from advanced_rag_tpu.index.text import hash_term
+
+    vocab = 16384
+    native = encode_documents_native(["zebra"], vocab, 4)
+    assert native[0][0, 0] == hash_term("zebra", vocab)
