@@ -90,6 +90,11 @@ class RetrievalConfig:
     timeout_seconds: float = RetrievalConstants.TIMEOUT_SECONDS
     adaptive_weights: bool = False
     recency_half_life_days: float = RetrievalConstants.RECENCY_HALF_LIFE_DAYS
+    # Query micro-batching: coalesce concurrent searches with identical
+    # knobs into one fused dispatch (pipeline/batcher.py).
+    enable_micro_batching: bool = True
+    micro_batch_size: int = PerformanceConstants.QUERY_BATCH_SIZE
+    micro_batch_wait_ms: float = 2.0
 
 
 @dataclass

@@ -283,6 +283,23 @@ class MultiIndexManager:
         query: str,
         k: int,
         filters: Optional[Dict[str, Any]] = None,
+        **knobs: Any,
+    ) -> List[Dict[str, Any]]:
+        """Single-query fused hybrid search (see hybrid_search_batch_sync)."""
+        return self.hybrid_search_batch_sync([query], k, filters, **knobs)[0]
+
+    @staticmethod
+    def _query_bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def hybrid_search_batch_sync(
+        self,
+        queries: Sequence[str],
+        k: int,
+        filters: Optional[Dict[str, Any]] = None,
         *,
         dense_weight: float = 0.7,
         sparse_weight: float = 0.3,
@@ -291,13 +308,16 @@ class MultiIndexManager:
         use_mmr: bool = True,
         mmr_lambda: float = 0.8,
         over_retrieve: int = 2,
-        query_embedding: Optional[np.ndarray] = None,
-    ) -> List[Dict[str, Any]]:
-        """Dense + BM25 (+ domain) + RRF + MMR in ONE device dispatch.
+        query_embedding: Optional[np.ndarray] = None,  # [D] or [Q, D]
+    ) -> List[List[Dict[str, Any]]]:
+        """Dense + BM25 (+ domain) + RRF + MMR in ONE device dispatch,
+        batched over queries (pow2 batch buckets share compiled programs).
 
         Replaces the reference's asyncio fan-out over per-index searches
         plus CPU fusion (retrieval.py:249-516).  k-shapes are bucketed to
-        multiples of 8 so distinct profiles share compiled programs.
+        multiples of 8 so distinct profiles share compiled programs;
+        ``filters`` apply to the whole batch (the micro-batcher only
+        groups requests with identical knobs and filter specs).
         """
         from ..ops.hybrid import hybrid_retrieve
 
@@ -305,40 +325,55 @@ class MultiIndexManager:
             raise IndexingError("index manager is closed")
         if k <= 0:
             raise ValidationError("k must be positive")
+        if not queries:
+            return []
         k = min(k, self.config.retrieval.max_top_k)
         if self.store.n_valid() == 0:
-            return []
+            return [[] for _ in queries]
         mask = self._row_mask(filters)
 
         k_out = min(-(-k // 8) * 8, self.config.retrieval.max_top_k)
         k_cand = min(-(-(k * max(over_retrieve, 1)) // 8) * 8,
                      2 * self.config.retrieval.max_top_k)
         k_cand = max(k_cand, k_out)
+        nq = len(queries)
+        qb = self._query_bucket(nq)
 
-        # Keep the query embedding ON DEVICE: encode_device dispatches
+        # Keep query embeddings ON DEVICE: encode_device dispatches
         # async, the fused program queues behind it, and the only host
         # sync is the final result fetch — one round-trip total instead
         # of embed->host->search->host (each RTT costs ~28 ms through
         # the remote-chip tunnel, more than the search compute itself).
-        from ..ops.dense import l2_normalize
         from ..config import Metric
+        from ..ops.dense import l2_normalize
 
-        cache_fill: Optional[str] = None
+        cache_fill: List[str] = []
         if query_embedding is not None:
-            q = jnp.asarray(np.asarray(query_embedding, np.float32)[None, :])
+            qe = np.asarray(query_embedding, np.float32)
+            if qe.ndim == 1:
+                qe = qe[None, :]
+            q = jnp.asarray(np.pad(qe, ((0, qb - nq), (0, 0))))
         else:
-            hit = self._semantic_cache.get_sync(query, "semantic")
-            if hit is not None:
-                q = jnp.asarray(hit[None, :])
+            cached = [self._semantic_cache.get_sync(t, "semantic")
+                      for t in queries]
+            if all(c is not None for c in cached):
+                q = jnp.asarray(np.pad(np.stack(cached),
+                                       ((0, qb - nq), (0, 0))))
             else:
-                q = self.embedder.encode_device([query])
-                cache_fill = query
+                # pad the text batch so encode_device hits the bucket
+                q = self.embedder.encode_device(
+                    list(queries) + [""] * (qb - nq))
+                cache_fill = list(queries)
         if self.semantic.config.metric == Metric.COSINE:
             q = l2_normalize(q)
 
         sparse_on = self.sparse is not None
         if sparse_on:
-            q_idx, q_tf = self.sparse.encode_query([query])
+            q_idx, q_tf = self.sparse.encode_query(list(queries))
+            if qb != nq:
+                q_idx = np.pad(q_idx, ((0, qb - nq), (0, 0)),
+                               constant_values=-1)
+                q_tf = np.pad(q_tf, ((0, qb - nq), (0, 0)))
             sp = self.sparse
             if sp.capacity != self.semantic.capacity:
                 raise IndexingError(
@@ -349,8 +384,8 @@ class MultiIndexManager:
                            jnp.float32(max(sp.n_docs, 1)))
         else:
             n_cap = self.semantic.capacity
-            q_idx = np.full((1, 1), -1, np.int32)
-            q_tf = np.zeros((1, 1), np.float32)
+            q_idx = np.full((qb, 1), -1, np.int32)
+            q_tf = np.zeros((qb, 1), np.float32)
             sparse_args = (
                 jnp.full((n_cap, 1), -1, jnp.int32),
                 jnp.zeros((n_cap, 1), jnp.float32),
@@ -365,10 +400,11 @@ class MultiIndexManager:
             if self.domain.capacity != self.semantic.capacity:
                 raise IndexingError("index capacities diverged (domain)")
             domain_emb = self.domain.emb
-            qd = jnp.asarray(
-                self.generate_domain_embedding(query)[None, :], jnp.float32
-            )
-            q_dom = l2_normalize(qd) if self.domain.config.metric == Metric.COSINE else qd
+            qd = np.stack([self.generate_domain_embedding(t)
+                           for t in queries]).astype(np.float32)
+            qd = jnp.asarray(np.pad(qd, ((0, qb - nq), (0, 0))))
+            q_dom = (l2_normalize(qd)
+                     if self.domain.config.metric == Metric.COSINE else qd)
             weights.append(domain_weight)
 
         # Impl selection (measured on v5e, ops/hybrid.py docstring):
@@ -396,18 +432,22 @@ class MultiIndexManager:
         ids, scores, counts, q_host = jax.device_get(
             (res.ids, res.scores, res.method_counts, q)
         )
-        ids, scores, counts = ids[0], scores[0], counts[0]
-        if cache_fill is not None:
-            self._semantic_cache.put_sync(
-                cache_fill, np.asarray(q_host[0], np.float32), "semantic"
-            )
-        hits: List[Dict[str, Any]] = []
-        for row, score, cnt in zip(ids.tolist(), scores.tolist(), counts.tolist()):
-            if row < 0 or len(hits) >= k:
-                continue
-            hits.append(self.store.hit(int(row), float(score),
-                                       method="hybrid", method_count=int(cnt)))
-        return hits
+        for text, vec in zip(cache_fill, q_host):
+            self._semantic_cache.put_sync(text, np.asarray(vec, np.float32),
+                                          "semantic")
+        out: List[List[Dict[str, Any]]] = []
+        for qi in range(nq):
+            hits: List[Dict[str, Any]] = []
+            for row, score, cnt in zip(ids[qi].tolist(), scores[qi].tolist(),
+                                       counts[qi].tolist()):
+                if row < 0 or len(hits) >= k:
+                    continue
+                hits.append(self.store.hit(int(row), float(score),
+                                           method="hybrid",
+                                           method_count=int(cnt)))
+            out.append(hits)
+        return out
+
 
     def _hydrate(
         self, scores: np.ndarray, rows: np.ndarray, method: str

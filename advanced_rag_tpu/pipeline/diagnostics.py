@@ -151,8 +151,18 @@ class DocumentDiagnostics:
     def analyze_document(self, text: str) -> DiagnosticMetrics:
         tokens = tokenize_words(text)
         sentences = split_sentences(text)
-        entropy = self.shannon_entropy(tokens)
-        redundancy, ngrams = self.redundancy(tokens)
+        # Native fast path for the O(tokens) entropy/n-gram loops
+        # (hash-based n-grams collide with probability ~n^2/2^64 — nil).
+        from ..native import text_stats_native
+
+        fast = text_stats_native(text, drop_stopwords=False)
+        if fast is not None and int(fast[0]) == len(tokens):
+            _, entropy, r1, r2, r3, _ = fast
+            ngrams = {1: r1, 2: r2, 3: r3}
+            redundancy = 0.4 * r1 + 0.35 * r2 + 0.25 * r3
+        else:
+            entropy = self.shannon_entropy(tokens)
+            redundancy, ngrams = self.redundancy(tokens)
         density, domain_scores = self.domain_density(tokens)
         diversity = self.vocabulary_diversity(tokens)
         coherence = self.coherence(sentences)

@@ -42,6 +42,15 @@ from .ranker import LearnedHybridAdapter, LearnedRanker
 logger = logging.getLogger(__name__)
 
 
+def _freeze(value: Any) -> Any:
+    """Hashable view of a filter spec for the micro-batch key."""
+    if isinstance(value, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in value.items()))
+    if isinstance(value, (list, tuple)):
+        return tuple(_freeze(v) for v in value)
+    return value
+
+
 @dataclass(frozen=True)
 class RetrievalProfile:
     """Per-query-class knobs (reference retrieval.py:142-213)."""
@@ -94,10 +103,18 @@ class HybridRetriever:
         self.reranker = reranker
         self.weight_adapter = weight_adapter
         self._executor = concurrent.futures.ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="retrieve"
+            max_workers=max(4, self.config.micro_batch_size),
+            thread_name_prefix="retrieve",
         )
         self.last_profile: Optional[str] = None
         self._warm_keys: set = set()
+        from .batcher import MicroBatcher
+
+        self._batcher = MicroBatcher(
+            self._run_batch,
+            max_batch=self.config.micro_batch_size,
+            max_wait_s=self.config.micro_batch_wait_ms / 1e3,
+        ) if self.config.enable_micro_batching else None
 
     #: budget multiplier until the first successful search has compiled
     #: the fused program (XLA first-compile is seconds; steady-state is
@@ -178,8 +195,7 @@ class HybridRetriever:
         if self.weight_adapter is not None and self.config.adaptive_weights:
             dense_w, sparse_w = self.weight_adapter(query, dense_w, sparse_w)
 
-        hits = self.index_manager.hybrid_search_sync(
-            query, k,
+        knobs = dict(
             filters=filters,
             dense_weight=dense_w,
             sparse_weight=sparse_w,
@@ -189,6 +205,13 @@ class HybridRetriever:
             mmr_lambda=profile.mmr_lambda,
             over_retrieve=profile.over_retrieve,
         )
+        if self._batcher is not None:
+            batch_key = (k, _freeze(filters), dense_w, sparse_w,
+                         knobs["use_mmr"], profile.mmr_lambda,
+                         profile.over_retrieve)
+            hits = self._batcher.submit(batch_key, query, k=k, **knobs)
+        else:
+            hits = self.index_manager.hybrid_search_sync(query, k, **knobs)
         now = time.time()
         for h in hits:
             h["query_class"] = cls
@@ -198,6 +221,10 @@ class HybridRetriever:
                 2.0 ** (-age_days / max(self.config.recency_half_life_days, 1e-6))
             )
         return hits
+
+    def _run_batch(self, queries: List[str], k: int, **knobs: Any):
+        """MicroBatcher callback -> per-query hit lists."""
+        return self.index_manager.hybrid_search_batch_sync(queries, k, **knobs)
 
     # -- rerank (reference retrieval.py:518-563) ------------------------------------
 
