@@ -414,7 +414,11 @@ class MultiIndexManager:
         dense_impl = ("approx"
                       if on_tpu and self.semantic.capacity <= 4_194_304
                       else "scan")
-        sparse_impl = "pallas" if on_tpu else "xla"
+        # Pallas sparse is Q-linear (VMEM-resident compares); the XLA
+        # compare-scan amortizes queries better.  Measured crossover ~Q4
+        # at 1M x 64nnz on v5e: Q=1 pallas 12.6ms / xla 18.5ms; Q=8
+        # pallas 29ms / xla 15.4ms.
+        sparse_impl = "pallas" if (on_tpu and qb <= 2) else "xla"
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
             q, jnp.asarray(q_idx), jnp.asarray(q_tf),

@@ -8,6 +8,7 @@ from .mesh import (
     replicated,
     single_device_mesh,
 )
+from .sharded_hybrid import sharded_hybrid_retrieve
 from .sharded_search import (
     shard_corpus_arrays,
     sharded_dense_topk,
@@ -22,6 +23,7 @@ __all__ = [
     "replicated",
     "pad_to_shards",
     "sharded_dense_topk",
+    "sharded_hybrid_retrieve",
     "sharded_sparse_topk",
     "shard_corpus_arrays",
     "gather_merge_topk",

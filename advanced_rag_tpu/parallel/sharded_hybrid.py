@@ -1,0 +1,139 @@
+"""Sharded one-dispatch hybrid retrieval: the pod-scale query program.
+
+Extends the single-chip fused program (ops/hybrid.py) across the mesh's
+corpus-shard axis: per-shard masked dense + BM25 top-k, ICI top-k merge
+(only k ids+scores cross links), replicated RRF fusion, then MMR whose
+candidate embeddings are assembled with ONE psum (each shard contributes
+the rows it owns).  Everything still compiles into a single program;
+this is the TPU-native replacement for "Milvus locality-aware sharding"
+plus its coordinator-side reduce (SURVEY.md §2d item 4, §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.dense import NEG_INF, dense_topk
+from ..ops.fusion import mmr_select, rrf_fuse
+from ..ops.sparse import sparse_topk
+from .sharded_search import _merge
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_cand", "k_out", "metric", "scoring", "rrf_k",
+                     "use_mmr", "dense_block_size", "sparse_block_size",
+                     "mesh", "shard_axis"),
+)
+def sharded_hybrid_retrieve(
+    emb: jnp.ndarray,        # [N, D] row-sharded (N % S == 0)
+    doc_idx: jnp.ndarray,    # [N, P] row-sharded
+    doc_tf: jnp.ndarray,     # [N, P] row-sharded
+    doc_len: jnp.ndarray,    # [N] row-sharded
+    df: jnp.ndarray,         # [V] replicated
+    n_docs: jnp.ndarray,     # scalar (global)
+    q_dense: jnp.ndarray,    # [Q, D] replicated (normalized upstream)
+    q_idx: jnp.ndarray,      # [Q, T] replicated
+    q_tf: jnp.ndarray,       # [Q, T] replicated
+    valid: Optional[jnp.ndarray],   # [N] row-sharded
+    weights: jnp.ndarray,    # [2] f32
+    mmr_lambda: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    k_cand: int,
+    k_out: int,
+    metric: str = "ip",
+    scoring: str = "bm25",
+    rrf_k: int = 60,
+    use_mmr: bool = True,
+    dense_block_size: int = 65536,
+    sparse_block_size: int = 8192,
+    shard_axis: str = "shard",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (ids [Q, k_out], scores, method_counts), replicated.
+
+    Contract identical to ops.hybrid.hybrid_retrieve run on the
+    unsharded corpus (BM25 exact via global df + psum'd avg_len; RRF and
+    MMR operate on globally-merged candidates).
+    """
+    n = emb.shape[0]
+    num_shards = mesh.shape[shard_axis]
+    if n % num_shards:
+        raise ValueError(f"corpus rows {n} not divisible by {num_shards}")
+    local_n = n // num_shards
+    if valid is None:
+        valid = jnp.ones((n,), jnp.bool_)
+
+    def local(emb_l, idx_l, tf_l, len_l, df_r, nd, q, qi, qt, valid_l, w, lam):
+        shard = lax.axis_index(shard_axis).astype(jnp.int32)
+        offset = shard * local_n
+
+        d_s, d_i = dense_topk(
+            emb_l, q, k_cand, valid_l, metric=metric,
+            block_size=min(dense_block_size, local_n), normalize_queries=False,
+        )
+        d_s, d_gi = _merge(d_s, jnp.where(d_i >= 0, d_i + offset, -1),
+                           k_cand, shard_axis, num_shards)
+
+        v = valid_l.astype(jnp.float32)
+        len_sum = lax.psum(jnp.sum(len_l.astype(jnp.float32) * v), shard_axis)
+        cnt = lax.psum(jnp.sum(v), shard_axis)
+        avg_len = len_sum / jnp.maximum(cnt, 1.0)
+        s_s, s_i = sparse_topk(
+            idx_l, tf_l, len_l, df_r, nd, qi, qt, k_cand, valid_l, avg_len,
+            scoring=scoring, block_size=min(sparse_block_size, local_n),
+        )
+        s_s, s_gi = _merge(s_s, jnp.where(s_i >= 0, s_i + offset, -1),
+                           k_cand, shard_axis, num_shards)
+
+        fused_s, fused_i, counts = rrf_fuse(
+            jnp.stack([d_gi, s_gi]), w, rrf_k=rrf_k, k_out=k_cand)
+
+        if not use_mmr:
+            return (fused_i[:, :k_out], fused_s[:, :k_out],
+                    counts[:, :k_out])
+
+        # Candidate embeddings: each shard contributes the rows it owns,
+        # one psum assembles the [Q, k_cand, D] pool (k_cand*D floats per
+        # link — tiny).
+        local_rows = fused_i - offset
+        own = (local_rows >= 0) & (local_rows < local_n) & (fused_i >= 0)
+        safe = jnp.clip(local_rows, 0, local_n - 1)
+        ce = emb_l[safe].astype(jnp.float32)              # [Q, k_cand, D]
+        ce = jnp.where(own[:, :, None], ce, 0.0)
+        ce = lax.psum(ce, shard_axis)
+        ok = fused_i >= 0
+
+        def per_query(c, rel, okq):
+            return mmr_select(c, rel, k_out, lam, okq)
+
+        pos = jax.vmap(per_query)(ce, fused_s, ok)
+        sel_ok = pos >= 0
+        sp = jnp.clip(pos, 0)
+        out_i = jnp.where(sel_ok, jnp.take_along_axis(fused_i, sp, 1), -1)
+        out_s = jnp.where(sel_ok, jnp.take_along_axis(fused_s, sp, 1), NEG_INF)
+        out_c = jnp.where(sel_ok, jnp.take_along_axis(counts, sp, 1), 0)
+        return out_i, out_s, out_c
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(shard_axis, None), P(shard_axis, None), P(shard_axis, None),
+            P(shard_axis), P(None), P(),
+            P(None, None), P(None, None), P(None, None), P(shard_axis),
+            P(None), P(),
+        ),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
+        check_vma=False,
+    )(emb, doc_idx, doc_tf, doc_len, df, n_docs,
+      q_dense, q_idx, q_tf, valid, weights, mmr_lambda)
+
+
+__all__ = ["sharded_hybrid_retrieve"]

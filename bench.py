@@ -57,11 +57,20 @@ def main() -> None:
     valid = jax.device_put(jnp.ones((n,), jnp.bool_))
     weights = jnp.asarray([0.7, 0.3], jnp.float32)
 
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+
     def run(q_dense, q_idx, q_tf):
+        # Same impl-selection rule as MultiIndexManager: approx dense +
+        # Pallas sparse for small query batches on real TPUs.
+        q_batch_n = q_dense.shape[0]
         return hybrid_retrieve(
             emb_dev, di, dt, dl, dfj, jnp.float32(n),
             q_dense, q_idx, q_tf, valid, weights, jnp.float32(0.8),
             k_cand=k_cand, k_out=k_out, metric="ip", use_mmr=True,
+            dense_impl="approx" if on_tpu else "scan",
+            sparse_impl="pallas" if (on_tpu and q_batch_n <= 2) else "xla",
         )
 
     def make_queries(batch):
