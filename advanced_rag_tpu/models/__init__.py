@@ -2,6 +2,7 @@
 
 from .cross_encoder import CrossEncoderReranker
 from .embedder import Embedder, HashingEmbedder, NeuralEmbedder
+from .hf_embedder import HFEmbedder
 from .encoder import (
     BiEncoder,
     CrossEncoder,
@@ -19,6 +20,7 @@ __all__ = [
     "Embedder",
     "EncoderConfig",
     "HashingEmbedder",
+    "HFEmbedder",
     "HashingTokenizer",
     "NeuralEmbedder",
     "TokenizerConfig",
