@@ -130,27 +130,25 @@ def build_ivf(
 
     cap = max(8, int(np.ceil(capacity_factor * n / nlist)))
     packed_rows = np.full((nlist, cap), -1, np.int32)
-    fill = np.zeros(nlist, np.int64)
-    tail: list[int] = []
-    order = np.argsort(a, kind="stable")
-    for row in order:
-        c = a[row]
-        if fill[c] < cap:
-            packed_rows[c, fill[c]] = row
-            fill[c] += 1
-        else:
-            tail.append(row)
-    tail_rows = np.asarray(tail, np.int32) if tail else np.zeros(0, np.int32)
+    # vectorized packing: sort rows by cluster, position-within-cluster
+    # via searchsorted (no Python loop — matters at 10M rows on 1 core)
+    order = np.argsort(a, kind="stable").astype(np.int64)
+    sorted_c = a[order]
+    first = np.searchsorted(sorted_c, np.arange(nlist))
+    pos = np.arange(n, dtype=np.int64) - first[sorted_c]
+    keep = pos < cap
+    packed_rows[sorted_c[keep], pos[keep]] = order[keep].astype(np.int32)
+    tail_rows = order[~keep].astype(np.int32)
 
     jdt = jnp.dtype(dtype)
     gather_rows = np.where(packed_rows >= 0, packed_rows, 0)
     packed_emb = emb_host[gather_rows.reshape(-1)].reshape(nlist, cap, d)
     packed_emb = packed_emb * (packed_rows >= 0)[:, :, None]
-    t = max(len(tail), 1)
-    tail_emb = np.zeros((t, d), np.float32)
-    if len(tail):
-        tail_emb[: len(tail)] = emb_host[tail_rows]
-    if not len(tail):
+    n_tail = len(tail_rows)
+    tail_emb = np.zeros((max(n_tail, 1), d), np.float32)
+    if n_tail:
+        tail_emb[:n_tail] = emb_host[tail_rows]
+    else:
         tail_rows = np.full(1, -1, np.int32)
 
     return IVFPartitions(
