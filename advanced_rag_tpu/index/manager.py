@@ -103,7 +103,9 @@ class MultiIndexManager:
         miss_texts: List[str] = []
         for i, text in enumerate(texts):
             hit = cache.get_sync(text, namespace)
-            if hit is not None:
+            # dimension guard: the module-level caches are shared across
+            # managers; entries from a different embedder are misses
+            if hit is not None and hit.shape[0] == embedder.dim:
                 out[i] = hit
             else:
                 miss_pos.append(i)
@@ -356,6 +358,8 @@ class MultiIndexManager:
         else:
             cached = [self._semantic_cache.get_sync(t, "semantic")
                       for t in queries]
+            cached = [c if c is not None and c.shape[0] == self.embedder.dim
+                      else None for c in cached]
             if all(c is not None for c in cached):
                 q = jnp.asarray(np.pad(np.stack(cached),
                                        ((0, qb - nq), (0, 0))))
