@@ -77,7 +77,10 @@ class DenseIndex:
             jnp.asarray(pad_rows_pow2(v), dtype=self._dtype),
         )
         self.size = max(self.size, start + n)
-        self._ivf = None  # coarse quantizer is stale after growth
+        # Streaming ingest (SURVEY.md §7 hard part 5): the quantizer
+        # stays valid for the segment it was built over; appended rows
+        # form an exact-scan tail merged at query time.  Rebuild when
+        # the tail outgrows REBUILD_TAIL_FRACTION (stats expose it).
 
     @property
     def search_metric(self) -> str:
@@ -107,10 +110,24 @@ class DenseIndex:
             train_sample=train_sample,
             seed=seed,
         )
+        self._ivf_size = self.size
+
+    #: appended-tail fraction beyond which a rebuild is recommended
+    REBUILD_TAIL_FRACTION = 0.2
 
     @property
     def has_ivf(self) -> bool:
         return self._ivf is not None
+
+    @property
+    def ivf_tail_rows(self) -> int:
+        """Rows appended since the quantizer was built (exact-scanned)."""
+        return self.size - getattr(self, "_ivf_size", 0) if self._ivf else 0
+
+    @property
+    def ivf_needs_rebuild(self) -> bool:
+        return (self._ivf is not None and self.size > 0
+                and self.ivf_tail_rows / self.size > self.REBUILD_TAIL_FRACTION)
 
     def search(
         self,
@@ -129,10 +146,29 @@ class DenseIndex:
             q = l2_normalize(q)
         if self._ivf is not None:
             from ..ops.ivf import ivf_topk
+            from ..ops.dense import merge_topk, NEG_INF
+            import jax.numpy as _jnp
 
-            return ivf_topk(self._ivf, q, k, mask,
+            s, i = ivf_topk(self._ivf, q, k, mask,
                             nprobe=min(self.config.nprobe,
                                        self._ivf.centroids.shape[0]))
+            tail = self.size - self._ivf_size
+            if tail > 0:
+                # exact scan over the appended segment, ids offset back
+                t_emb = jax.lax.dynamic_slice_in_dim(
+                    self.emb, self._ivf_size, next_pow2(tail), axis=0)
+                t_mask = (jax.lax.dynamic_slice_in_dim(
+                    mask, self._ivf_size, next_pow2(tail), axis=0)
+                    if mask is not None else None)
+                bound = _jnp.arange(next_pow2(tail)) < tail
+                t_mask = bound if t_mask is None else _jnp.logical_and(t_mask, bound)
+                ts, ti = dense_topk(t_emb, q, min(k, next_pow2(tail)),
+                                    t_mask, metric=self.search_metric,
+                                    normalize_queries=False)
+                ti = _jnp.where(ti >= 0, ti + self._ivf_size, -1)
+                s, i = merge_topk(s, i, ts, ti, k)
+                i = _jnp.where(s <= NEG_INF, -1, i)
+            return s, i
         return dense_topk(
             self.emb,
             q,

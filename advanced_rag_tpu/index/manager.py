@@ -488,6 +488,9 @@ class MultiIndexManager:
             "rows": self.semantic.size,
             "dim": self.semantic.dim,
             "memory_bytes": self.semantic.memory_bytes(),
+            "ivf": self.semantic.has_ivf,
+            "ivf_tail_rows": self.semantic.ivf_tail_rows,
+            "ivf_needs_rebuild": self.semantic.ivf_needs_rebuild,
         }
         if self.sparse is not None:
             stats["sparse"] = {

@@ -330,7 +330,7 @@ class AdvancedRAGPipeline:
                 "count": len(vals),
             }
 
-        return {
+        report = {
             "stages_ms": {s: pcts(v) for s, v in self._stage_latencies.items()},
             "retrieve_ms": pcts(self._retrieve_latencies),
             "target_latency_ms": self.config.target_latency_ms,
@@ -338,6 +338,10 @@ class AdvancedRAGPipeline:
                                if self._sla_total else 1.0),
             "index": self.index_manager.get_collection_stats(),
         }
+        batcher = getattr(self.retriever, "_batcher", None)
+        if batcher is not None:
+            report["micro_batcher"] = dict(batcher.stats)
+        return report
 
     # -- admin -------------------------------------------------------------------------------
 

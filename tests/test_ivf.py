@@ -109,6 +109,14 @@ class TestDenseIndexIVF:
         s_ivf, i_ivf = idx.search(x[:4], 5)
         # self-query top-1 must be the row itself on both paths
         np.testing.assert_array_equal(np.asarray(i_ivf)[:, 0], np.arange(4))
-        # appends invalidate the quantizer
-        idx.append(4096, x[:8])
-        assert not idx.has_ivf
+        # streaming ingest: quantizer stays valid, appended rows form an
+        # exact-scan tail and are still retrievable
+        fresh = _clustered(np.random.default_rng(9), n=8, d=32)
+        idx.append(4096, fresh)
+        assert idx.has_ivf and idx.ivf_tail_rows == 8
+        s2, i2 = idx.search(fresh[:2], 3)
+        assert 4096 in np.asarray(i2)[0] or 4097 in np.asarray(i2)[0]
+        # rebuild recommendation once the tail outgrows the threshold
+        assert not idx.ivf_needs_rebuild
+        idx.append(4104, _clustered(np.random.default_rng(10), n=2048, d=32))
+        assert idx.ivf_needs_rebuild
