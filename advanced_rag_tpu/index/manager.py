@@ -418,11 +418,24 @@ class MultiIndexManager:
         dense_impl = ("approx"
                       if on_tpu and self.semantic.capacity <= 4_194_304
                       else "scan")
-        # Pallas sparse is Q-linear (VMEM-resident compares); the XLA
-        # compare-scan amortizes queries better.  Measured crossover ~Q4
-        # at 1M x 64nnz on v5e: Q=1 pallas 12.6ms / xla 18.5ms; Q=8
-        # pallas 29ms / xla 15.4ms.
-        sparse_impl = "pallas" if (on_tpu and qb <= 2) else "xla"
+        # Sparse impl ladder: inverted postings (query cost ~T*cap,
+        # independent of corpus size) once the corpus justifies the
+        # postings memory; below that, Pallas VMEM-resident compares for
+        # tiny query batches (Q-linear) or the XLA compare-scan
+        # (amortizes queries; measured crossover ~Q4 at 1M on v5e).
+        post_args = {}
+        if sparse_on:
+            if (self.sparse.has_postings
+                    or self.store.n_valid() >= self.sparse.POSTINGS_AUTO_THRESHOLD):
+                if not self.sparse.has_postings:
+                    self.sparse.build_postings()
+                sparse_impl = "postings"
+                post_args = {"post_rows": self.sparse.post_rows,
+                             "post_tf": self.sparse.post_tf}
+            else:
+                sparse_impl = "pallas" if (on_tpu and qb <= 2) else "xla"
+        else:
+            sparse_impl = "xla"
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
             q, jnp.asarray(q_idx), jnp.asarray(q_tf),
@@ -430,6 +443,7 @@ class MultiIndexManager:
             jnp.asarray(np.asarray(weights, np.float32)),
             jnp.float32(mmr_lambda),
             domain_emb, q_dom,
+            **post_args,
             k_cand=k_cand, k_out=k_out,
             metric=self.semantic.search_metric,
             rrf_k=rrf_k, use_mmr=use_mmr, enable_sparse=sparse_on,

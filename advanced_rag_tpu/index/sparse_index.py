@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import IndexConfig
+from ..ops.postings import postings_topk
 from ..ops.sparse import sparse_topk
 from .corpus import next_pow2, pad_rows_pow2
 from .text import encode_documents, encode_queries, remove_documents_df
@@ -105,6 +106,96 @@ class SparseIndex:
         self.df = jnp.asarray(np.minimum(self._df, 2**31 - 1).astype(np.int32))
         self.size = max(self.size, start + n)
         self.n_docs += n
+        if self.has_postings:
+            self._postings_append(start, idx, tf)
+
+    # -- inverted postings (ops/postings.py) --------------------------------
+
+    #: corpus size beyond which the manager auto-builds postings (the
+    #: slot scan reads N*P slots/query; postings read T*cap).
+    POSTINGS_AUTO_THRESHOLD = 50_000
+
+    @property
+    def has_postings(self) -> bool:
+        return getattr(self, "_post_rows", None) is not None
+
+    def build_postings(self, cap: int = 0) -> None:
+        """Build the inverted layout from the slot layout; subsequent
+        appends maintain it incrementally (append_encoded)."""
+        from ..ops.postings import auto_postings_cap, build_postings
+
+        cap = cap or auto_postings_cap(max(self.n_docs, 1), self.doc_nnz,
+                                       self.vocab_size)
+        rows, tf = build_postings(self._host_idx[: self.size],
+                                  self._host_tf[: self.size],
+                                  self.vocab_size, cap)
+        self._post_cap = cap
+        self._host_post_rows = rows
+        self._host_post_tf = tf
+        self._post_fill = (rows >= 0).sum(axis=1).astype(np.int64)
+        self._post_rows = jnp.asarray(rows)
+        self._post_tf = jnp.asarray(tf)
+
+    @property
+    def post_rows(self):
+        return getattr(self, "_post_rows", None)
+
+    @property
+    def post_tf(self):
+        return getattr(self, "_post_tf", None)
+
+    def _postings_append(self, start: int, idx: np.ndarray,
+                         tf: np.ndarray) -> None:
+        """Incremental postings update for newly appended rows; grows the
+        cap (x2, re-upload) when any touched term is full."""
+        flat_t = idx.reshape(-1)
+        keep = flat_t >= 0
+        flat_t = flat_t[keep]
+        flat_tf = tf.reshape(-1)[keep].astype(np.float32)
+        flat_r = np.repeat(np.arange(idx.shape[0], dtype=np.int32) + start,
+                           idx.shape[1])[keep]
+        incoming = np.bincount(flat_t, minlength=self.vocab_size)
+        while ((self._post_fill + incoming) > self._post_cap).any() \
+                and self._post_cap < 16384:
+            new_cap = self._post_cap * 2
+            grown_r = np.full((self.vocab_size, new_cap), -1, np.int32)
+            grown_r[:, : self._post_cap] = self._host_post_rows
+            grown_t = np.zeros((self.vocab_size, new_cap), np.float32)
+            grown_t[:, : self._post_cap] = self._host_post_tf
+            self._host_post_rows, self._host_post_tf = grown_r, grown_t
+            self._post_cap = new_cap
+        # positions per posting: per-term running cursor (vectorized via
+        # sort-by-term + searchsorted offsets)
+        order = np.argsort(flat_t, kind="stable")
+        st, sr, stf = flat_t[order], flat_r[order], flat_tf[order]
+        first = np.searchsorted(st, np.arange(self.vocab_size))
+        within = np.arange(len(st), dtype=np.int64) - first[st]
+        pos = self._post_fill[st] + within
+        ok = pos < self._post_cap  # beyond-cap postings dropped (hi limit)
+        self._host_post_rows[st[ok], pos[ok]] = sr[ok]
+        self._host_post_tf[st[ok], pos[ok]] = stf[ok]
+        np.add.at(self._post_fill, st[ok], 1)
+        self._post_rows = jnp.asarray(self._host_post_rows)
+        self._post_tf = jnp.asarray(self._host_post_tf)
+
+    def search_postings(
+        self,
+        q_idx: np.ndarray,
+        q_tf: np.ndarray,
+        k: int,
+        mask: Optional[jnp.ndarray] = None,
+        *,
+        scoring: str = "bm25",
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if not self.has_postings:
+            self.build_postings()
+        return postings_topk(
+            self._post_rows, self._post_tf, self.doc_len, self.df,
+            jnp.float32(max(self.n_docs, 1)), jnp.asarray(q_idx),
+            jnp.asarray(q_tf), k,
+            mask[: self.doc_len.shape[0]] if mask is not None else None,
+            scoring=scoring, k1=self.config.bm25_k1, b=self.config.bm25_b,
+        )
 
     def remove_rows(self, rows: Sequence[int]) -> None:
         """df bookkeeping for deletes (validity masking happens upstream)."""

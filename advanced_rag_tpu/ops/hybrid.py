@@ -66,6 +66,9 @@ def hybrid_retrieve(
     # equivalent, reference indexing.py:169-177) — both or neither.
     domain_emb: Optional[jnp.ndarray] = None,   # [N, Dd]
     q_domain: Optional[jnp.ndarray] = None,     # [Q, Dd]
+    # inverted postings layout (required when sparse_impl="postings")
+    post_rows: Optional[jnp.ndarray] = None,    # [V, L]
+    post_tf: Optional[jnp.ndarray] = None,      # [V, L]
     *,
     k_cand: int,                # per-index over-retrieval (2x top_k, retrieval.py:351)
     k_out: int,
@@ -104,7 +107,15 @@ def hybrid_retrieve(
         )
     methods_i = [d_i]
     if enable_sparse:
-        if sparse_impl == "pallas":
+        if sparse_impl == "postings":
+            from .postings import postings_topk
+
+            s_s, s_i = postings_topk(
+                post_rows, post_tf, doc_len, df, n_docs, q_idx, q_tf,
+                k_cand, valid[: doc_len.shape[0]] if valid is not None
+                else None, scoring=scoring,
+            )
+        elif sparse_impl == "pallas":
             from .pallas_sparse import sparse_topk_pallas
 
             s_s, s_i = sparse_topk_pallas(

@@ -60,14 +60,21 @@ def main() -> None:
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / iters * 1e3
 
+    # block size must divide N: dense_topk pads the tail otherwise, and
+    # at 10M rows that pad is a second full corpus copy in HBM (OOM).
+    bs = n // 10 if n % (1 << 20) else 1 << 20
     flat_ms = timeit(lambda: dense_topk(emb_dev, qd, k, metric="ip",
-                                        block_size=1 << 20))
-    _, flat_ids = dense_topk(emb_dev, qd, k, metric="ip", block_size=1 << 20)
+                                        block_size=bs))
+    _, flat_ids = dense_topk(emb_dev, qd, k, metric="ip", block_size=bs)
     flat_ids = np.asarray(flat_ids)
+    del emb_dev  # free HBM before the packed partitions arrive
 
     t0 = time.perf_counter()
     nlist = auto_nlist(n)
-    parts = build_ivf(emb, nlist, kmeans_iters=10, train_sample=262144)
+    # capacity_factor 2.0 would make the packed layout 2x the corpus in
+    # HBM; 1.2 keeps it ~9GB at 10M with spills going to the exact tail.
+    parts = build_ivf(emb, nlist, kmeans_iters=10, train_sample=262144,
+                      capacity_factor=1.2)
     del emb
     jax.block_until_ready(parts.packed_emb)
     build_s = time.perf_counter() - t0
