@@ -27,6 +27,17 @@ def _append_rows(emb: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
     return jax.lax.dynamic_update_slice(emb, vals, (start, 0))
 
 
+def _to_host_dtype(arr: np.ndarray, jdt: jnp.dtype) -> np.ndarray:
+    """Convert to the storage dtype ON HOST before device_put —
+    jnp.asarray(f32, dtype=bf16) can stage the f32 on device first,
+    a 2x HBM spike that OOMs at the 10M-row tier."""
+    if jdt == jnp.bfloat16:
+        import ml_dtypes
+
+        return arr.astype(ml_dtypes.bfloat16)
+    return arr.astype(np.dtype(jdt.name))
+
+
 class DenseIndex:
     """One embedding family (semantic or domain)."""
 
@@ -61,7 +72,7 @@ class DenseIndex:
         grown[: self.capacity] = self._host
         self._host = grown
         self.capacity = new_cap
-        self.emb = jnp.asarray(grown, dtype=self._dtype)
+        self.emb = jax.device_put(_to_host_dtype(grown, self._dtype))
 
     def append(self, start: int, vectors: np.ndarray) -> None:
         """Write vectors at rows [start, start+N) — row ids come from the
@@ -74,7 +85,7 @@ class DenseIndex:
         self._host[start : start + n] = v
         self.emb = _append_rows(
             self.emb, jnp.int32(start),
-            jnp.asarray(pad_rows_pow2(v), dtype=self._dtype),
+            jax.device_put(_to_host_dtype(pad_rows_pow2(v), self._dtype)),
         )
         self.size = max(self.size, start + n)
         # Streaming ingest (SURVEY.md §7 hard part 5): the quantizer

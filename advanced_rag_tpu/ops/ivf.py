@@ -140,22 +140,29 @@ def build_ivf(
     packed_rows[sorted_c[keep], pos[keep]] = order[keep].astype(np.int32)
     tail_rows = order[~keep].astype(np.int32)
 
+    # Convert to the storage dtype ON HOST (ml_dtypes) before device_put:
+    # jnp.asarray(f32_array, dtype=bf16) can stage the f32 on device
+    # first — a 2x HBM spike that OOMs at the 10M tier.
+    import ml_dtypes
+
     jdt = jnp.dtype(dtype)
+    np_dt = (np.dtype(ml_dtypes.bfloat16) if jdt == jnp.bfloat16
+             else np.dtype(jdt.name))
     gather_rows = np.where(packed_rows >= 0, packed_rows, 0)
     packed_emb = emb_host[gather_rows.reshape(-1)].reshape(nlist, cap, d)
-    packed_emb = packed_emb * (packed_rows >= 0)[:, :, None]
+    packed_emb = (packed_emb * (packed_rows >= 0)[:, :, None]).astype(np_dt)
     n_tail = len(tail_rows)
-    tail_emb = np.zeros((max(n_tail, 1), d), np.float32)
+    tail_emb = np.zeros((max(n_tail, 1), d), np_dt)
     if n_tail:
-        tail_emb[:n_tail] = emb_host[tail_rows]
+        tail_emb[:n_tail] = emb_host[tail_rows].astype(np_dt)
     else:
         tail_rows = np.full(1, -1, np.int32)
 
     return IVFPartitions(
         centroids=jnp.asarray(cent),
-        packed_emb=jnp.asarray(packed_emb, dtype=jdt),
+        packed_emb=jax.device_put(packed_emb),
         packed_rows=jnp.asarray(packed_rows),
-        tail_emb=jnp.asarray(tail_emb, dtype=jdt),
+        tail_emb=jax.device_put(tail_emb),
         tail_rows=jnp.asarray(tail_rows),
     )
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 import time
+
+import jax
 from pathlib import Path
 from typing import TYPE_CHECKING, Any, Dict
 
@@ -141,7 +143,9 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
         emb = np.load(root / f"dense_{name}.npy", mmap_mode="r")
         idx._ensure_capacity(meta["size"])
         idx._host[: meta["size"]] = emb
-        idx.emb = jnp.asarray(idx._host, dtype=idx._dtype)
+        from ..index.dense_index import _to_host_dtype
+
+        idx.emb = jax.device_put(_to_host_dtype(idx._host, idx._dtype))
         idx.size = meta["size"]
 
     if manifest["sparse"] and manager.sparse is not None:

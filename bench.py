@@ -59,18 +59,23 @@ def main() -> None:
 
     import jax as _jax
 
+    from advanced_rag_tpu.ops.postings import auto_postings_cap, build_postings
+
     on_tpu = _jax.default_backend() == "tpu"
+    # production impl ladder at this corpus size: inverted postings
+    cap = auto_postings_cap(n, nnz, vocab)
+    pr, pt = build_postings(np.asarray(di), np.asarray(dt), vocab, cap)
+    pr = jax.device_put(jnp.asarray(pr))
+    pt = jax.device_put(jnp.asarray(pt))
 
     def run(q_dense, q_idx, q_tf):
-        # Same impl-selection rule as MultiIndexManager: approx dense +
-        # Pallas sparse for small query batches on real TPUs.
-        q_batch_n = q_dense.shape[0]
         return hybrid_retrieve(
             emb_dev, di, dt, dl, dfj, jnp.float32(n),
             q_dense, q_idx, q_tf, valid, weights, jnp.float32(0.8),
+            post_rows=pr, post_tf=pt,
             k_cand=k_cand, k_out=k_out, metric="ip", use_mmr=True,
             dense_impl="approx" if on_tpu else "scan",
-            sparse_impl="pallas" if (on_tpu and q_batch_n <= 2) else "xla",
+            sparse_impl="postings",
         )
 
     def make_queries(batch):

@@ -49,7 +49,11 @@ def main() -> None:
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     qd = jnp.asarray(q)
 
-    emb_dev = jax.device_put(jnp.asarray(emb, dtype=jnp.bfloat16))
+    import ml_dtypes
+
+    # host-side bf16 conversion: device_put of f32 + on-device cast
+    # would spike 2x HBM and OOM at 10M
+    emb_dev = jax.device_put(emb.astype(ml_dtypes.bfloat16))
     jax.block_until_ready(emb_dev)
 
     def timeit(fn, iters=10):
