@@ -118,14 +118,41 @@ def build_ivf(
                    nlist=nlist, iters=kmeans_iters)
     )
 
-    # assign every row on device, blockwise
+    # assign every row on device: running argmax over CENTROID chunks so
+    # the [rows, nlist] score matrix never materializes (at 10M x 12640
+    # that would be 50 GB)
+    c_chunk = min(2048, nlist)
+    c_pad = -(-nlist // c_chunk) * c_chunk
+    cj = jnp.asarray(np.pad(cent, ((0, c_pad - nlist), (0, 0))))
+
+    @functools.partial(jax.jit, static_argnames=("chunk", "n_real"))
+    def _assign_block(xb, cj, chunk, n_real):
+        rows = xb.shape[0]
+        best_s = jnp.full((rows,), -jnp.inf, jnp.float32)
+        best_i = jnp.zeros((rows,), jnp.int32)
+
+        def body(carry, j):
+            bs_, bi_ = carry
+            cb = lax.dynamic_slice(cj, (j * chunk, 0), (chunk, cj.shape[1]))
+            s = jnp.dot(xb, cb.T, preferred_element_type=jnp.float32)
+            col = lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + j * chunk
+            s = jnp.where(col < n_real, s, -jnp.inf)  # mask padded centroids
+            loc = jnp.argmax(s, axis=1).astype(jnp.int32)
+            val = jnp.max(s, axis=1)
+            better = val > bs_
+            return (jnp.where(better, val, bs_),
+                    jnp.where(better, loc + j * chunk, bi_)), None
+
+        (best_s, best_i), _ = lax.scan(
+            body, (best_s, best_i),
+            jnp.arange(cj.shape[0] // chunk, dtype=jnp.int32))
+        return best_i
+
     assign = []
     block = 262144
-    cj = jnp.asarray(cent)
     for start in range(0, n, block):
         xb = jnp.asarray(emb_host[start : start + block])
-        s = jnp.dot(xb, cj.T, preferred_element_type=jnp.float32)
-        assign.append(np.asarray(jnp.argmax(s, axis=1)))
+        assign.append(np.asarray(_assign_block(xb, cj, c_chunk, nlist)))
     a = np.concatenate(assign)
 
     cap = max(8, int(np.ceil(capacity_factor * n / nlist)))
