@@ -1,0 +1,106 @@
+"""Pallas IVF search: probed partitions stream HBM->VMEM, no gather.
+
+The XLA path (`ops/ivf.py::ivf_topk`) evaluates ``packed_emb[probes]``
+— a materialized [nprobe, cap, D] gather written to HBM and re-read by
+the einsum (~3x the necessary traffic).  Here the probe ids are
+SCALAR-PREFETCH arguments (pallas_guide.md: PrefetchScalarGridSpec), so
+the BlockSpec index_map selects partition ``probes[i]`` per grid step
+and Mosaic's pipeline DMAs each slab into VMEM exactly once, overlapped
+with the matmul of the previous slab.
+
+Single-query kernel (the IVF latency path); batches fall back to the
+XLA path upstream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dense import NEG_INF, merge_topk
+from .ivf import IVFPartitions
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _slab_kernel(probes_ref, q_ref, emb_ref, out_ref):
+    """One probed partition vs one query -> [1, cap] scores."""
+    del probes_ref  # consumed by the index_map
+    e = emb_ref[0]                               # [cap, D] storage dtype
+    q = q_ref[:]                                 # [1, D] f32
+    out_ref[:] = jnp.dot(q, e.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_topk_pallas(
+    parts: IVFPartitions,
+    query: jnp.ndarray,                  # [D] f32 (one query)
+    k: int,
+    valid: Optional[jnp.ndarray] = None,
+    *,
+    nprobe: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (scores [k], row ids [k]); same contract as ivf_topk for Q=1."""
+    nlist, cap, d = parts.packed_emb.shape
+    nprobe = min(nprobe, nlist)
+    q = query.astype(jnp.float32)[None, :]       # [1, D]
+
+    c_scores = jnp.dot(q, parts.centroids.T,
+                       preferred_element_type=jnp.float32)
+    _, probe = lax.top_k(c_scores[0], nprobe)    # [nprobe]
+    probe = probe.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nprobe,),
+        in_specs=[
+            pl.BlockSpec((1, d), lambda i, probes: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, d), lambda i, probes: (probes[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cap), lambda i, probes: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    scores = pl.pallas_call(
+        _slab_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nprobe, cap), jnp.float32),
+        interpret=_interpret(),
+    )(probe, q, parts.packed_emb)                # [nprobe, cap]
+
+    rows = parts.packed_rows[probe]              # [nprobe, cap] (tiny gather)
+    ok = rows >= 0
+    if valid is not None:
+        ok = jnp.logical_and(ok, valid[jnp.clip(rows, 0)])
+    flat_s = jnp.where(ok, scores, NEG_INF).reshape(-1)
+    flat_r = jnp.where(ok, rows, -1).reshape(-1)
+    top_s, sel = lax.top_k(flat_s, k)
+    top_i = jnp.where(top_s <= NEG_INF, -1, flat_r[sel])
+
+    # exact tail merge (overflow rows), identical to the XLA path
+    ts = jnp.dot(q, parts.tail_emb.T.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)[0]
+    t_ok = parts.tail_rows >= 0
+    if valid is not None:
+        t_ok = jnp.logical_and(t_ok, valid[jnp.clip(parts.tail_rows, 0)])
+    ts = jnp.where(t_ok, ts, NEG_INF)
+    kk = min(k, parts.tail_emb.shape[0])
+    tail_s, tsel = lax.top_k(ts, kk)
+    tail_i = jnp.where(tail_s <= NEG_INF, -1, parts.tail_rows[tsel])
+    top_s, top_i = merge_topk(top_s[None], top_i[None],
+                              tail_s[None], tail_i[None], k)
+    top_i = jnp.where(top_s <= NEG_INF, -1, top_i)
+    return top_s[0], top_i[0]
+
+
+__all__ = ["ivf_topk_pallas"]
