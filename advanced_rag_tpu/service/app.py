@@ -89,8 +89,9 @@ class ServiceState:
     def __init__(self, config: Optional[PipelineConfig] = None,
                  pipeline: Optional[AdvancedRAGPipeline] = None,
                  db: Optional[DatabasePool] = None):
-        self.config = config or PipelineConfig()
+        self.config = config or self._config_from_env()
         self.pipeline = pipeline or AdvancedRAGPipeline(self.config)
+        self._wire_rerankers()
         self.db = db or initialize_pool(
             os.environ.get("DATABASE_URL", ""),
             os.environ.get("CHAT_DB_PATH", "chat.db"),
@@ -122,6 +123,44 @@ class ServiceState:
         }
         self.draining = False
         self._init_db()
+
+    @staticmethod
+    def _config_from_env() -> PipelineConfig:
+        """Env feature flags.  The reference DOCUMENTS ENABLE_MMR /
+        ENABLE_ADAPTIVE_WEIGHTS (README.md:84-87) but never reads them
+        (SURVEY.md §5); here they work."""
+        def flag(name: str, default: bool) -> bool:
+            val = os.environ.get(name)
+            if val is None:
+                return default
+            return val.lower() not in ("0", "false", "no", "off")
+
+        cfg = PipelineConfig()
+        cfg.enable_sparse = flag("ENABLE_SPARSE", cfg.enable_sparse)
+        cfg.enable_mmr = flag("ENABLE_MMR", cfg.enable_mmr)
+        cfg.retrieval.enable_sparse = cfg.enable_sparse
+        cfg.retrieval.use_mmr = cfg.enable_mmr
+        cfg.retrieval.adaptive_weights = flag("ENABLE_ADAPTIVE_WEIGHTS",
+                                              cfg.retrieval.adaptive_weights)
+        return cfg
+
+    def _wire_rerankers(self) -> None:
+        """RAG_RERANKER env: cross_encoder | learned | passthrough."""
+        kind = os.environ.get("RAG_RERANKER", "").lower()
+        retriever = self.pipeline.retriever
+        if kind == "cross_encoder" and retriever.reranker is None:
+            from ..models.cross_encoder import CrossEncoderReranker
+
+            retriever.reranker = CrossEncoderReranker()
+        elif kind == "learned" and retriever.learned_ranker is None:
+            from ..pipeline.ranker import LearnedRanker
+
+            retriever.learned_ranker = LearnedRanker()
+        if (self.config.retrieval.adaptive_weights
+                and retriever.weight_adapter is None):
+            from ..pipeline.ranker import LearnedHybridAdapter
+
+            retriever.weight_adapter = LearnedHybridAdapter()
 
     # -- chat schema (reference service.py:200-272) ---------------------------
 

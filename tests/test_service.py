@@ -193,3 +193,29 @@ class TestAuthAndLimits:
             state.breaker.record_failure()
         resp = await client.post("/retrieve", json={"query": "anything"})
         assert resp.status == 503
+
+
+class TestEnvFlags:
+    async def test_env_flags_and_learned_reranker(self, loop, tmp_path,
+                                                  monkeypatch):
+        monkeypatch.delenv("API_KEY", raising=False)
+        monkeypatch.setenv("ENABLE_MMR", "0")
+        monkeypatch.setenv("ENABLE_ADAPTIVE_WEIGHTS", "1")
+        monkeypatch.setenv("RAG_RERANKER", "learned")
+        db = DatabasePool(sqlite_path=str(tmp_path / "f.db"))
+        app = create_app(db=db)  # config built from env
+        state = app["state"]
+        assert state.config.retrieval.use_mmr is False
+        assert state.config.retrieval.adaptive_weights is True
+        assert state.pipeline.retriever.learned_ranker is not None
+        assert state.pipeline.retriever.weight_adapter is not None
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await client.post("/ingest", json={"documents": DOCS})
+            resp = await client.post("/retrieve", json={
+                "query": "hybrid retrieval"})
+            assert resp.status == 200
+            assert (await resp.json())["results"]
+        finally:
+            await client.close()
