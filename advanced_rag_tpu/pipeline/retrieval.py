@@ -170,6 +170,12 @@ class HybridRetriever:
             self.retrieve_sync, query, top_k, filters, timeout_s
         )
 
+    def is_warm(self, query: str, top_k: Optional[int] = None) -> bool:
+        """Has the fused program this query maps to been compiled yet?
+        (Callers gating strict latency budgets should check per QUERY —
+        each profile class compiles its own program signature.)"""
+        return self._program_key(query, top_k) in self._warm_keys
+
     def _program_key(self, query: str, top_k: Optional[int]) -> tuple:
         """Static signature of the fused program a query will hit: each
         distinct (k, use_mmr) pair compiles once, so the strict latency

@@ -328,12 +328,14 @@ async def _guarded_retrieve(state: ServiceState, query: str,
     if state.breaker.is_open():
         raise CircuitBreakerOpenError("retrieval circuit open")
     variant, _overrides = _variant_overrides(state)
+    # strict budget only once THIS query's program signature is compiled
+    # (each profile class compiles its own fused program)
+    warm = state.pipeline.retriever.is_warm(query, top_k)
     async with state.semaphore:
         try:
             out = await asyncio.wait_for(
                 asyncio.to_thread(state.pipeline.retrieve, query, top_k, filters),
-                timeout=max(state.retrieve_timeout_s, 1e-3)
-                if state.pipeline.retriever._warm_keys else None,
+                timeout=max(state.retrieve_timeout_s, 1e-3) if warm else None,
             )
         except asyncio.TimeoutError:
             state.breaker.record_failure()
