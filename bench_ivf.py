@@ -22,7 +22,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from advanced_rag_tpu.ops.dense import dense_topk
+
     from advanced_rag_tpu.ops.ivf import auto_nlist, build_ivf, ivf_topk
 
     n = int(os.environ.get("BENCH_N", 10_000_000))
@@ -32,21 +32,33 @@ def main() -> None:
     n_queries = 16
     rng = np.random.default_rng(0)
 
-    # clustered corpus (mixture of gaussians — IVF's meaningful regime)
-    n_centers = 4096
-    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 3
-    emb = np.empty((n, d), np.float32)
-    block = 1_000_000
-    for s in range(0, n, block):
-        e = min(s + block, n)
-        which = rng.integers(0, n_centers, e - s)
-        chunk = centers[which] + rng.standard_normal((e - s, d)).astype(np.float32) * 0.5
-        chunk /= np.linalg.norm(chunk, axis=1, keepdims=True)
-        emb[s:e] = chunk
+    # clustered corpus (mixture of gaussians — IVF's meaningful regime);
+    # cached on disk so retries skip the ~10 min single-core generation
+    import os as _os
+    cache = _os.environ.get("BENCH_CACHE", f"/tmp/bench_ivf_{n}_{d}.npz")
+    if cache and _os.path.exists(cache):
+        data = np.load(cache)
+        emb, q = data["emb"].astype(np.float32), data["q"]
+    else:
+        n_centers = 4096
+        centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 3
+        emb = np.empty((n, d), np.float32)
+        block = 1_000_000
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            which = rng.integers(0, n_centers, e - s)
+            chunk = centers[which] + rng.standard_normal(
+                (e - s, d)).astype(np.float32) * 0.5
+            chunk /= np.linalg.norm(chunk, axis=1, keepdims=True)
+            emb[s:e] = chunk
+        q_which = rng.integers(0, n_centers, n_queries)
+        q = centers[q_which] + rng.standard_normal(
+            (n_queries, d)).astype(np.float32) * 0.5
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        if cache:
+            import ml_dtypes as _mld
 
-    q_which = rng.integers(0, n_centers, n_queries)
-    q = centers[q_which] + rng.standard_normal((n_queries, d)).astype(np.float32) * 0.5
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
+            np.savez(cache, emb=emb.astype(_mld.bfloat16), q=q)
     qd = jnp.asarray(q)
 
     import ml_dtypes
@@ -64,12 +76,15 @@ def main() -> None:
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / iters * 1e3
 
-    # block size must divide N: dense_topk pads the tail otherwise, and
-    # at 10M rows that pad is a second full corpus copy in HBM (OOM).
-    bs = n // 10 if n % (1 << 20) else 1 << 20
-    flat_ms = timeit(lambda: dense_topk(emb_dev, qd, k, metric="ip",
-                                        block_size=bs))
-    _, flat_ids = dense_topk(emb_dev, qd, k, metric="ip", block_size=bs)
+    # approx_max_k oracle: recall_target .999 over the whole corpus is
+    # effectively exact for recall accounting, compiles in seconds
+    # (the blocked exact scan compiled in ~10 min at 10M on this stack)
+    from advanced_rag_tpu.ops.dense import dense_topk_approx
+
+    flat_ms = timeit(lambda: dense_topk_approx(emb_dev, qd, k, metric="ip",
+                                               recall_target=0.999))
+    _, flat_ids = dense_topk_approx(emb_dev, qd, k, metric="ip",
+                                    recall_target=0.999)
     flat_ids = np.asarray(flat_ids)
     del emb_dev  # free HBM before the packed partitions arrive
 
