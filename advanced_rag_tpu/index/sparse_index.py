@@ -45,7 +45,10 @@ class SparseIndex:
         self.size = 0
         self.n_docs = 0
         self.doc_idx = jnp.full((self.capacity, self.doc_nnz), -1, jnp.int32)
-        self.doc_tf = jnp.zeros((self.capacity, self.doc_nnz), jnp.float32)
+        # Term frequencies are small integer counts (exact in bf16 up to
+        # 256, far above any within-chunk tf); bf16 halves the dominant
+        # sparse HBM read.  Host mirrors stay f32 for exact persistence.
+        self.doc_tf = jnp.zeros((self.capacity, self.doc_nnz), jnp.bfloat16)
         self.doc_len = jnp.zeros((self.capacity,), jnp.float32)
         self._host_idx = np.full((self.capacity, self.doc_nnz), -1, np.int32)
         self._host_tf = np.zeros((self.capacity, self.doc_nnz), np.float32)
@@ -68,7 +71,7 @@ class SparseIndex:
         self._host_idx, self._host_tf, self._host_len = grown_idx, grown_tf, grown_len
         self.capacity = new_cap
         self.doc_idx = jnp.asarray(grown_idx)
-        self.doc_tf = jnp.asarray(grown_tf)
+        self.doc_tf = jnp.asarray(grown_tf, jnp.bfloat16)
         self.doc_len = jnp.asarray(grown_len)
 
     def append_texts(self, start: int, texts: Sequence[str]) -> None:
@@ -99,7 +102,7 @@ class SparseIndex:
             pad_idx[n:] = -1
         self.doc_idx, self.doc_tf, self.doc_len = _append_sparse(
             self.doc_idx, self.doc_tf, self.doc_len, jnp.int32(start),
-            jnp.asarray(pad_idx), jnp.asarray(pad_rows_pow2(tf)),
+            jnp.asarray(pad_idx), jnp.asarray(pad_rows_pow2(tf), jnp.bfloat16),
             jnp.asarray(pad_rows_pow2(lens)),
         )
         self._df += df_delta.astype(np.int64)
@@ -134,7 +137,7 @@ class SparseIndex:
         self._host_post_tf = tf
         self._post_fill = (rows >= 0).sum(axis=1).astype(np.int64)
         self._post_rows = jnp.asarray(rows)
-        self._post_tf = jnp.asarray(tf)
+        self._post_tf = jnp.asarray(tf, jnp.bfloat16)
 
     @property
     def post_rows(self):
@@ -176,7 +179,7 @@ class SparseIndex:
         self._host_post_tf[st[ok], pos[ok]] = stf[ok]
         np.add.at(self._post_fill, st[ok], 1)
         self._post_rows = jnp.asarray(self._host_post_rows)
-        self._post_tf = jnp.asarray(self._host_post_tf)
+        self._post_tf = jnp.asarray(self._host_post_tf, jnp.bfloat16)
 
     def search_postings(
         self,
@@ -251,7 +254,8 @@ class SparseIndex:
         return self.search(q_idx, q_tf, k, mask, scoring=scoring)
 
     def memory_bytes(self) -> int:
-        return self.capacity * self.doc_nnz * 8 + self.capacity * 4
+        # device layout: i32 ids (4B) + bf16 tf (2B) per slot, f32 len per row
+        return self.capacity * self.doc_nnz * 6 + self.capacity * 4
 
 
 __all__ = ["SparseIndex"]

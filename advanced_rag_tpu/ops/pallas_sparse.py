@@ -159,7 +159,7 @@ def sparse_topk_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(scal, q_idx, q_w, doc_idx, doc_tf.astype(jnp.float32),
+    )(scal, q_idx, q_w, doc_idx, doc_tf,
       doc_len.astype(jnp.float32)[:, None], mask_add)
 
     if reduce == "approx" and not _interpret():

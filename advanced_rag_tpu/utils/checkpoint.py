@@ -143,10 +143,21 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
         emb = np.load(root / f"dense_{name}.npy", mmap_mode="r")
         idx._ensure_capacity(meta["size"])
         idx._host[: meta["size"]] = emb
-        from ..index.dense_index import _to_host_dtype
-
-        idx.emb = jax.device_put(_to_host_dtype(idx._host, idx._dtype))
         idx.size = meta["size"]
+        if idx._sq8:
+            from ..ops.quant import sq8_quantize_host
+
+            codes, scale = sq8_quantize_host(idx._host[: idx.size])
+            full_c = np.zeros((idx.capacity, idx.dim), np.int8)
+            full_c[: idx.size] = codes
+            full_s = np.zeros((idx.capacity,), np.float32)
+            full_s[: idx.size] = scale
+            idx.emb = jax.device_put(full_c)
+            idx.emb_scale = jax.device_put(full_s)
+        else:
+            from ..index.dense_index import _to_host_dtype
+
+            idx.emb = jax.device_put(_to_host_dtype(idx._host, idx._dtype))
 
     if manifest["sparse"] and manager.sparse is not None:
         sp = manager.sparse
@@ -158,7 +169,7 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
         sp._host_len[:size] = data["doc_len"]
         sp._df[:] = data["df"]
         sp.doc_idx = jnp.asarray(sp._host_idx)
-        sp.doc_tf = jnp.asarray(sp._host_tf)
+        sp.doc_tf = jnp.asarray(sp._host_tf, jnp.bfloat16)
         sp.doc_len = jnp.asarray(sp._host_len)
         sp.df = jnp.asarray(np.minimum(sp._df, 2**31 - 1).astype(np.int32))
         sp.size = size

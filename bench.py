@@ -51,7 +51,8 @@ def main() -> None:
     df = np.maximum(np.bincount(doc_idx[: min(n, 100_000)].reshape(-1),
                                 minlength=vocab), 1).astype(np.int32)
     di = jax.device_put(jnp.asarray(doc_idx)); del doc_idx
-    dt = jax.device_put(jnp.asarray(doc_tf)); del doc_tf
+    # production layout: bf16 term frequencies (index/sparse_index.py)
+    dt = jax.device_put(jnp.asarray(doc_tf, dtype=jnp.bfloat16)); del doc_tf
     dl = jax.device_put(jnp.asarray(doc_len))
     dfj = jax.device_put(jnp.asarray(df))
     valid = jax.device_put(jnp.ones((n,), jnp.bool_))
@@ -66,7 +67,7 @@ def main() -> None:
     cap = auto_postings_cap(n, nnz, vocab)
     pr, pt = build_postings(np.asarray(di), np.asarray(dt), vocab, cap)
     pr = jax.device_put(jnp.asarray(pr))
-    pt = jax.device_put(jnp.asarray(pt))
+    pt = jax.device_put(jnp.asarray(pt, dtype=jnp.bfloat16))
 
     def run(q_dense, q_idx, q_tf):
         return hybrid_retrieve(
