@@ -132,6 +132,9 @@ class PipelineConfig:
     compliance_tenant: str = "default"
     retention_days: int = 365
     embed_batch_size: int = PerformanceConstants.EMBED_BATCH_SIZE
+    # storage dtype for the semantic embedding matrix: "bfloat16" (default),
+    # "float32", or "int8" (SQ8 tier, ops/quant.py — ~30M rows/chip)
+    semantic_dtype: str = "bfloat16"
     semantic_dim: int = IndexConstants.SEMANTIC_DIM
     domain_dim: int = IndexConstants.DOMAIN_DIM
     sparse_vocab_size: int = IndexConstants.SPARSE_VOCAB_SIZE

@@ -27,6 +27,17 @@ def _append_rows(emb: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
     return jax.lax.dynamic_update_slice(emb, vals, (start, 0))
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _append_rows_sq8(codes: jnp.ndarray, scale: jnp.ndarray,
+                     start: jnp.ndarray, code_v: jnp.ndarray,
+                     scale_v: jnp.ndarray):
+    """codes + scales in ONE program (one dispatch per append)."""
+    return (
+        jax.lax.dynamic_update_slice(codes, code_v, (start, 0)),
+        jax.lax.dynamic_update_slice(scale, scale_v, (start,)),
+    )
+
+
 def _to_host_dtype(arr: np.ndarray, jdt: jnp.dtype) -> np.ndarray:
     """Convert to the storage dtype ON HOST before device_put —
     jnp.asarray(f32, dtype=bf16) can stage the f32 on device first,
@@ -46,8 +57,13 @@ class DenseIndex:
         self.dim = config.dim
         self.capacity = int(config.min_capacity)
         self.size = 0
-        self._dtype = jnp.dtype(config.dtype)
+        # SQ8 tier (ops/quant.py): int8 codes + per-row f32 scales instead
+        # of a float matrix — 2x bf16 capacity/speed, ~30M rows/chip.
+        self._sq8 = config.dtype == "int8"
+        self._dtype = jnp.dtype(jnp.int8 if self._sq8 else config.dtype)
         self.emb = jnp.zeros((self.capacity, self.dim), dtype=self._dtype)
+        self.emb_scale = (jnp.zeros((self.capacity,), jnp.float32)
+                          if self._sq8 else None)
         # numpy mirror (f32) for exact growth/persistence and IVF builds
         self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
         self._ivf = None  # built lazily by ops/ivf.py when configured
@@ -72,7 +88,18 @@ class DenseIndex:
         grown[: self.capacity] = self._host
         self._host = grown
         self.capacity = new_cap
-        self.emb = jax.device_put(_to_host_dtype(grown, self._dtype))
+        if self._sq8:
+            from ..ops.quant import sq8_quantize_host
+
+            codes, scale = sq8_quantize_host(grown[: self.size])
+            full_c = np.zeros((new_cap, self.dim), np.int8)
+            full_c[: self.size] = codes
+            full_s = np.zeros((new_cap,), np.float32)
+            full_s[: self.size] = scale
+            self.emb = jax.device_put(full_c)
+            self.emb_scale = jax.device_put(full_s)
+        else:
+            self.emb = jax.device_put(_to_host_dtype(grown, self._dtype))
 
     def append(self, start: int, vectors: np.ndarray) -> None:
         """Write vectors at rows [start, start+N) — row ids come from the
@@ -83,10 +110,20 @@ class DenseIndex:
             return
         self._ensure_capacity(start + next_pow2(n))
         self._host[start : start + n] = v
-        self.emb = _append_rows(
-            self.emb, jnp.int32(start),
-            jax.device_put(_to_host_dtype(pad_rows_pow2(v), self._dtype)),
-        )
+        if self._sq8:
+            from ..ops.quant import sq8_quantize_host
+
+            codes, scale = sq8_quantize_host(v)
+            self.emb, self.emb_scale = _append_rows_sq8(
+                self.emb, self.emb_scale, jnp.int32(start),
+                jax.device_put(pad_rows_pow2(codes)),
+                jax.device_put(pad_rows_pow2(scale)),
+            )
+        else:
+            self.emb = _append_rows(
+                self.emb, jnp.int32(start),
+                jax.device_put(_to_host_dtype(pad_rows_pow2(v), self._dtype)),
+            )
         self.size = max(self.size, start + n)
         # Streaming ingest (SURVEY.md §7 hard part 5): the quantizer
         # stays valid for the segment it was built over; appended rows
@@ -122,6 +159,35 @@ class DenseIndex:
             seed=seed,
         )
         self._ivf_size = self.size
+
+    def tune_nprobe(self, recall_target: float = 0.95, *, k: int = 10,
+                    sample: int = 64, seed: int = 0) -> Tuple[int, float]:
+        """Auto-pick ``config.nprobe`` for a recall@k target by sweeping
+        against an exact-scan oracle on a held-out sample of stored rows
+        (BACKLOG #11; the recall-driven analogue of hand-tuning HNSW ef).
+        Returns (nprobe, achieved_recall) and updates the config."""
+        from ..ops.ivf import tune_nprobe as _tune
+
+        if self._ivf is None:
+            raise ValueError("tune_nprobe requires a built IVF index")
+        rng = np.random.default_rng(seed)
+        rows = rng.integers(0, self.size, size=min(sample, self.size))
+        q = self._host[rows]  # stored (normalized) vectors as queries
+        bound = jnp.arange(self.capacity) < self.size
+        if self._sq8:
+            from ..ops.quant import dense_topk_sq8
+
+            _, oracle = dense_topk_sq8(self.emb, self.emb_scale,
+                                       jnp.asarray(q), k, bound,
+                                       metric="ip", normalize_queries=False)
+        else:
+            _, oracle = dense_topk(self.emb, jnp.asarray(q), k, bound,
+                                   metric=self.search_metric,
+                                   normalize_queries=False)
+        npb, rec = _tune(self._ivf, q, np.asarray(oracle),
+                         recall_target=recall_target, k=k)
+        self.config.nprobe = npb
+        return npb, rec
 
     #: appended-tail fraction beyond which a rebuild is recommended
     REBUILD_TAIL_FRACTION = 0.2
@@ -173,13 +239,32 @@ class DenseIndex:
                     if mask is not None else None)
                 bound = _jnp.arange(next_pow2(tail)) < tail
                 t_mask = bound if t_mask is None else _jnp.logical_and(t_mask, bound)
-                ts, ti = dense_topk(t_emb, q, min(k, next_pow2(tail)),
-                                    t_mask, metric=self.search_metric,
-                                    normalize_queries=False)
+                kk = min(k, next_pow2(tail))
+                if self._sq8:
+                    from ..ops.quant import dense_topk_sq8
+
+                    t_scale = jax.lax.dynamic_slice_in_dim(
+                        self.emb_scale, self._ivf_size, next_pow2(tail), axis=0)
+                    ts, ti = dense_topk_sq8(t_emb, t_scale, q, kk, t_mask,
+                                            metric="ip",
+                                            normalize_queries=False)
+                else:
+                    ts, ti = dense_topk(t_emb, q, kk,
+                                        t_mask, metric=self.search_metric,
+                                        normalize_queries=False)
                 ti = _jnp.where(ti >= 0, ti + self._ivf_size, -1)
                 s, i = merge_topk(s, i, ts, ti, k)
                 i = _jnp.where(s <= NEG_INF, -1, i)
             return s, i
+        if self._sq8:
+            from ..ops.quant import dense_topk_sq8
+
+            return dense_topk_sq8(
+                self.emb, self.emb_scale, q, k, mask,
+                metric="ip",  # cosine rows pre-normalized; q normalized above
+                block_size=self.config.scan_block_size,
+                normalize_queries=False,
+            )
         return dense_topk(
             self.emb,
             q,
@@ -195,7 +280,8 @@ class DenseIndex:
         return self._host[np.asarray(rows, dtype=np.int64)]
 
     def memory_bytes(self) -> int:
-        return self.capacity * self.dim * self.emb.dtype.itemsize
+        scale_b = self.capacity * 4 if self._sq8 else 0
+        return self.capacity * self.dim * self.emb.dtype.itemsize + scale_b
 
 
 __all__ = ["DenseIndex"]

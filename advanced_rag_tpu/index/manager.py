@@ -67,7 +67,8 @@ class MultiIndexManager:
             self.config.semantic_dim = self.embedder.dim
         self.semantic = DenseIndex(
             IndexConfig(index_type=IndexType.SEMANTIC, dim=self.embedder.dim,
-                        metric=Metric.COSINE)
+                        metric=Metric.COSINE,
+                        dtype=self.config.semantic_dtype)
         )
         self.enable_sparse = enable_sparse
         self.sparse = (
@@ -415,9 +416,12 @@ class MultiIndexManager:
         # approx dense + Pallas sparse on real TPUs; exact scan + XLA
         # compare kernel elsewhere (Pallas interpret mode is for tests).
         on_tpu = jax.default_backend() == "tpu"
-        dense_impl = ("approx"
-                      if on_tpu and self.semantic.capacity <= 4_194_304
-                      else "scan")
+        if self.semantic._sq8:
+            dense_impl = "sq8"
+        else:
+            dense_impl = ("approx"
+                          if on_tpu and self.semantic.capacity <= 4_194_304
+                          else "scan")
         # Sparse impl ladder: inverted postings (query cost ~T*cap,
         # independent of corpus size) once the corpus justifies the
         # postings memory; below that, Pallas VMEM-resident compares for
@@ -436,6 +440,8 @@ class MultiIndexManager:
                 sparse_impl = "pallas" if (on_tpu and qb <= 2) else "xla"
         else:
             sparse_impl = "xla"
+        if dense_impl == "sq8":
+            post_args = dict(post_args, emb_scale=self.semantic.emb_scale)
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
             q, jnp.asarray(q_idx), jnp.asarray(q_tf),
@@ -520,7 +526,56 @@ class MultiIndexManager:
             }
         return stats
 
+    # -- background maintenance (BACKLOG #7: Milvus-compaction equivalent) ----
+
+    def maintenance_tick(self) -> Dict[str, Any]:
+        """One maintenance pass: rebuild the IVF quantizer when the
+        streaming-ingest tail outgrows REBUILD_TAIL_FRACTION (the exact
+        tail scan keeps recall perfect but gets slower as it grows).
+
+        Build-then-swap: the new partitions are trained and packed from
+        the host mirror while searches keep using the old quantizer; the
+        final assignment of ``_ivf``/``_ivf_size`` is atomic under the
+        GIL, so there is no torn state and no downtime — the device-side
+        analogue of Milvus background compaction/flush (reference
+        indexing.py:429-431)."""
+        actions: Dict[str, Any] = {"ivf_rebuilt": False}
+        if self.semantic.ivf_needs_rebuild:
+            nlist = self.semantic._ivf.centroids.shape[0]
+            self.semantic.build_ivf(nlist=nlist)
+            actions["ivf_rebuilt"] = True
+            actions["ivf_rows"] = self.semantic._ivf_size
+        return actions
+
+    def start_maintenance(self, interval_s: float = 30.0) -> None:
+        """Run maintenance_tick on a daemon thread every ``interval_s``."""
+        import threading
+
+        if getattr(self, "_maint_thread", None) is not None:
+            return
+        self._maint_stop = threading.Event()
+
+        def loop() -> None:
+            while not self._maint_stop.wait(interval_s):
+                if self._closed:
+                    return
+                try:
+                    self.maintenance_tick()
+                except Exception:  # keep the loop alive on transient errors
+                    logger.exception("maintenance tick failed")
+
+        self._maint_thread = threading.Thread(
+            target=loop, name="index-maintenance", daemon=True)
+        self._maint_thread.start()
+
+    def stop_maintenance(self) -> None:
+        if getattr(self, "_maint_thread", None) is not None:
+            self._maint_stop.set()
+            self._maint_thread.join(timeout=5.0)
+            self._maint_thread = None
+
     def close(self) -> None:
+        self.stop_maintenance()
         self._closed = True
 
 

@@ -69,6 +69,9 @@ def hybrid_retrieve(
     # inverted postings layout (required when sparse_impl="postings")
     post_rows: Optional[jnp.ndarray] = None,    # [V, L]
     post_tf: Optional[jnp.ndarray] = None,      # [V, L]
+    # SQ8 tier (ops/quant.py): per-row dequant scales when emb is int8
+    # codes (required when dense_impl="sq8")
+    emb_scale: Optional[jnp.ndarray] = None,    # [N] f32
     *,
     k_cand: int,                # per-index over-retrieval (2x top_k, retrieval.py:351)
     k_out: int,
@@ -94,7 +97,15 @@ def hybrid_retrieve(
     "pallas" keeps corpus blocks VMEM-resident across query terms
     (ops/pallas_sparse.py) instead of re-streaming HBM per term.
     """
-    if dense_impl == "approx":
+    if dense_impl == "sq8":
+        from .quant import dense_topk_sq8
+
+        d_s, d_i = dense_topk_sq8(
+            emb, emb_scale, q_dense, k_cand, valid,
+            metric="ip",  # cosine rows pre-normalized, queries upstream
+            normalize_queries=False,
+        )
+    elif dense_impl == "approx":
         from .dense import dense_topk_approx
 
         d_s, d_i = dense_topk_approx(
@@ -150,6 +161,8 @@ def hybrid_retrieve(
         # but masked invalid so they are never selected.
         safe = jnp.clip(fused_i, 0)
         cand_emb = emb[safe].astype(jnp.float32)             # [Q, k_cand, D]
+        if emb_scale is not None:  # dequantize SQ8 codes for cosine-MMR
+            cand_emb = cand_emb * emb_scale[safe][..., None]
         ok = fused_i >= 0
 
         def per_query(ce, rel, okq, lam):

@@ -36,10 +36,15 @@ from .dense import NEG_INF, dense_topk, l2_normalize, merge_topk
 
 class IVFPartitions(NamedTuple):
     centroids: jnp.ndarray     # [nlist, D] f32
-    packed_emb: jnp.ndarray    # [nlist, cap, D] storage dtype
+    packed_emb: jnp.ndarray    # [nlist, cap, D] storage dtype (bf16/f32/int8)
     packed_rows: jnp.ndarray   # [nlist, cap] i32, -1 pad
     tail_emb: jnp.ndarray      # [T, D] overflow rows (brute-forced)
     tail_rows: jnp.ndarray     # [T] i32
+    # SQ8 tier (ops/quant.py): per-row dequant scales when packed_emb is
+    # int8, else None — partition scoring runs int8 on the MXU and
+    # rescales, halving IVF HBM traffic again vs bf16.
+    packed_scale: Optional[jnp.ndarray] = None  # [nlist, cap] f32
+    tail_scale: Optional[jnp.ndarray] = None    # [T] f32
 
 
 # -- k-means training -----------------------------------------------------------
@@ -167,6 +172,35 @@ def build_ivf(
     packed_rows[sorted_c[keep], pos[keep]] = order[keep].astype(np.int32)
     tail_rows = order[~keep].astype(np.int32)
 
+    gather_rows = np.where(packed_rows >= 0, packed_rows, 0)
+    live = (packed_rows >= 0)[:, :, None]
+    n_tail = len(tail_rows)
+
+    if dtype == "int8":
+        # SQ8 tier: quantize once over original rows, pack codes + scales
+        from .quant import sq8_quantize_host
+
+        codes, scale = sq8_quantize_host(emb_host)
+        packed_emb = codes[gather_rows.reshape(-1)].reshape(nlist, cap, d)
+        packed_emb = np.where(live, packed_emb, np.int8(0))
+        packed_scale = scale[gather_rows] * (packed_rows >= 0)
+        tail_emb = np.zeros((max(n_tail, 1), d), np.int8)
+        tail_scale = np.zeros((max(n_tail, 1),), np.float32)
+        if n_tail:
+            tail_emb[:n_tail] = codes[tail_rows]
+            tail_scale[:n_tail] = scale[tail_rows]
+        else:
+            tail_rows = np.full(1, -1, np.int32)
+        return IVFPartitions(
+            centroids=jnp.asarray(cent),
+            packed_emb=jax.device_put(packed_emb),
+            packed_rows=jnp.asarray(packed_rows),
+            tail_emb=jax.device_put(tail_emb),
+            tail_rows=jnp.asarray(tail_rows),
+            packed_scale=jax.device_put(packed_scale.astype(np.float32)),
+            tail_scale=jax.device_put(tail_scale),
+        )
+
     # Convert to the storage dtype ON HOST (ml_dtypes) before device_put:
     # jnp.asarray(f32_array, dtype=bf16) can stage the f32 on device
     # first — a 2x HBM spike that OOMs at the 10M tier.
@@ -175,10 +209,8 @@ def build_ivf(
     jdt = jnp.dtype(dtype)
     np_dt = (np.dtype(ml_dtypes.bfloat16) if jdt == jnp.bfloat16
              else np.dtype(jdt.name))
-    gather_rows = np.where(packed_rows >= 0, packed_rows, 0)
     packed_emb = emb_host[gather_rows.reshape(-1)].reshape(nlist, cap, d)
-    packed_emb = (packed_emb * (packed_rows >= 0)[:, :, None]).astype(np_dt)
-    n_tail = len(tail_rows)
+    packed_emb = (packed_emb * live).astype(np_dt)
     tail_emb = np.zeros((max(n_tail, 1), d), np_dt)
     if n_tail:
         tail_emb[:n_tail] = emb_host[tail_rows].astype(np_dt)
@@ -213,11 +245,22 @@ def ivf_topk(
                        preferred_element_type=jnp.float32)   # [Q, nlist]
     _, probe = lax.top_k(c_scores, nprobe)                   # [Q, nprobe]
 
-    def one_query(qv, probes):
+    sq8 = parts.packed_scale is not None
+    if sq8:
+        from .quant import sq8_quantize
+
+        q_codes, q_scale = sq8_quantize(q)                   # [Q, D] i8, [Q]
+
+    def one_query(qv, probes, qs):
         pe = parts.packed_emb[probes]                        # [nprobe, cap, D]
         pr = parts.packed_rows[probes]                       # [nprobe, cap]
-        s = jnp.einsum("d,pcd->pc", qv, pe.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+        if sq8:
+            acc = jnp.einsum("d,pcd->pc", qv, pe,
+                             preferred_element_type=jnp.int32)
+            s = acc.astype(jnp.float32) * (qs * parts.packed_scale[probes])
+        else:
+            s = jnp.einsum("d,pcd->pc", qv, pe.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
         ok = pr >= 0
         if valid is not None:
             ok = jnp.logical_and(ok, valid[jnp.clip(pr, 0)])
@@ -227,11 +270,20 @@ def ivf_topk(
         top_s, sel = lax.top_k(flat_s, k)
         return top_s, flat_r[sel]
 
-    top_s, top_i = jax.vmap(one_query)(q, probe)
+    top_s, top_i = jax.vmap(one_query)(
+        q_codes if sq8 else q, probe,
+        q_scale if sq8 else jnp.zeros((q.shape[0],), jnp.float32))
 
     # exact tail merge (overflow rows)
-    ts = jnp.dot(q, parts.tail_emb.T.astype(jnp.float32),
-                 preferred_element_type=jnp.float32)         # [Q, T]
+    if sq8:
+        acc = jax.lax.dot_general(
+            q_codes, parts.tail_emb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        ts = acc.astype(jnp.float32) * (
+            q_scale[:, None] * parts.tail_scale[None, :])    # [Q, T]
+    else:
+        ts = jnp.dot(q, parts.tail_emb.T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)     # [Q, T]
     ok = parts.tail_rows >= 0
     if valid is not None:
         ok = jnp.logical_and(ok, valid[jnp.clip(parts.tail_rows, 0)])
@@ -251,5 +303,44 @@ def auto_nlist(n: int, factor: float = 4.0) -> int:
     return max(8, (raw // 8) * 8)
 
 
+def tune_nprobe(
+    parts: IVFPartitions,
+    queries: np.ndarray,          # [S, D] held-out sample (normalized upstream)
+    oracle_ids: np.ndarray,       # [S, k] exact top-k row ids (from dense_topk)
+    *,
+    recall_target: float = 0.95,
+    k: int = 10,
+    max_nprobe: int = 0,          # 0 -> nlist (full probe)
+) -> Tuple[int, float]:
+    """Pick the smallest nprobe meeting a recall@k target (BACKLOG #11).
+
+    The ANN analogue of tuning HNSW ``ef`` for a recall goal (reference
+    ships fixed ef=64 — retrieval.py:93-96; Milvus users sweep it by
+    hand).  Doubles nprobe from 1 until mean overlap@k vs the exact
+    oracle reaches the target; returns (nprobe, achieved_recall).
+    Host-driven sweep of one jitted program per step — a build-time
+    cost, measured in seconds even at the 10M tier.
+    """
+    nlist = parts.centroids.shape[0]
+    hi = min(max_nprobe or nlist, nlist)
+    q = jnp.asarray(queries, jnp.float32)
+    oracle_sets = [set(row[row >= 0].tolist()) for row in np.asarray(oracle_ids)]
+
+    def recall_at(npb: int) -> float:
+        _, ids = ivf_topk(parts, q, k, nprobe=npb)
+        ids = np.asarray(ids)
+        hits = [len(set(r[r >= 0].tolist()) & o) / max(len(o), 1)
+                for r, o in zip(ids, oracle_sets)]
+        return float(np.mean(hits))
+
+    npb, best = 1, 0.0
+    while npb < hi:
+        best = recall_at(npb)
+        if best >= recall_target:
+            return npb, best
+        npb *= 2
+    return hi, recall_at(hi)
+
+
 __all__ = ["IVFPartitions", "build_ivf", "ivf_topk", "kmeans_fit",
-           "kmeans_init", "auto_nlist"]
+           "kmeans_init", "auto_nlist", "tune_nprobe"]

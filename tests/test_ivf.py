@@ -120,3 +120,78 @@ class TestDenseIndexIVF:
         assert not idx.ivf_needs_rebuild
         idx.append(4104, _clustered(np.random.default_rng(10), n=2048, d=32))
         assert idx.ivf_needs_rebuild
+
+
+class TestNprobeTuning:
+    def test_tune_nprobe_meets_target(self, rng):
+        from advanced_rag_tpu.ops.ivf import tune_nprobe
+
+        # f32 partitions: the oracle is exact f32 search, so storage
+        # rounding must not cap achievable recall below the target
+        x = _clustered(rng, n=8192, d=32)
+        parts = build_ivf(x, nlist=64, kmeans_iters=10, seed=0,
+                          dtype="float32")
+        q = x[rng.integers(0, len(x), 32)]
+        _, oracle = dense_topk(jnp.asarray(x), jnp.asarray(q), 10,
+                               metric="ip", normalize_queries=False)
+        npb, rec = tune_nprobe(parts, q, np.asarray(oracle),
+                               recall_target=0.9, k=10)
+        assert rec >= 0.9
+        assert 1 <= npb <= 64
+        # a stricter target costs at least as many probes
+        npb2, rec2 = tune_nprobe(parts, q, np.asarray(oracle),
+                                 recall_target=0.99, k=10)
+        assert npb2 >= npb and rec2 >= 0.9
+
+    def test_dense_index_tune_updates_config(self, rng):
+        cfg = IndexConfig(dim=32, min_capacity=64, nprobe=4)
+        idx = DenseIndex(cfg)
+        x = _clustered(rng, n=4096, d=32)
+        idx.append(0, x)
+        idx.build_ivf(nlist=32)
+        npb, rec = idx.tune_nprobe(recall_target=0.9, k=10, sample=16)
+        assert idx.config.nprobe == npb
+        assert rec >= 0.9
+
+
+class TestMaintenance:
+    def _mgr(self, rng, n=512):
+        from advanced_rag_tpu.index.corpus import ChunkRecord
+        from advanced_rag_tpu.index.manager import MultiIndexManager
+        from advanced_rag_tpu.config import PipelineConfig
+
+        mgr = MultiIndexManager(config=PipelineConfig(semantic_dim=32),
+                                enable_sparse=False)
+        recs = [ChunkRecord(chunk_id=f"c{j}", doc_id=f"d{j%5}",
+                            content=f"text number {j} about subject {j%7}")
+                for j in range(n)]
+        mgr.index_chunks(recs)
+        return mgr
+
+    def test_tick_rebuilds_when_tail_exceeds_fraction(self, rng):
+        from advanced_rag_tpu.index.corpus import ChunkRecord
+
+        mgr = self._mgr(rng, n=512)
+        mgr.semantic.build_ivf(nlist=16)
+        assert mgr.maintenance_tick() == {"ivf_rebuilt": False}
+        # append a tail > REBUILD_TAIL_FRACTION of the corpus
+        recs = [ChunkRecord(chunk_id=f"t{j}", doc_id="dt",
+                            content=f"tail chunk {j} fresh content")
+                for j in range(256)]
+        mgr.index_chunks(recs)
+        assert mgr.semantic.ivf_needs_rebuild
+        out = mgr.maintenance_tick()
+        assert out["ivf_rebuilt"] and out["ivf_rows"] == 768
+        assert not mgr.semantic.ivf_needs_rebuild
+        # search still correct after the swap: a stored row finds itself
+        qv = mgr.semantic._host[700:701]
+        _, ids = mgr.semantic.search(qv, 5, mgr.store.valid_mask)
+        assert int(np.asarray(ids)[0, 0]) == 700
+
+    def test_background_thread_start_stop(self, rng):
+        mgr = self._mgr(rng, n=64)
+        mgr.start_maintenance(interval_s=0.05)
+        assert mgr._maint_thread.is_alive()
+        mgr.start_maintenance()  # idempotent
+        mgr.close()
+        assert mgr._maint_thread is None
