@@ -109,14 +109,22 @@ def split_hash64(h: int) -> tuple[int, int]:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _append_columns(cols: dict, start: jnp.ndarray, vals: dict):
-    """ALL metadata columns + validity in ONE program: one compile per
-    pow2 batch bucket and one dispatch per append, instead of 11 of each
-    (compiles cost seconds on a remote chip; dispatches cost ~28 ms)."""
-    return {
-        name: jax.lax.dynamic_update_slice(col, vals[name], (start,))
-        for name, col in cols.items()
-    }
+def fused_append(arrays: dict, start: jnp.ndarray, vals: dict):
+    """Row-appends to ANY set of device arrays in ONE program: one
+    compile per pow2 batch bucket and one dispatch per ingest, instead
+    of one per array or store (compiles cost seconds on a remote chip;
+    dispatches cost ~28 ms).  The manager fuses corpus columns + dense
+    embeddings + sparse slots through this single program (BACKLOG #6);
+    stores also use it for their standalone appends."""
+    out = {}
+    for name, arr in arrays.items():
+        idx = (start,) + (jnp.int32(0),) * (arr.ndim - 1)
+        out[name] = jax.lax.dynamic_update_slice(arr, vals[name], idx)
+    return out
+
+
+# backwards-compatible alias (corpus columns were the first fused append)
+_append_columns = fused_append
 
 
 def next_pow2(n: int) -> int:
@@ -190,10 +198,17 @@ class CorpusStore:
 
     # -- append / delete ----------------------------------------------------
 
-    def append(self, records: Sequence[ChunkRecord]) -> List[int]:
-        """Insert records; returns their row ids. Duplicate chunk_ids are
-        idempotent upserts (content-hash ids make re-ingest a no-op,
-        reference chunking.py:357-364)."""
+    def prepare_append(
+        self, records: Sequence[ChunkRecord]
+    ) -> Tuple[List[int], Optional[Tuple[int, Dict[str, jnp.ndarray]]]]:
+        """Host-side half of an append: dedupe, grow capacity, update
+        host mirrors/records, and build the padded device values.
+
+        Returns ``(rows, pending)``; ``pending = (start, dev_vals)`` must
+        be applied by running ``fused_append`` over ``device_arrays()``
+        and passing the result to ``commit_device`` (the manager fuses
+        this with the dense/sparse appends into ONE device program), or
+        is None when every record was an idempotent duplicate."""
         fresh: List[ChunkRecord] = []
         pending: Dict[str, int] = {}  # chunk_id -> index into fresh (intra-batch dup)
         rows: List[int] = []
@@ -208,7 +223,7 @@ class CorpusStore:
                 fresh.append(rec)
                 rows.append(-2 - pending[rec.chunk_id])
         if not fresh:
-            return rows
+            return rows, None
 
         start = self.size
         n = len(fresh)
@@ -236,11 +251,6 @@ class CorpusStore:
         dev_vals = {name: jnp.asarray(pad_rows_pow2(vals))
                     for name, vals in cols.items()}
         dev_vals["__valid__"] = jnp.asarray(valid_vals)
-        all_cols = dict(self._dev_cols)
-        all_cols["__valid__"] = self._dev_valid
-        updated = _append_columns(all_cols, jnp.int32(start), dev_vals)
-        self._dev_valid = updated.pop("__valid__")
-        self._dev_cols = updated
         # host records, in fresh order (rows start..start+n-1)
         for offset, rec in enumerate(fresh):
             self.chunk_ids.append(rec.chunk_id)
@@ -250,6 +260,29 @@ class CorpusStore:
             self._chunk_row[rec.chunk_id] = start + offset
         rows = [r if r >= 0 else start + (-2 - r) for r in rows]
         self.size = start + n
+        return rows, (start, dev_vals)
+
+    def device_arrays(self) -> Dict[str, jnp.ndarray]:
+        """Device arrays keyed like prepare_append's dev_vals."""
+        d = dict(self._dev_cols)
+        d["__valid__"] = self._dev_valid
+        return d
+
+    def commit_device(self, updated: Dict[str, jnp.ndarray]) -> None:
+        updated = dict(updated)
+        self._dev_valid = updated.pop("__valid__")
+        self._dev_cols = updated
+
+    def append(self, records: Sequence[ChunkRecord]) -> List[int]:
+        """Insert records; returns their row ids. Duplicate chunk_ids are
+        idempotent upserts (content-hash ids make re-ingest a no-op,
+        reference chunking.py:357-364)."""
+        rows, pending = self.prepare_append(records)
+        if pending is not None:
+            start, dev_vals = pending
+            self.commit_device(
+                fused_append(self.device_arrays(), jnp.int32(start), dev_vals)
+            )
         return rows
 
     def delete_rows(self, rows: Iterable[int], *, forget_content: bool = False) -> int:

@@ -10,7 +10,6 @@ store's validity/filter masks plug straight into the masked top-k.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -20,22 +19,6 @@ import numpy as np
 from ..config import IndexConfig, Metric
 from ..ops.dense import dense_topk, l2_normalize
 from .corpus import next_pow2, pad_rows_pow2
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _append_rows(emb: jnp.ndarray, start: jnp.ndarray, vals: jnp.ndarray):
-    return jax.lax.dynamic_update_slice(emb, vals, (start, 0))
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _append_rows_sq8(codes: jnp.ndarray, scale: jnp.ndarray,
-                     start: jnp.ndarray, code_v: jnp.ndarray,
-                     scale_v: jnp.ndarray):
-    """codes + scales in ONE program (one dispatch per append)."""
-    return (
-        jax.lax.dynamic_update_slice(codes, code_v, (start, 0)),
-        jax.lax.dynamic_update_slice(scale, scale_v, (start,)),
-    )
 
 
 def _to_host_dtype(arr: np.ndarray, jdt: jnp.dtype) -> np.ndarray:
@@ -101,30 +84,51 @@ class DenseIndex:
         else:
             self.emb = jax.device_put(_to_host_dtype(grown, self._dtype))
 
-    def append(self, start: int, vectors: np.ndarray) -> None:
-        """Write vectors at rows [start, start+N) — row ids come from the
-        CorpusStore so every index family stays aligned."""
+    def prepare_append(self, start: int, vectors: np.ndarray):
+        """Host half of an append (mirror write, capacity growth, padded
+        device values) — see CorpusStore.prepare_append for the fused
+        protocol.  Returns dev_vals or None when vectors is empty."""
         v = self._prepare(vectors)
         n = v.shape[0]
         if n == 0:
-            return
+            return None
         self._ensure_capacity(start + next_pow2(n))
         self._host[start : start + n] = v
         if self._sq8:
             from ..ops.quant import sq8_quantize_host
 
             codes, scale = sq8_quantize_host(v)
-            self.emb, self.emb_scale = _append_rows_sq8(
-                self.emb, self.emb_scale, jnp.int32(start),
-                jax.device_put(pad_rows_pow2(codes)),
-                jax.device_put(pad_rows_pow2(scale)),
-            )
+            vals = {
+                "emb": jax.device_put(pad_rows_pow2(codes)),
+                "emb_scale": jax.device_put(pad_rows_pow2(scale)),
+            }
         else:
-            self.emb = _append_rows(
-                self.emb, jnp.int32(start),
-                jax.device_put(_to_host_dtype(pad_rows_pow2(v), self._dtype)),
-            )
+            vals = {"emb": jax.device_put(
+                _to_host_dtype(pad_rows_pow2(v), self._dtype))}
         self.size = max(self.size, start + n)
+        return vals
+
+    def device_arrays(self):
+        d = {"emb": self.emb}
+        if self._sq8:
+            d["emb_scale"] = self.emb_scale
+        return d
+
+    def commit_device(self, updated) -> None:
+        self.emb = updated["emb"]
+        if self._sq8:
+            self.emb_scale = updated["emb_scale"]
+
+    def append(self, start: int, vectors: np.ndarray) -> None:
+        """Write vectors at rows [start, start+N) — row ids come from the
+        CorpusStore so every index family stays aligned."""
+        from .corpus import fused_append
+
+        vals = self.prepare_append(start, vectors)
+        if vals is None:
+            return
+        self.commit_device(
+            fused_append(self.device_arrays(), jnp.int32(start), vals))
         # Streaming ingest (SURVEY.md §7 hard part 5): the quantizer
         # stays valid for the segment it was built over; appended rows
         # form an exact-scan tail merged at query time.  Rebuild when

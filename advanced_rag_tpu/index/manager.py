@@ -159,7 +159,7 @@ class MultiIndexManager:
             return report
 
         first_new = self.store.size
-        rows = self.store.append(records)
+        rows, store_pending = self.store.prepare_append(records)
         # Only embed rows that are NEW (idempotent re-ingest skips work).
         new_rows: List[int] = []
         new_records: List[ChunkRecord] = []
@@ -170,20 +170,57 @@ class MultiIndexManager:
                 new_rows.append(row)
                 new_records.append(rec)
         if new_rows:
+            # ONE fused device program for corpus columns + dense
+            # embeddings + sparse slots (+ domain): every append array is
+            # updated in a single dispatch (BACKLOG #6 — each dispatch
+            # costs ~28 ms through the remote-chip tunnel).
+            from .corpus import fused_append
+
             start = min(new_rows)
             # rows from CorpusStore.append are contiguous for fresh records
             texts = [r.content for r in new_records]
             emb = self._embed_batch_cached(
                 texts, self.embedder, self._semantic_cache, "semantic"
             )
-            self.semantic.append(start, emb)
+            arrays: Dict[str, Any] = {}
+            vals: Dict[str, Any] = {}
+
+            def collect(prefix: str, arrs, vls) -> None:
+                for name, a in arrs.items():
+                    arrays[prefix + name] = a
+                    vals[prefix + name] = vls[name]
+
+            if store_pending is not None:
+                collect("c:", self.store.device_arrays(), store_pending[1])
+            sem_vals = self.semantic.prepare_append(start, emb)
+            collect("e:", self.semantic.device_arrays(), sem_vals)
             if self.sparse is not None:
-                self.sparse.append_texts(start, texts)
+                from .text import encode_documents
+
+                sp_enc = encode_documents(texts, self.sparse.vocab_size,
+                                          self.sparse.doc_nnz)
+                sp_vals = self.sparse.prepare_append_encoded(start, *sp_enc)
+                collect("s:", self.sparse.device_arrays(), sp_vals)
             if self.domain is not None and self.domain_embedder is not None:
                 demb = self._embed_batch_cached(
                     texts, self.domain_embedder, self._domain_cache, "domain"
                 )
-                self.domain.append(start, demb)
+                dom_vals = self.domain.prepare_append(start, demb)
+                collect("d:", self.domain.device_arrays(), dom_vals)
+
+            updated = fused_append(arrays, jnp.int32(start), vals)
+
+            def split(prefix: str):
+                return {k[len(prefix):]: v for k, v in updated.items()
+                        if k.startswith(prefix)}
+
+            if store_pending is not None:
+                self.store.commit_device(split("c:"))
+            self.semantic.commit_device(split("e:"))
+            if self.sparse is not None:
+                self.sparse.commit_device(split("s:"))
+            if self.domain is not None and self.domain_embedder is not None:
+                self.domain.commit_device(split("d:"))
         report["indexed"] = len(records)
         report["rows"] = rows
         report["elapsed_ms"] = (time.perf_counter() - t0) * 1000

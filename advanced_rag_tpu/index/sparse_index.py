@@ -8,7 +8,6 @@ table, and append/delete bookkeeping, row-aligned with CorpusStore.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -20,18 +19,6 @@ from ..ops.postings import postings_topk
 from ..ops.sparse import sparse_topk
 from .corpus import next_pow2, pad_rows_pow2
 from .text import encode_documents, encode_queries, remove_documents_df
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _append_sparse(idx: jnp.ndarray, tf: jnp.ndarray, lens: jnp.ndarray,
-                   start: jnp.ndarray, idx_v: jnp.ndarray,
-                   tf_v: jnp.ndarray, len_v: jnp.ndarray):
-    """idx/tf/len updates in ONE program (one compile, one dispatch)."""
-    return (
-        jax.lax.dynamic_update_slice(idx, idx_v, (start, 0)),
-        jax.lax.dynamic_update_slice(tf, tf_v, (start, 0)),
-        jax.lax.dynamic_update_slice(lens, len_v, (start,)),
-    )
 
 
 class SparseIndex:
@@ -80,17 +67,19 @@ class SparseIndex:
         )
         self.append_encoded(start, idx, tf, lens, df_delta)
 
-    def append_encoded(
+    def prepare_append_encoded(
         self,
         start: int,
         idx: np.ndarray,
         tf: np.ndarray,
         lens: np.ndarray,
         df_delta: np.ndarray,
-    ) -> None:
+    ):
+        """Host half of an append — see CorpusStore.prepare_append for
+        the fused protocol.  Returns dev_vals or None when empty."""
         n = idx.shape[0]
         if n == 0:
-            return
+            return None
         self._ensure_capacity(start + next_pow2(n))
         self._host_idx[start : start + n] = idx
         self._host_tf[start : start + n] = tf
@@ -100,17 +89,43 @@ class SparseIndex:
         if pad_idx.shape[0] != n:
             pad_idx = pad_idx.copy()
             pad_idx[n:] = -1
-        self.doc_idx, self.doc_tf, self.doc_len = _append_sparse(
-            self.doc_idx, self.doc_tf, self.doc_len, jnp.int32(start),
-            jnp.asarray(pad_idx), jnp.asarray(pad_rows_pow2(tf), jnp.bfloat16),
-            jnp.asarray(pad_rows_pow2(lens)),
-        )
+        vals = {
+            "doc_idx": jnp.asarray(pad_idx),
+            "doc_tf": jnp.asarray(pad_rows_pow2(tf), jnp.bfloat16),
+            "doc_len": jnp.asarray(pad_rows_pow2(lens)),
+        }
         self._df += df_delta.astype(np.int64)
         self.df = jnp.asarray(np.minimum(self._df, 2**31 - 1).astype(np.int32))
         self.size = max(self.size, start + n)
         self.n_docs += n
         if self.has_postings:
             self._postings_append(start, idx, tf)
+        return vals
+
+    def device_arrays(self):
+        return {"doc_idx": self.doc_idx, "doc_tf": self.doc_tf,
+                "doc_len": self.doc_len}
+
+    def commit_device(self, updated) -> None:
+        self.doc_idx = updated["doc_idx"]
+        self.doc_tf = updated["doc_tf"]
+        self.doc_len = updated["doc_len"]
+
+    def append_encoded(
+        self,
+        start: int,
+        idx: np.ndarray,
+        tf: np.ndarray,
+        lens: np.ndarray,
+        df_delta: np.ndarray,
+    ) -> None:
+        from .corpus import fused_append
+
+        vals = self.prepare_append_encoded(start, idx, tf, lens, df_delta)
+        if vals is None:
+            return
+        self.commit_device(
+            fused_append(self.device_arrays(), jnp.int32(start), vals))
 
     # -- inverted postings (ops/postings.py) --------------------------------
 
