@@ -1,4 +1,5 @@
-"""Trainer: contrastive bi-encoder fine-tuning over a (data, model) mesh."""
+"""Trainer: contrastive bi-encoder fine-tuning over a (data, model)
+mesh, plus label-free cross-encoder distillation from the bi-encoder."""
 
 from .contrastive import (
     TrainConfig,
@@ -8,11 +9,14 @@ from .contrastive import (
     param_partition_spec,
     synthetic_pair_batch,
 )
+from .distill import DistillConfig, distill_cross_encoder
 from .loop import TrainLoopConfig, load_params, save_params, train_biencoder
 
 __all__ = [
+    "DistillConfig",
     "TrainConfig",
     "TrainLoopConfig",
+    "distill_cross_encoder",
     "build_train_mesh",
     "load_params",
     "make_optimizer",

@@ -94,3 +94,44 @@ def test_train_loop_improves_eval(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_distill_cross_encoder_matches_teacher():
+    """KL to the bi-encoder teacher drops and argmax agreement rises —
+    the label-free reranker bootstrap (train/distill.py)."""
+    from advanced_rag_tpu.train import (
+        DistillConfig, distill_cross_encoder, train_biencoder, TrainLoopConfig,
+    )
+
+    texts = [f"domain {i % 4} text about subject {i} alpha beta {i * 7}"
+             for i in range(48)]
+    # quick teacher: a few contrastive steps on the tiny geometry
+    teacher_model, teacher_params, _ = train_biencoder(
+        texts, encoder_config=TINY, out_dim=16,
+        train_config=TrainConfig(learning_rate=1e-3, warmup_steps=2,
+                                 total_steps=20, temperature=0.1),
+        loop_config=TrainLoopConfig(steps=10, batch_size=16, log_every=10,
+                                    eval_every=100),
+        mesh=build_train_mesh(8),
+    )
+    student, params, history = distill_cross_encoder(
+        texts, teacher_model, teacher_params,
+        encoder_config=TINY,
+        train_config=TrainConfig(learning_rate=3e-3, warmup_steps=2,
+                                 total_steps=60),
+        distill_config=DistillConfig(steps=40, queries_per_batch=8,
+                                     candidates_per_query=4, log_every=10),
+        mesh=build_train_mesh(8),
+    )
+    # held-out KL to the teacher must drop (the distill objective);
+    # per-training-batch numbers are noisy at this batch size.
+    assert history[-1]["eval_loss"] < history[0]["eval_loss"]
+    assert history[-1]["eval_agreement"] >= history[0]["eval_agreement"]
+    assert np.isfinite([h["loss"] for h in history]).all()
+
+    # the distilled params drop into the serving reranker
+    from advanced_rag_tpu.models.cross_encoder import CrossEncoderReranker
+
+    rr = CrossEncoderReranker(config=TINY, params=params)
+    scores = rr.score("subject 3 alpha", [texts[3], texts[11], texts[20]])
+    assert scores.shape == (3,) and np.isfinite(scores).all()
