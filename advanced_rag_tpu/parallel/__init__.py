@@ -8,6 +8,12 @@ from .mesh import (
     replicated,
     single_device_mesh,
 )
+from .multihost import (
+    build_pod_mesh,
+    distributed_init,
+    hierarchical_merge_topk,
+    pod_dense_topk,
+)
 from .sharded_hybrid import sharded_hybrid_retrieve
 from .sharded_search import (
     shard_corpus_arrays,
@@ -18,6 +24,10 @@ from .topk import gather_merge_topk, tree_merge_topk
 
 __all__ = [
     "build_mesh",
+    "build_pod_mesh",
+    "distributed_init",
+    "hierarchical_merge_topk",
+    "pod_dense_topk",
     "single_device_mesh",
     "corpus_sharding",
     "replicated",
