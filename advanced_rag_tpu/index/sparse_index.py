@@ -173,6 +173,7 @@ class SparseIndex:
         flat_r = np.repeat(np.arange(idx.shape[0], dtype=np.int32) + start,
                            idx.shape[1])[keep]
         incoming = np.bincount(flat_t, minlength=self.vocab_size)
+        grew = False
         while ((self._post_fill + incoming) > self._post_cap).any() \
                 and self._post_cap < 16384:
             new_cap = self._post_cap * 2
@@ -182,6 +183,7 @@ class SparseIndex:
             grown_t[:, : self._post_cap] = self._host_post_tf
             self._host_post_rows, self._host_post_tf = grown_r, grown_t
             self._post_cap = new_cap
+            grew = True
         # positions per posting: per-term running cursor (vectorized via
         # sort-by-term + searchsorted offsets)
         order = np.argsort(flat_t, kind="stable")
@@ -193,8 +195,30 @@ class SparseIndex:
         self._host_post_rows[st[ok], pos[ok]] = sr[ok]
         self._host_post_tf[st[ok], pos[ok]] = stf[ok]
         np.add.at(self._post_fill, st[ok], 1)
-        self._post_rows = jnp.asarray(self._host_post_rows)
-        self._post_tf = jnp.asarray(self._host_post_tf, jnp.bfloat16)
+        if grew:
+            # capacity changed: one full upload of the grown layout
+            self._post_rows = jnp.asarray(self._host_post_rows)
+            self._post_tf = jnp.asarray(self._host_post_tf, jnp.bfloat16)
+            return
+        # steady state: device-side scatter of ONLY the new postings —
+        # a full [V, cap] re-upload is ~1.5 GB at the 1M tier, vs
+        # n*nnz scattered slots here.  Indices padded to pow2 buckets
+        # with an idempotent repeat (same value re-written) so compiled
+        # programs are reused across batch sizes.
+        t_new, p_new = st[ok].astype(np.int32), pos[ok].astype(np.int32)
+        r_new, tf_new = sr[ok], stf[ok]
+        if len(t_new) == 0:
+            return
+        m = next_pow2(len(t_new))
+        if m != len(t_new):
+            padder = lambda a: np.concatenate(
+                [a, np.repeat(a[:1], m - len(a), axis=0)])
+            t_new, p_new = padder(t_new), padder(p_new)
+            r_new, tf_new = padder(r_new), padder(tf_new)
+        ti, pi = jnp.asarray(t_new), jnp.asarray(p_new)
+        self._post_rows = self._post_rows.at[ti, pi].set(jnp.asarray(r_new))
+        self._post_tf = self._post_tf.at[ti, pi].set(
+            jnp.asarray(tf_new, jnp.bfloat16))
 
     def search_postings(
         self,
