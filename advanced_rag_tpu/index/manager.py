@@ -453,7 +453,23 @@ class MultiIndexManager:
         # approx dense + Pallas sparse on real TPUs; exact scan + XLA
         # compare kernel elsewhere (Pallas interpret mode is for tests).
         on_tpu = jax.default_backend() == "tpu"
-        if self.semantic._sq8:
+        ivf_args = {}
+        if self.semantic.has_ivf:
+            # partitioned ANN inside the fused program (the 10M tier);
+            # the appended tail is exact-scanned + merged in-program
+            from .corpus import next_pow2 as _np2
+
+            dense_impl = "ivf"
+            sem = self.semantic
+            tail = sem.size - sem._ivf_size
+            ivf_args = {
+                "ivf_parts": sem._ivf,
+                "nprobe": min(sem.config.nprobe,
+                              int(sem._ivf.centroids.shape[0])),
+                "ivf_tail_start": sem._ivf_size,
+                "ivf_tail_pad": _np2(tail) if tail > 0 else 0,
+            }
+        elif self.semantic._sq8:
             dense_impl = "sq8"
         else:
             dense_impl = ("approx"
@@ -477,8 +493,9 @@ class MultiIndexManager:
                 sparse_impl = "pallas" if (on_tpu and qb <= 2) else "xla"
         else:
             sparse_impl = "xla"
-        if dense_impl == "sq8":
+        if self.semantic._sq8:
             post_args = dict(post_args, emb_scale=self.semantic.emb_scale)
+        post_args.update(ivf_args)
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
             q, jnp.asarray(q_idx), jnp.asarray(q_tf),

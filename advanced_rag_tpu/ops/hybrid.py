@@ -41,7 +41,8 @@ class HybridResult(NamedTuple):
     static_argnames=(
         "k_cand", "k_out", "metric", "scoring", "rrf_k", "use_mmr",
         "dense_block_size", "sparse_block_size", "enable_sparse",
-        "dense_impl", "sparse_impl",
+        "dense_impl", "sparse_impl", "nprobe", "ivf_tail_start",
+        "ivf_tail_pad",
     ),
 )
 def hybrid_retrieve(
@@ -72,6 +73,10 @@ def hybrid_retrieve(
     # SQ8 tier (ops/quant.py): per-row dequant scales when emb is int8
     # codes (required when dense_impl="sq8")
     emb_scale: Optional[jnp.ndarray] = None,    # [N] f32
+    # IVF partitions (required when dense_impl="ivf"); rows appended
+    # since the build form an exact-scan tail at
+    # emb[ivf_tail_start : ivf_tail_start + ivf_tail_pad]
+    ivf_parts=None,                              # ops.ivf.IVFPartitions
     *,
     k_cand: int,                # per-index over-retrieval (2x top_k, retrieval.py:351)
     k_out: int,
@@ -82,8 +87,11 @@ def hybrid_retrieve(
     enable_sparse: bool = True,
     dense_block_size: int = 65536,
     sparse_block_size: int = 8192,
-    dense_impl: str = "scan",    # "scan" exact stream | "approx" approx_max_k
+    dense_impl: str = "scan",    # "scan" | "approx" | "sq8" | "ivf"
     sparse_impl: str = "xla",    # "xla" compare-scan | "pallas" VMEM kernel
+    nprobe: int = 32,            # IVF probes (dense_impl="ivf")
+    ivf_tail_start: int = 0,     # first appended-tail row (static)
+    ivf_tail_pad: int = 0,       # pow2-padded tail length; 0 = no tail
 ) -> HybridResult:
     """One-dispatch hybrid search (reference call stack 3.2 collapsed).
 
@@ -97,7 +105,42 @@ def hybrid_retrieve(
     "pallas" keeps corpus blocks VMEM-resident across query terms
     (ops/pallas_sparse.py) instead of re-streaming HBM per term.
     """
-    if dense_impl == "sq8":
+    if dense_impl == "ivf":
+        # partitioned ANN (the 10M-tier path) inside the fused program;
+        # appended-tail rows are exact-scanned and merged, identical to
+        # DenseIndex.search (streaming-ingest contract).
+        from .dense import merge_topk
+        from .ivf import ivf_topk
+
+        d_s, d_i = ivf_topk(ivf_parts, q_dense, k_cand, valid,
+                            nprobe=nprobe)
+        if ivf_tail_pad:
+            t_emb = jax.lax.dynamic_slice_in_dim(
+                emb, ivf_tail_start, ivf_tail_pad, axis=0)
+            t_mask = (jax.lax.dynamic_slice_in_dim(
+                valid, ivf_tail_start, ivf_tail_pad, axis=0)
+                if valid is not None
+                else jnp.ones((ivf_tail_pad,), jnp.bool_))
+            kk = min(k_cand, ivf_tail_pad)
+            if emb_scale is not None:
+                from .quant import dense_topk_sq8
+
+                t_scale = jax.lax.dynamic_slice_in_dim(
+                    emb_scale, ivf_tail_start, ivf_tail_pad, axis=0)
+                ts, ti = dense_topk_sq8(t_emb, t_scale, q_dense, kk, t_mask,
+                                        metric="ip", normalize_queries=False)
+            else:
+                ts, ti = dense_topk(t_emb, q_dense, kk, t_mask,
+                                    metric=metric, normalize_queries=False)
+            ti = jnp.where(ti >= 0, ti + ivf_tail_start, -1)
+            if kk < k_cand:
+                ts = jnp.pad(ts, ((0, 0), (0, k_cand - kk)),
+                             constant_values=float(NEG_INF))
+                ti = jnp.pad(ti, ((0, 0), (0, k_cand - kk)),
+                             constant_values=-1)
+            d_s, d_i = merge_topk(d_s, d_i, ts, ti, k_cand)
+            d_i = jnp.where(d_s <= NEG_INF, -1, d_i)
+    elif dense_impl == "sq8":
         from .quant import dense_topk_sq8
 
         d_s, d_i = dense_topk_sq8(

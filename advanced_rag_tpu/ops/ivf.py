@@ -267,8 +267,11 @@ def ivf_topk(
         s = jnp.where(ok, s, NEG_INF)
         flat_s = s.reshape(-1)
         flat_r = jnp.where(ok, pr, -1).reshape(-1)
-        top_s, sel = lax.top_k(flat_s, k)
-        return top_s, flat_r[sel]
+        kq = min(k, flat_s.shape[0])  # tiny corpora: nprobe*cap < k
+        top_s, sel = lax.top_k(flat_s, kq)
+        top_s = jnp.pad(top_s, (0, k - kq), constant_values=NEG_INF)
+        top_r = jnp.pad(flat_r[sel], (0, k - kq), constant_values=-1)
+        return top_s, top_r
 
     top_s, top_i = jax.vmap(one_query)(
         q_codes if sq8 else q, probe,

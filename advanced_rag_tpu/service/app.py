@@ -649,6 +649,36 @@ async def perf_report(request: web.Request) -> web.Response:
     return web.json_response(state.pipeline.get_performance_report())
 
 
+async def index_stats(request: web.Request) -> web.Response:
+    """Index geometry + IVF/rebuild state (reference indexing.py:678)."""
+    state: ServiceState = request.app["state"]
+    return web.json_response(
+        state.pipeline.index_manager.get_collection_stats())
+
+
+async def index_maintain(request: web.Request) -> web.Response:
+    """One maintenance pass now (build-then-swap IVF rebuild when the
+    streaming tail is oversized); body {"build_ivf": true} forces a
+    first build, {"tune_recall": 0.95} auto-tunes nprobe after."""
+    state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
+    body = await request.json() if request.can_read_body else {}
+    mgr = state.pipeline.index_manager
+    out: Dict[str, Any] = {}
+    if body.get("build_ivf") and not mgr.semantic.has_ivf:
+        await asyncio.to_thread(mgr.semantic.build_ivf)
+        out["ivf_built"] = True
+    out.update(await asyncio.to_thread(mgr.maintenance_tick))
+    target = body.get("tune_recall")
+    if target and mgr.semantic.has_ivf:
+        npb, rec = await asyncio.to_thread(
+            mgr.semantic.tune_nprobe, float(target))
+        out["nprobe"] = npb
+        out["tuned_recall"] = rec
+    return web.json_response(out)
+
+
 async def index_page(request: web.Request) -> web.Response:
     return web.FileResponse(STATIC_DIR / "index.html")
 
@@ -684,6 +714,8 @@ def create_app(config: Optional[PipelineConfig] = None,
     app.router.add_post("/eval/run", eval_run)
     app.router.add_post("/drift", drift)
     app.router.add_get("/perf", perf_report)
+    app.router.add_get("/admin/index/stats", index_stats)
+    app.router.add_post("/admin/index/maintain", index_maintain)
     if STATIC_DIR.is_dir():
         app.router.add_get("/", index_page)
         app.router.add_static("/static", STATIC_DIR)

@@ -39,10 +39,22 @@ def main() -> None:
     k_cand, k_out = 40, 24  # top_k=20 profile, 2x over-retrieve, 8-bucketed
     baseline_ms = 80.0      # reference retrieve SLA (BASELINE.md)
 
+    # dense storage tier: "int8" = SQ8 codes (production semantic_dtype
+    # knob; 2x bf16 scan speed at ~0.99 overlap), "bf16" = approx_max_k
+    dtype = os.environ.get("BENCH_DTYPE", "int8")
+
     rng = np.random.default_rng(0)
     emb = rng.standard_normal((n, d)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    emb_dev = jax.device_put(jnp.asarray(emb, dtype=jnp.bfloat16))
+    if dtype == "int8":
+        from advanced_rag_tpu.ops.quant import sq8_quantize_host
+
+        codes, scale = sq8_quantize_host(emb)
+        emb_dev = jax.device_put(jnp.asarray(codes))
+        emb_scale = jax.device_put(jnp.asarray(scale))
+    else:
+        emb_dev = jax.device_put(jnp.asarray(emb, dtype=jnp.bfloat16))
+        emb_scale = None
     del emb
 
     doc_idx = rng.integers(0, vocab, (n, nnz)).astype(np.int32)
@@ -69,13 +81,18 @@ def main() -> None:
     pr = jax.device_put(jnp.asarray(pr))
     pt = jax.device_put(jnp.asarray(pt, dtype=jnp.bfloat16))
 
+    if dtype == "int8":
+        dense_impl = "sq8"
+    else:
+        dense_impl = "approx" if on_tpu else "scan"
+
     def run(q_dense, q_idx, q_tf):
         return hybrid_retrieve(
             emb_dev, di, dt, dl, dfj, jnp.float32(n),
             q_dense, q_idx, q_tf, valid, weights, jnp.float32(0.8),
-            post_rows=pr, post_tf=pt,
+            post_rows=pr, post_tf=pt, emb_scale=emb_scale,
             k_cand=k_cand, k_out=k_out, metric="ip", use_mmr=True,
-            dense_impl="approx" if on_tpu else "scan",
+            dense_impl=dense_impl,
             sparse_impl="postings",
         )
 

@@ -195,3 +195,49 @@ class TestMaintenance:
         mgr.start_maintenance()  # idempotent
         mgr.close()
         assert mgr._maint_thread is None
+
+
+class TestHybridIVF:
+    """dense_impl='ivf' inside the fused hybrid program, incl. the
+    exact-scan tail for rows appended after the build."""
+
+    def _mgr(self, rng, n=512, dtype="bfloat16"):
+        from advanced_rag_tpu.index.corpus import ChunkRecord
+        from advanced_rag_tpu.index.manager import MultiIndexManager
+        from advanced_rag_tpu.config import PipelineConfig
+
+        mgr = MultiIndexManager(
+            config=PipelineConfig(semantic_dim=32, semantic_dtype=dtype))
+        recs = [ChunkRecord(chunk_id=f"c{j}", doc_id=f"d{j%5}",
+                            content=f"text number {j} about subject {j%7}")
+                for j in range(n)]
+        mgr.index_chunks(recs)
+        return mgr
+
+    @pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+    def test_fused_hybrid_uses_ivf_and_finds_tail(self, rng, dtype):
+        from advanced_rag_tpu.index.corpus import ChunkRecord
+
+        mgr = self._mgr(rng, n=512, dtype=dtype)
+        flat = [h["chunk_id"] for h in
+                mgr.hybrid_search_batch_sync(["text number 77"], 5)[0]]
+        mgr.semantic.build_ivf(nlist=16)
+        # full probe -> parity with the flat-scan hybrid ranking
+        mgr.semantic.config.nprobe = 16
+        hits = mgr.hybrid_search_batch_sync(["text number 77"], 5)[0]
+        assert [h["chunk_id"] for h in hits] == flat
+        assert "c77" in {h["chunk_id"] for h in hits}
+
+        # appended tail after the build must be retrievable
+        recs = [ChunkRecord(chunk_id=f"t{j}", doc_id="dt",
+                            content=f"unique zanzibar quokka {j} document")
+                for j in range(16)]
+        mgr.index_chunks(recs)
+        assert mgr.semantic.ivf_tail_rows == 16
+        hits = mgr.hybrid_search_batch_sync(["unique zanzibar quokka 7"], 5)[0]
+        assert hits and hits[0]["chunk_id"] == "t7"
+
+        # rebuild absorbs the tail; search still correct
+        mgr.maintenance_tick()
+        hits = mgr.hybrid_search_batch_sync(["unique zanzibar quokka 7"], 5)[0]
+        assert hits and hits[0]["chunk_id"] == "t7"

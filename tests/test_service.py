@@ -219,3 +219,36 @@ class TestEnvFlags:
             assert (await resp.json())["results"]
         finally:
             await client.close()
+
+
+class TestAdminEndpoints:
+    async def test_index_stats(self, client):
+        await _ingest(client)
+        resp = await client.get("/admin/index/stats")
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["semantic"]["rows"] >= 2
+        assert "ivf_needs_rebuild" in data["semantic"]
+
+    async def test_maintain_builds_and_tunes(self, client):
+        await _ingest(client)
+        resp = await client.post("/admin/index/maintain",
+                                 json={"build_ivf": True,
+                                       "tune_recall": 0.5})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data.get("ivf_built") is True
+        assert "nprobe" in data and data["tuned_recall"] >= 0.5
+        # stats now reflect the built quantizer
+        stats = await (await client.get("/admin/index/stats")).json()
+        assert stats["semantic"]["ivf"] is True
+
+    async def test_maintain_requires_auth_when_key_set(self, client):
+        state = client.app["state"]
+        state.api_key = "secret"
+        resp = await client.post("/admin/index/maintain", json={})
+        assert resp.status == 401
+        resp = await client.post("/admin/index/maintain", json={},
+                                 headers={"X-API-Key": "secret"})
+        assert resp.status == 200
+        state.api_key = ""
