@@ -49,9 +49,10 @@ class HFEmbedder:
 
         @jax.jit
         def _forward(params, ids, mask):
-            out = self.model.module.apply(
-                {"params": params}, ids, mask,
-                deterministic=True)
+            # the FlaxPreTrainedModel __call__ fills position_ids /
+            # head_mask defaults and is jit-traceable
+            out = self.model(input_ids=ids, attention_mask=mask,
+                             params=params, train=False)
             hidden = out.last_hidden_state.astype(jnp.float32)  # [B, L, H]
             m = mask[:, :, None].astype(jnp.float32)
             pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(

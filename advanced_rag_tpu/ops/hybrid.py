@@ -141,13 +141,24 @@ def hybrid_retrieve(
             d_s, d_i = merge_topk(d_s, d_i, ts, ti, k_cand)
             d_i = jnp.where(d_s <= NEG_INF, -1, d_i)
     elif dense_impl == "sq8":
-        from .quant import dense_topk_sq8
+        # approx_max_k over materialized [Q, N] scores wherever that
+        # fits (mirrors the bf16 "approx" ladder rung); blocked exact
+        # scan beyond
+        if emb.shape[0] <= 4_194_304:
+            from .quant import dense_topk_sq8_approx
 
-        d_s, d_i = dense_topk_sq8(
-            emb, emb_scale, q_dense, k_cand, valid,
-            metric="ip",  # cosine rows pre-normalized, queries upstream
-            normalize_queries=False,
-        )
+            d_s, d_i = dense_topk_sq8_approx(
+                emb, emb_scale, q_dense, k_cand, valid,
+                metric="ip", normalize_queries=False,
+            )
+        else:
+            from .quant import dense_topk_sq8
+
+            d_s, d_i = dense_topk_sq8(
+                emb, emb_scale, q_dense, k_cand, valid,
+                metric="ip",  # cosine rows pre-normalized upstream
+                normalize_queries=False,
+            )
     elif dense_impl == "approx":
         from .dense import dense_topk_approx
 

@@ -137,9 +137,47 @@ def dense_topk_sq8(
     return top_s, top_i
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "recall_target",
+                              "normalize_queries")
+)
+def dense_topk_sq8_approx(
+    codes: jnp.ndarray,                   # [N, D] int8
+    scale: jnp.ndarray,                   # [N] f32
+    queries: jnp.ndarray,                 # [Q, D] f32
+    k: int,
+    valid: Optional[jnp.ndarray] = None,
+    *,
+    metric: str = "ip",
+    recall_target: float = 0.99,
+    normalize_queries: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SQ8 scoring with the TPU-native sort-free `approx_max_k`
+    reduction: one int8 MXU matmul materializes [Q, N] scores (4 bytes/
+    row/query — fine to ~4M rows), then the approx top-k.  Measured
+    faster than the blocked exact scan wherever [Q, N] fits, mirroring
+    the bf16 approx path (ops/dense.py dense_topk_approx)."""
+    if metric not in ("ip", "cosine"):
+        raise ValueError(f"sq8 supports ip/cosine, got: {metric}")
+    q = queries.astype(jnp.float32)
+    if metric == "cosine" and normalize_queries:
+        q = l2_normalize(q)
+    q_codes, q_scale = sq8_quantize(q)
+    acc = jax.lax.dot_general(
+        q_codes, codes, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # [Q, N] i32
+    s = acc.astype(jnp.float32) * (q_scale[:, None] * scale[None, :])
+    if valid is not None:
+        s = jnp.where(valid[None, :].astype(jnp.bool_), s, NEG_INF)
+    top_s, top_i = lax.approx_max_k(s, k, recall_target=recall_target)
+    top_i = jnp.where(top_s <= NEG_INF, -1, top_i.astype(jnp.int32))
+    return top_s, top_i.astype(jnp.int32)
+
+
 __all__ = [
     "sq8_quantize_host",
     "sq8_quantize",
     "sq8_block_scores",
     "dense_topk_sq8",
+    "dense_topk_sq8_approx",
 ]

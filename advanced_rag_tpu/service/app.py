@@ -145,13 +145,21 @@ class ServiceState:
         return cfg
 
     def _wire_rerankers(self) -> None:
-        """RAG_RERANKER env: cross_encoder | learned | passthrough."""
+        """RAG_RERANKER env: cross_encoder | hf:<checkpoint-path> |
+        learned | passthrough."""
         kind = os.environ.get("RAG_RERANKER", "").lower()
         retriever = self.pipeline.retriever
         if kind == "cross_encoder" and retriever.reranker is None:
             from ..models.cross_encoder import CrossEncoderReranker
 
             retriever.reranker = CrossEncoderReranker()
+        elif kind.startswith("hf:") and retriever.reranker is None:
+            from ..models.hf_cross_encoder import HFCrossEncoder
+
+            # real ms-marco-class checkpoint from local files (the model
+            # the reference names but stubs — retrieval.py:651-681)
+            retriever.reranker = HFCrossEncoder(
+                os.environ["RAG_RERANKER"][3:])
         elif kind == "learned" and retriever.learned_ranker is None:
             from ..pipeline.ranker import LearnedRanker
 

@@ -2,6 +2,7 @@
 domain index retrieval, NeuralEmbedder-backed pipeline."""
 
 import numpy as np
+import pytest
 
 from advanced_rag_tpu.config import PipelineConfig, RetrievalConfig
 from advanced_rag_tpu.index.manager import MultiIndexManager
@@ -70,3 +71,60 @@ def test_cross_encoder_scores_shape():
     assert scores.shape == (3,)
     assert np.isfinite(scores).all()
     assert ce.score("q", []).shape == (0,)
+
+
+def test_hf_cross_encoder_local_checkpoint(tmp_path):
+    """Build a tiny local seq-classification checkpoint offline and run
+    it through HFCrossEncoder (zero-egress: local_files_only path)."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import BertConfig, BertTokenizerFast
+    from transformers import FlaxBertForSequenceClassification
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "tpu", "kernel", "retrieval", "dense", "sparse", "the", "a"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    tok = BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt"))
+    tok.save_pretrained(tmp_path)
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=32,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=64, max_position_embeddings=64,
+                     num_labels=1)
+    model = FlaxBertForSequenceClassification(cfg, seed=0)
+    model.save_pretrained(tmp_path)
+
+    from advanced_rag_tpu.models.hf_cross_encoder import HFCrossEncoder
+
+    ce = HFCrossEncoder(str(tmp_path), max_len=32, max_batch=4)
+    scores = ce.score("tpu kernel", ["dense retrieval", "sparse retrieval",
+                                     "the a the"])
+    assert scores.shape == (3,)
+    assert np.isfinite(scores).all()
+    # pairwise API parity with models/cross_encoder.py
+    s2 = ce.score_pairs(["tpu", "kernel"], ["dense", "sparse"])
+    assert s2.shape == (2,) and np.isfinite(s2).all()
+
+
+def test_hf_embedder_local_checkpoint(tmp_path):
+    pytest.importorskip("transformers")
+    from transformers import BertConfig, BertTokenizerFast, FlaxBertModel
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "tpu", "kernel", "retrieval", "dense", "sparse"]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    BertTokenizerFast(vocab_file=str(tmp_path / "vocab.txt")) \
+        .save_pretrained(tmp_path)
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=32,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=64, max_position_embeddings=64)
+    FlaxBertModel(cfg, seed=0).save_pretrained(tmp_path)
+
+    from advanced_rag_tpu.models.hf_embedder import HFEmbedder
+
+    emb = HFEmbedder(str(tmp_path), max_len=16, max_batch=4)
+    assert emb.dim == 32
+    v = emb.encode(["tpu kernel", "dense retrieval", "sparse"])
+    assert v.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
+    # deterministic: same text -> same embedding
+    v2 = emb.encode(["tpu kernel"])
+    np.testing.assert_allclose(v[0], v2[0], rtol=1e-5)

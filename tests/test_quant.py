@@ -158,3 +158,22 @@ def test_manager_int8_semantic(rng):
     assert mgr.semantic.emb.dtype == jnp.int8
     hits = mgr.hybrid_search_batch_sync(["document 7 about topic 2"], 5)[0]
     assert hits and hits[0]["chunk_id"] == "c7"
+
+
+def test_sq8_approx_matches_scan(rng):
+    from advanced_rag_tpu.ops.quant import dense_topk_sq8_approx
+
+    emb = normed(rng, 3000, 64)
+    q = normed(rng, 4, 64)
+    codes, scale = sq8_quantize_host(emb)
+    c, s = jnp.asarray(codes), jnp.asarray(scale)
+    valid = np.ones(3000, bool)
+    valid[100:200] = False
+    s1, i1 = dense_topk_sq8(c, s, jnp.asarray(q), 10, jnp.asarray(valid),
+                            metric="cosine")
+    s2, i2 = dense_topk_sq8_approx(c, s, jnp.asarray(q), 10,
+                                   jnp.asarray(valid), metric="cosine")
+    for a, b in zip(np.asarray(i1), np.asarray(i2)):
+        assert len(set(a.tolist()) & set(b.tolist())) >= 9
+    i2 = np.asarray(i2)
+    assert not np.isin(i2, np.arange(100, 200)).any()  # mask respected
