@@ -599,6 +599,13 @@ class MultiIndexManager:
             self.semantic.build_ivf(nlist=nlist)
             actions["ivf_rebuilt"] = True
             actions["ivf_rows"] = self.semantic._ivf_size
+        # postings compaction: deleted rows' postings occupy list slots
+        # (masked at query) — rebuild without them once >10% are dead
+        if (self.sparse is not None
+                and self.sparse.postings_stale_fraction > 0.10):
+            self.sparse.build_postings(
+                valid=np.asarray(self.store.valid_mask)[: self.sparse.size])
+            actions["postings_compacted"] = True
         return actions
 
     def start_maintenance(self, interval_s: float = 30.0) -> None:

@@ -137,16 +137,26 @@ class SparseIndex:
     def has_postings(self) -> bool:
         return getattr(self, "_post_rows", None) is not None
 
-    def build_postings(self, cap: int = 0) -> None:
+    def build_postings(self, cap: int = 0,
+                       valid: Optional[np.ndarray] = None) -> None:
         """Build the inverted layout from the slot layout; subsequent
-        appends maintain it incrementally (append_encoded)."""
+        appends maintain it incrementally (append_encoded).
+
+        ``valid`` (bool [size], from CorpusStore) drops deleted rows'
+        postings entirely — the compaction path; without it dead rows
+        stay in the lists and are masked at query time."""
         from ..ops.postings import auto_postings_cap, build_postings
 
         cap = cap or auto_postings_cap(max(self.n_docs, 1), self.doc_nnz,
                                        self.vocab_size)
-        rows, tf = build_postings(self._host_idx[: self.size],
+        src_idx = self._host_idx[: self.size]
+        if valid is not None:
+            src_idx = np.where(np.asarray(valid[: self.size], bool)[:, None],
+                               src_idx, -1)
+        rows, tf = build_postings(src_idx,
                                   self._host_tf[: self.size],
                                   self.vocab_size, cap)
+        self._postings_stale = 0
         self._post_cap = cap
         self._host_post_rows = rows
         self._host_post_tf = tf
@@ -240,7 +250,11 @@ class SparseIndex:
         )
 
     def remove_rows(self, rows: Sequence[int]) -> None:
-        """df bookkeeping for deletes (validity masking happens upstream)."""
+        """df bookkeeping for deletes (validity masking happens upstream).
+
+        Postings lists keep the dead row ids (masked at query time) until
+        the next rebuild; ``postings_stale_fraction`` drives compaction
+        in MultiIndexManager.maintenance_tick."""
         rows = [r for r in rows if 0 <= r < self.size]
         if not rows:
             return
@@ -248,6 +262,16 @@ class SparseIndex:
         self._df = np.maximum(self._df - df_delta.astype(np.int64), 0)
         self.df = jnp.asarray(np.minimum(self._df, 2**31 - 1).astype(np.int32))
         self.n_docs = max(self.n_docs - len(rows), 0)
+        if self.has_postings:
+            self._postings_stale = getattr(self, "_postings_stale", 0) + len(rows)
+
+    @property
+    def postings_stale_fraction(self) -> float:
+        """Deleted-row postings still occupying list slots (0 when no
+        postings are built)."""
+        if not self.has_postings:
+            return 0.0
+        return getattr(self, "_postings_stale", 0) / max(self.n_docs, 1)
 
     def encode_query(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         return encode_queries(

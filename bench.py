@@ -53,12 +53,19 @@ def main() -> None:
     cache_dir = Path(os.environ.get("BENCH_CACHE", "/tmp/rag_bench_cache"))
     cache_dir.mkdir(parents=True, exist_ok=True)
     cache = cache_dir / f"corpus_{n}_{d}_{nnz}_{vocab}.npz"
+    import ml_dtypes as _mld
+
     if cache.exists():
         data = np.load(cache)
-        emb16, codes, scale = data["emb16"], data["codes"], data["scale"]
-        doc_idx, doc_tf16 = data["doc_idx"], data["doc_tf16"]
+        # bf16 arrays are stored as uint16 bit-views (npz mangles
+        # ml_dtypes otherwise)
+        emb16 = data["emb16"].view(_mld.bfloat16)
+        codes, scale = data["codes"], data["scale"]
+        doc_idx = data["doc_idx"]
+        doc_tf16 = data["doc_tf16"].view(_mld.bfloat16)
         doc_len, df = data["doc_len"], data["df"]
-        post_rows, post_tf16 = data["post_rows"], data["post_tf16"]
+        post_rows = data["post_rows"]
+        post_tf16 = data["post_tf16"].view(_mld.bfloat16)
     else:
         import ml_dtypes
 
@@ -77,9 +84,11 @@ def main() -> None:
         post_rows, post_tf = build_postings(doc_idx, doc_tf, vocab, cap)
         doc_tf16 = doc_tf.astype(ml_dtypes.bfloat16)
         post_tf16 = post_tf.astype(ml_dtypes.bfloat16)
-        np.savez(cache, emb16=emb16, codes=codes, scale=scale,
-                 doc_idx=doc_idx, doc_tf16=doc_tf16, doc_len=doc_len,
-                 df=df, post_rows=post_rows, post_tf16=post_tf16)
+        np.savez(cache, emb16=emb16.view(np.uint16), codes=codes,
+                 scale=scale, doc_idx=doc_idx,
+                 doc_tf16=doc_tf16.view(np.uint16), doc_len=doc_len,
+                 df=df, post_rows=post_rows,
+                 post_tf16=post_tf16.view(np.uint16))
 
     if dtype == "int8":
         emb_dev = jax.device_put(jnp.asarray(codes))

@@ -178,3 +178,33 @@ class TestSparseIndexPostings:
         hits = m.hybrid_search_sync("alpha topic", 5)
         assert hits
         assert m.sparse.has_postings
+
+
+def test_delete_compaction_drops_dead_postings():
+    """maintenance_tick rebuilds postings without deleted rows once the
+    stale fraction passes 10% (Milvus-compaction equivalent)."""
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.config import PipelineConfig
+
+    mgr = MultiIndexManager(config=PipelineConfig(semantic_dim=16))
+    recs = [ChunkRecord(chunk_id=f"c{j}", doc_id=f"d{j}",
+                        content=f"word{j} shared common text")
+            for j in range(40)]
+    mgr.index_chunks(recs)
+    mgr.sparse.build_postings()
+    assert mgr.sparse.postings_stale_fraction == 0.0
+
+    deleted = mgr.delete_by_filter({"doc_id": {"in": [f"d{j}" for j in range(8)]}})
+    assert deleted == 8
+    assert mgr.sparse.postings_stale_fraction > 0.10
+    out = mgr.maintenance_tick()
+    assert out.get("postings_compacted") is True
+    assert mgr.sparse.postings_stale_fraction == 0.0
+    # dead rows are gone from the lists themselves, not just masked
+    import numpy as np
+    live = np.asarray(mgr.sparse._post_rows)
+    assert not np.isin(live, np.arange(8)).any()
+    # search still finds live rows
+    s, i = mgr.sparse.search_postings(*mgr.sparse.encode_query(["word20"]), 5)
+    assert 20 in np.asarray(i)[0]
