@@ -155,6 +155,17 @@ def main() -> None:
         tput.append(q_batch / (time.perf_counter() - t0))
     qps = float(np.median(tput))
 
+    # steady-state serving throughput: the micro-batcher keeps the queue
+    # full, so dispatches pipeline and the per-call host<->device RTT
+    # amortizes away — dispatch R batches back-to-back, block once.
+    rounds = 12
+    batches = [make_queries(q_batch) for _ in range(rounds)]
+    run(*batches[0])  # ensure program cached
+    t0 = time.perf_counter()
+    results = [run(*b) for b in batches]
+    jax.block_until_ready([r.ids for r in results])
+    qps_pipe = rounds * q_batch / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "hybrid_retrieve_p50_ms_1M",
         "value": round(p50, 2),
@@ -163,8 +174,10 @@ def main() -> None:
         "extra": {
             "p99_ms": round(p99, 2),
             "qps_batch8": round(qps, 1),
+            "qps_batch8_pipelined": round(qps_pipe, 1),
             "corpus_rows": n,
             "dim": d,
+            "dtype": dtype,
             "baseline_ms": baseline_ms,
         },
     }))
