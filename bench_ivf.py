@@ -28,6 +28,8 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", 10_000_000))
     d = int(os.environ.get("BENCH_D", 384))
     nprobe = int(os.environ.get("BENCH_NPROBE", 64))
+    # "bfloat16" (default) or "int8" (SQ8 tier — halves partition HBM)
+    ivf_dtype = os.environ.get("BENCH_IVF_DTYPE", "bfloat16")
     k = 10
     n_queries = 16
     rng = np.random.default_rng(0)
@@ -93,7 +95,7 @@ def main() -> None:
     # capacity_factor 2.0 would make the packed layout 2x the corpus in
     # HBM; 1.2 keeps it ~9GB at 10M with spills going to the exact tail.
     parts = build_ivf(emb, nlist, kmeans_iters=10, train_sample=262144,
-                      capacity_factor=1.2)
+                      capacity_factor=1.2, dtype=ivf_dtype)
     del emb
     jax.block_until_ready(parts.packed_emb)
     build_s = time.perf_counter() - t0
@@ -119,6 +121,7 @@ def main() -> None:
             "ivf_search_ms": round(ivf_ms, 1),
             "speedup": round(flat_ms / ivf_ms, 1),
             "build_s": round(build_s, 1),
+            "dtype": ivf_dtype,
         },
     }))
 
