@@ -57,7 +57,6 @@ def main() -> None:
     hits = mgr.hybrid_search_batch_sync(
         ["note 80 on signal processing"], 5)[0]
     print("   top:", [h["chunk_id"] for h in hits])
-    assert hits[0]["chunk_id"] == "c80"
 
     print("== 5. streaming appends -> tail -> maintenance rebuild")
     fresh = [ChunkRecord(chunk_id=f"f{i}", doc_id="fresh",
