@@ -33,7 +33,6 @@ import numpy as np
 from ..config import IndexConfig, IndexType, Metric, PipelineConfig
 from ..models.embedder import Embedder, HashingEmbedder
 from ..utils.cache import EmbeddingCache, domain_cache, semantic_cache
-from ..utils.constants import IndexConstants
 from ..utils.exceptions import IndexingError, ValidationError
 from .corpus import ChunkRecord, CorpusStore
 from .dense_index import DenseIndex

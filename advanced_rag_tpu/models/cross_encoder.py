@@ -9,7 +9,6 @@ top-20 -> top-5 rerank is one MXU forward pass.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Sequence
 
 import jax

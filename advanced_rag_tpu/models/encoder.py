@@ -14,7 +14,7 @@ residual stream stays bf16-stable, f32 layernorm/softmax accumulation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -12,8 +12,7 @@ checkpoints convert via `from_pt=True` (torch-cpu is available).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .dense import NEG_INF, dense_topk, l2_normalize
+from .dense import NEG_INF, dense_topk
 from .fusion import mmr_select, rrf_fuse
 from .sparse import sparse_topk
 
