@@ -120,7 +120,10 @@ def mmr_select(
 
     selected = jnp.full((k,), -1, dtype=jnp.int32)
     max_sim = jnp.zeros((c,), dtype=jnp.float32)
-    selected, _, _ = lax.fori_loop(0, k, body, (selected, max_sim, ok))
+    # unrolled: k <= MAX_TOP_K steps of [C]-sized VPU ops — unrolling
+    # removes the loop-carry sync per step and lets XLA pipeline them
+    selected, _, _ = lax.fori_loop(0, k, body, (selected, max_sim, ok),
+                                   unroll=True)
     return selected
 
 

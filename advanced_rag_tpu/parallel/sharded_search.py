@@ -48,6 +48,7 @@ def sharded_dense_topk(
     queries: jnp.ndarray,    # [Q, D] sharded over `data` (Q % data size == 0)
     k: int,
     valid: Optional[jnp.ndarray],   # [N] bool, row-sharded (None -> all valid)
+    emb_scale: Optional[jnp.ndarray] = None,  # [N] f32, row-sharded (SQ8)
     *,
     mesh: Mesh,
     metric: str = "ip",
@@ -62,6 +63,10 @@ def sharded_dense_topk(
     replicated over `shard`.  Global ids are row positions in the
     unsharded [N, D] layout.  Masked/absent -> (NEG_INF, -1), identical
     contract to ``ops.dense.dense_topk``.
+
+    SQ8 tier: pass int8 ``emb`` + row-sharded ``emb_scale`` — each shard
+    scores its codes on the MXU in int8 (ops/quant.py), so a v5e-8 pod
+    holds ~240M rows at D=384.
     """
     n = emb.shape[0]
     num_shards = mesh.shape[shard_axis]
@@ -73,24 +78,37 @@ def sharded_dense_topk(
     q = queries.astype(jnp.float32)
     if normalize_queries:
         q = l2_normalize(q)
+    sq8 = emb_scale is not None
 
-    def local(emb_l, q_l, valid_l):
-        s, i = dense_topk(
-            emb_l, q_l, k, valid_l,
-            metric=metric, block_size=min(block_size, local_n),
-            normalize_queries=False,
-        )
+    def local(emb_l, q_l, valid_l, scale_l):
+        if sq8:
+            from ..ops.quant import dense_topk_sq8
+
+            s, i = dense_topk_sq8(
+                emb_l, scale_l, q_l, k, valid_l,
+                metric="ip", block_size=min(block_size, local_n),
+                normalize_queries=False,
+            )
+        else:
+            s, i = dense_topk(
+                emb_l, q_l, k, valid_l,
+                metric=metric, block_size=min(block_size, local_n),
+                normalize_queries=False,
+            )
         offset = lax.axis_index(shard_axis).astype(jnp.int32) * local_n
         gids = jnp.where(i >= 0, i + offset, -1)
         return _merge(s, gids, k, shard_axis, num_shards)
 
+    if emb_scale is None:  # shard_map needs a concrete arg; zeros, unused
+        emb_scale = jnp.zeros((n,), jnp.float32)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(shard_axis, None), P(data_axis, None), P(shard_axis)),
+        in_specs=(P(shard_axis, None), P(data_axis, None), P(shard_axis),
+                  P(shard_axis)),
         out_specs=(P(data_axis, None), P(data_axis, None)),
         check_vma=False,
-    )(emb, q, valid)
+    )(emb, q, valid, emb_scale)
 
 
 @functools.partial(

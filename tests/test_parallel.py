@@ -172,3 +172,34 @@ class TestMergePrimitives:
         rs, ri = _sorted_rows(gs, gi)
         xs, xi = _sorted_rows(ts, ti)
         np.testing.assert_array_equal(xi, ri)
+
+
+def test_sharded_dense_sq8_matches_unsharded(rng):
+    """int8 codes + row-sharded scales through the sharded program."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from advanced_rag_tpu.config import MeshConfig
+    from advanced_rag_tpu.ops.quant import dense_topk_sq8, sq8_quantize_host
+    from advanced_rag_tpu.parallel import build_mesh, sharded_dense_topk
+
+    mesh = build_mesh(MeshConfig(mesh_shape=(8, 1)))
+    n, d, k = 1024, 32, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    codes, scale = sq8_quantize_host(emb)
+    q = emb[rng.integers(0, n, 3)]
+
+    ref_s, ref_i = dense_topk_sq8(jnp.asarray(codes), jnp.asarray(scale),
+                                  jnp.asarray(q), k, metric="ip",
+                                  normalize_queries=False)
+
+    c_sh = jax.device_put(jnp.asarray(codes),
+                          NamedSharding(mesh, P("shard", None)))
+    s_sh = jax.device_put(jnp.asarray(scale), NamedSharding(mesh, P("shard")))
+    got_s, got_i = sharded_dense_topk(c_sh, jnp.asarray(q), k, None, s_sh,
+                                      mesh=mesh, metric="ip")
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(np.asarray(got_i), np.asarray(ref_i)):
+        assert len(set(a.tolist()) & set(b.tolist())) >= k - 1
