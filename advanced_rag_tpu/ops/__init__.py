@@ -1,8 +1,17 @@
-"""Device ops: fused scoring, top-k, fusion, sparse BM25, hybrid program."""
+"""Device ops: fused scoring, top-k, fusion, sparse BM25, IVF, SQ8,
+hybrid program."""
 
 from .dense import NEG_INF, cdiv, dense_topk, dense_topk_approx, l2_normalize, merge_topk
 from .fusion import mmr_select, recency_boost, rrf_fuse
 from .hybrid import HybridResult, hybrid_retrieve
+from .ivf import IVFPartitions, auto_nlist, build_ivf, ivf_topk, tune_nprobe
+from .postings import auto_postings_cap, build_postings, postings_topk
+from .quant import (
+    dense_topk_sq8,
+    dense_topk_sq8_approx,
+    sq8_quantize,
+    sq8_quantize_host,
+)
 from .sparse import idf_weights, sparse_topk
 
 __all__ = [
@@ -10,6 +19,8 @@ __all__ = [
     "cdiv",
     "dense_topk",
     "dense_topk_approx",
+    "dense_topk_sq8",
+    "dense_topk_sq8_approx",
     "l2_normalize",
     "merge_topk",
     "mmr_select",
@@ -19,4 +30,14 @@ __all__ = [
     "idf_weights",
     "hybrid_retrieve",
     "HybridResult",
+    "IVFPartitions",
+    "auto_nlist",
+    "auto_postings_cap",
+    "build_ivf",
+    "build_postings",
+    "ivf_topk",
+    "postings_topk",
+    "sq8_quantize",
+    "sq8_quantize_host",
+    "tune_nprobe",
 ]
