@@ -592,8 +592,16 @@ class MultiIndexManager:
         GIL, so there is no torn state and no downtime — the device-side
         analogue of Milvus background compaction/flush (reference
         indexing.py:429-431)."""
+        from ..utils.constants import IndexConstants
+
         actions: Dict[str, Any] = {"ivf_rebuilt": False}
-        if self.semantic.ivf_needs_rebuild:
+        if (not self.semantic.has_ivf
+                and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
+            # first build once the corpus outgrows the exact scan
+            self.semantic.build_ivf()
+            actions["ivf_rebuilt"] = True
+            actions["ivf_rows"] = self.semantic._ivf_size
+        elif self.semantic.ivf_needs_rebuild:
             nlist = self.semantic._ivf.centroids.shape[0]
             self.semantic.build_ivf(nlist=nlist)
             actions["ivf_rebuilt"] = True

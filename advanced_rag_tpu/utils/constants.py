@@ -116,6 +116,10 @@ class IndexConstants:
     IVF_NLIST_FACTOR = 4.0         # nlist ~ factor * sqrt(N)
     IVF_NPROBE = 32
     IVF_KMEANS_ITERS = 16
+    # maintenance auto-builds the IVF quantizer once the corpus crosses
+    # this (exact scan stays optimal below; Milvus builds HNSW always —
+    # brute force simply IS the better index at small N on this hardware)
+    IVF_AUTO_THRESHOLD = 200_000
     SPARSE_DOC_NNZ = 256           # fixed nnz padding per doc row
     SPARSE_QUERY_NNZ = 32
     SPARSE_DROP_RATIO = 0.2        # drop lowest-weight query terms (parity)

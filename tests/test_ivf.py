@@ -241,3 +241,24 @@ class TestHybridIVF:
         mgr.maintenance_tick()
         hits = mgr.hybrid_search_batch_sync(["unique zanzibar quokka 7"], 5)[0]
         assert hits and hits[0]["chunk_id"] == "t7"
+
+
+def test_maintenance_auto_builds_ivf_at_threshold(rng, monkeypatch):
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.config import PipelineConfig
+    from advanced_rag_tpu.utils import constants
+
+    monkeypatch.setattr(constants.IndexConstants, "IVF_AUTO_THRESHOLD", 256)
+    mgr = MultiIndexManager(config=PipelineConfig(semantic_dim=16),
+                            enable_sparse=False)
+    recs = [ChunkRecord(chunk_id=f"c{j}", doc_id="d",
+                        content=f"auto build text {j}") for j in range(300)]
+    mgr.index_chunks(recs)
+    assert not mgr.semantic.has_ivf
+    out = mgr.maintenance_tick()
+    assert out["ivf_rebuilt"] and mgr.semantic.has_ivf
+    # search still self-consistent through the new quantizer
+    qv = mgr.semantic._host[123:124]
+    _, ids = mgr.semantic.search(qv, 3, mgr.store.valid_mask)
+    assert int(np.asarray(ids)[0, 0]) == 123
