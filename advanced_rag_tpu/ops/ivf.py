@@ -300,8 +300,12 @@ def ivf_topk(
     return top_s, top_i
 
 
-def auto_nlist(n: int, factor: float = 4.0) -> int:
-    """nlist ~ factor * sqrt(N), rounded to a multiple of 8."""
+def auto_nlist(n: int, factor: float = 1.0) -> int:
+    """nlist ~ factor * sqrt(N), rounded to a multiple of 8.
+
+    sqrt-scale lists + tuned nprobe is the measured recall/latency
+    frontier (factor 4 over-fragmented the 10M tier: recall@10 0.65 at
+    nprobe=64 — see utils/constants.py IVF_NLIST_FACTOR)."""
     raw = int(factor * np.sqrt(max(n, 1)))
     return max(8, (raw // 8) * 8)
 

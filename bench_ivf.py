@@ -27,9 +27,13 @@ def main() -> None:
 
     n = int(os.environ.get("BENCH_N", 10_000_000))
     d = int(os.environ.get("BENCH_D", 384))
-    nprobe = int(os.environ.get("BENCH_NPROBE", 64))
     # "bfloat16" (default) or "int8" (SQ8 tier — halves partition HBM)
     ivf_dtype = os.environ.get("BENCH_IVF_DTYPE", "bfloat16")
+    # nlist ~ sqrt(N): 4*sqrt(N) over-fragments clustered data at 10M
+    # (measured recall 0.65 at nprobe=64 with 12648 lists; sqrt-sized
+    # lists match the data's structure). Override with BENCH_NLIST.
+    nlist_env = int(os.environ.get("BENCH_NLIST", 0))
+    recall_target = float(os.environ.get("BENCH_RECALL_TARGET", 0.95))
     k = 10
     n_queries = 16
     rng = np.random.default_rng(0)
@@ -91,7 +95,7 @@ def main() -> None:
     del emb_dev  # free HBM before the packed partitions arrive
 
     t0 = time.perf_counter()
-    nlist = auto_nlist(n)
+    nlist = nlist_env or auto_nlist(n, factor=1.0)
     # capacity_factor 2.0 would make the packed layout 2x the corpus in
     # HBM; 1.2 keeps it ~9GB at 10M with spills going to the exact tail.
     parts = build_ivf(emb, nlist, kmeans_iters=10, train_sample=262144,
@@ -100,28 +104,42 @@ def main() -> None:
     jax.block_until_ready(parts.packed_emb)
     build_s = time.perf_counter() - t0
 
-    ivf_ms = timeit(lambda: ivf_topk(parts, qd, k, nprobe=nprobe))
-    _, ivf_ids = ivf_topk(parts, qd, k, nprobe=nprobe)
-    ivf_ids = np.asarray(ivf_ids)
-    recall = float(np.mean([
-        len(set(a.tolist()) & set(b.tolist())) / k
-        for a, b in zip(ivf_ids, flat_ids)
-    ]))
+    # sweep nprobe to the recall target (mirrors ops.ivf.tune_nprobe,
+    # measuring latency at each point so the report is the honest
+    # operating point, not a fixed knob)
+    sweep = []
+    npb = 8
+    best = None
+    while npb <= nlist:
+        ms = timeit(lambda: ivf_topk(parts, qd, k, nprobe=npb), iters=5)
+        _, ids = ivf_topk(parts, qd, k, nprobe=npb)
+        ids = np.asarray(ids)
+        rec = float(np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(ids, flat_ids)
+        ]))
+        sweep.append({"nprobe": npb, "recall": round(rec, 4),
+                      "ms": round(ms, 1)})
+        best = sweep[-1]
+        if rec >= recall_target:
+            break
+        npb *= 2
 
     print(json.dumps({
         "metric": "ivf_recall_at_10_10M",
-        "value": round(recall, 4),
+        "value": best["recall"],
         "unit": "recall",
-        "vs_baseline": round(recall / 0.95, 3),  # HNSW-class recall bar
+        "vs_baseline": round(best["recall"] / 0.95, 3),  # HNSW recall bar
         "extra": {
             "corpus_rows": n,
             "nlist": nlist,
-            "nprobe": nprobe,
+            "nprobe": best["nprobe"],
             "flat_scan_ms": round(flat_ms, 1),
-            "ivf_search_ms": round(ivf_ms, 1),
-            "speedup": round(flat_ms / ivf_ms, 1),
+            "ivf_search_ms": best["ms"],
+            "speedup": round(flat_ms / best["ms"], 1),
             "build_s": round(build_s, 1),
             "dtype": ivf_dtype,
+            "sweep": sweep,
         },
     }))
 

@@ -45,7 +45,8 @@ class TestKMeans:
         assert distortion(fit) > distortion(init)
 
     def test_auto_nlist(self):
-        assert auto_nlist(1_000_000) == 4000
+        assert auto_nlist(1_000_000) == 1000
+        assert auto_nlist(1_000_000, factor=4.0) == 4000
         assert auto_nlist(1) == 8
 
 
