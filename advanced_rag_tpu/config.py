@@ -57,6 +57,15 @@ class IndexConfig:
     dtype: str = "bfloat16"                 # storage dtype for embeddings
     nlist: int = 0                          # 0 -> auto (factor * sqrt(N))
     nprobe: int = IndexConstants.IVF_NPROBE
+    # Quantized-tier refinement (BACKLOG #2): over-retrieve
+    # refine_factor * k with the compressed codes (int8/pq), then exactly
+    # re-score the survivors from the f32 host mirror.  0 = auto per tier
+    # (int8 -> 2, pq -> 32, float -> off); 1 = off.
+    refine_factor: int = 0
+    # PQ tier geometry (ops/pq.py, dtype="pq"): pq_m sub-quantizers of
+    # pq_bits each (4 -> 16 centroids/subspace, 8 -> 256)
+    pq_m: int = 0                           # 0 -> auto (dim // 4)
+    pq_bits: int = 4
     kmeans_iters: int = IndexConstants.IVF_KMEANS_ITERS
     scan_block_size: int = IndexConstants.SCAN_BLOCK_SIZE
     min_capacity: int = IndexConstants.MIN_CAPACITY
@@ -133,8 +142,12 @@ class PipelineConfig:
     retention_days: int = 365
     embed_batch_size: int = PerformanceConstants.EMBED_BATCH_SIZE
     # storage dtype for the semantic embedding matrix: "bfloat16" (default),
-    # "float32", or "int8" (SQ8 tier, ops/quant.py — ~30M rows/chip)
+    # "float32", "int8" (SQ8 tier, ops/quant.py — ~30M rows/chip), or
+    # "pq" (product-quantized tier, ops/pq.py — ~250M rows/chip)
     semantic_dtype: str = "bfloat16"
+    # exact re-score factor for quantized tiers (int8/pq); 0 = auto per
+    # tier (int8 -> 2, pq -> 32), 1 disables
+    semantic_refine: int = 0
     semantic_dim: int = IndexConstants.SEMANTIC_DIM
     domain_dim: int = IndexConstants.DOMAIN_DIM
     sparse_vocab_size: int = IndexConstants.SPARSE_VOCAB_SIZE

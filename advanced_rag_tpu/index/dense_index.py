@@ -43,7 +43,15 @@ class DenseIndex:
         # SQ8 tier (ops/quant.py): int8 codes + per-row f32 scales instead
         # of a float matrix — 2x bf16 capacity/speed, ~30M rows/chip.
         self._sq8 = config.dtype == "int8"
-        self._dtype = jnp.dtype(jnp.int8 if self._sq8 else config.dtype)
+        # PQ tier (ops/pq.py): product-quantized codes, ~250M rows/chip.
+        # Pre-build the index stores bf16 like the default tier; build_pq()
+        # trains codebooks and swaps storage to codes (IVF-style staged
+        # build); appends after that encode with the fixed codebooks.
+        self._pq_mode = config.dtype == "pq"
+        self._pq = None            # ops.pq.PQCodebook once built
+        self._dtype = jnp.dtype(
+            jnp.int8 if self._sq8
+            else (jnp.bfloat16 if self._pq_mode else config.dtype))
         self.emb = jnp.zeros((self.capacity, self.dim), dtype=self._dtype)
         self.emb_scale = (jnp.zeros((self.capacity,), jnp.float32)
                           if self._sq8 else None)
@@ -71,7 +79,14 @@ class DenseIndex:
         grown[: self.capacity] = self._host
         self._host = grown
         self.capacity = new_cap
-        if self._sq8:
+        if self._pq is not None:
+            from ..ops.pq import pq_encode
+
+            codes = pq_encode(grown[: self.size], self._pq)
+            full = np.zeros((new_cap, self._pq.m), codes.dtype)
+            full[: self.size] = codes
+            self.emb = jax.device_put(full)
+        elif self._sq8:
             from ..ops.quant import sq8_quantize_host
 
             codes, scale = sq8_quantize_host(grown[: self.size])
@@ -94,7 +109,11 @@ class DenseIndex:
             return None
         self._ensure_capacity(start + next_pow2(n))
         self._host[start : start + n] = v
-        if self._sq8:
+        if self._pq is not None:
+            from ..ops.pq import pq_encode
+
+            vals = {"emb": jax.device_put(pad_rows_pow2(pq_encode(v, self._pq)))}
+        elif self._sq8:
             from ..ops.quant import sq8_quantize_host
 
             codes, scale = sq8_quantize_host(v)
@@ -152,6 +171,8 @@ class DenseIndex:
 
         if self.size == 0:
             raise ValueError("cannot build IVF over an empty index")
+        if self._pq is not None:
+            raise ValueError("PQ and IVF tiers are mutually exclusive")
         nlist = nlist or self.config.nlist or auto_nlist(
             self.size, IndexConstants.IVF_NLIST_FACTOR)
         nlist = min(nlist, self.size)
@@ -163,6 +184,37 @@ class DenseIndex:
             seed=seed,
         )
         self._ivf_size = self.size
+
+    def build_pq(self, m: int = 0, bits: int = 0, *,
+                 train_sample: int = 65536, seed: int = 0) -> None:
+        """Train PQ codebooks on the host mirror and swap device storage
+        from bf16 rows to codes (ops/pq.py — the >100M-rows/chip tier).
+
+        Build-then-swap like build_ivf: searches keep using the float
+        path until the final assignment; appends afterwards encode with
+        the fixed codebooks (no tail — codes are always current)."""
+        from ..ops.pq import pq_encode, pq_train
+
+        if self.size == 0:
+            raise ValueError("cannot build PQ over an empty index")
+        if self._ivf is not None:
+            raise ValueError("PQ and IVF tiers are mutually exclusive")
+        pq = pq_train(
+            self._host[: self.size],
+            m or self.config.pq_m,
+            bits or self.config.pq_bits,
+            train_sample=train_sample,
+            seed=seed,
+        )
+        codes = pq_encode(self._host[: self.size], pq)
+        full = np.zeros((self.capacity, pq.m), codes.dtype)
+        full[: self.size] = codes
+        emb = jax.device_put(full)
+        self.emb, self._pq = emb, pq  # swap last (build-then-swap)
+
+    @property
+    def has_pq(self) -> bool:
+        return self._pq is not None
 
     def tune_nprobe(self, recall_target: float = 0.95, *, k: int = 10,
                     sample: int = 64, seed: int = 0) -> Tuple[int, float]:
@@ -219,12 +271,59 @@ class DenseIndex:
         """Masked top-k -> (scores [Q, k] f32, rows [Q, k] i32).
 
         Uses the IVF path when built (nprobe from config), exact scan
-        otherwise — same result contract either way."""
+        otherwise — same result contract either way.  Quantized tiers
+        (int8) with ``config.refine_factor > 1`` over-retrieve with the
+        codes, then exactly re-score survivors from the f32 host mirror
+        (BACKLOG #2) — final scores are exact at zero steady-state HBM
+        cost."""
         q = jnp.asarray(queries, dtype=jnp.float32)
         if q.ndim == 1:
             q = q[None, :]
         if self.config.metric == Metric.COSINE:
             q = l2_normalize(q)
+        quantized = self._sq8 or self._pq is not None
+        refine = int(self.config.refine_factor) if quantized else 1
+        if refine == 0:  # auto: deep for PQ (1 bit/dim), shallow for SQ8
+            refine = 32 if self._pq is not None else 2
+        if refine > 1 and self.size > 0:
+            k2 = min(max(k * refine, k), self.size, 1024)
+            if (self._sq8 and self._ivf is None
+                    and self.capacity <= 4_194_304):
+                # candidate generation, not final ranking: the sort-free
+                # approx_max_k reduction is ~10x faster at deep k and
+                # the exact re-score below erases its recall cost
+                from ..ops.quant import dense_topk_sq8_approx
+
+                s2, i2 = dense_topk_sq8_approx(
+                    self.emb, self.emb_scale, q, k2, mask,
+                    metric="ip", normalize_queries=False)
+            else:
+                s2, i2 = self._search_device(q, k2, mask)
+            return self._refine_exact(q, i2, k)
+        return self._search_device(q, k, mask)
+
+    def _refine_exact(self, q: jnp.ndarray, cand: jnp.ndarray, k: int):
+        """Re-score candidate rows with exact f32 dot products from the
+        host mirror and re-rank -> (scores [Q, k], rows [Q, k])."""
+        from ..ops.dense import NEG_INF as _NEG
+
+        ids = np.asarray(cand)                       # [Q, k2]
+        qh = np.asarray(q, np.float32)               # [Q, D] (normalized)
+        vecs = self._host[np.clip(ids, 0, None)]     # [Q, k2, D]
+        scores = np.einsum("qd,qkd->qk", qh, vecs).astype(np.float32)
+        scores[ids < 0] = float(_NEG)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        out_s = np.take_along_axis(scores, order, axis=1)
+        out_i = np.take_along_axis(ids, order, axis=1).astype(np.int32)
+        out_i[out_s <= float(_NEG)] = -1
+        return jnp.asarray(out_s), jnp.asarray(out_i)
+
+    def _search_device(
+        self,
+        q: jnp.ndarray,                      # [Q, D] f32, pre-normalized
+        k: int,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self._ivf is not None:
             from ..ops.ivf import ivf_topk
             from ..ops.dense import merge_topk, NEG_INF
@@ -260,6 +359,14 @@ class DenseIndex:
                 s, i = merge_topk(s, i, ts, ti, k)
                 i = _jnp.where(s <= NEG_INF, -1, i)
             return s, i
+        if self._pq is not None:
+            from ..ops.pq import pq_topk
+
+            return pq_topk(
+                self._pq.codebooks, self.emb, q, k, mask,
+                m=self._pq.m, bits=self._pq.bits,
+                impl="pallas" if jax.default_backend() == "tpu" else "xla",
+            )
         if self._sq8:
             from ..ops.quant import dense_topk_sq8
 
@@ -284,6 +391,10 @@ class DenseIndex:
         return self._host[np.asarray(rows, dtype=np.int64)]
 
     def memory_bytes(self) -> int:
+        if self._pq is not None:
+            cb = self._pq.codebooks
+            return (self.capacity * self._pq.m * self.emb.dtype.itemsize
+                    + int(np.prod(cb.shape)) * 4)
         scale_b = self.capacity * 4 if self._sq8 else 0
         return self.capacity * self.dim * self.emb.dtype.itemsize + scale_b
 

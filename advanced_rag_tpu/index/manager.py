@@ -67,7 +67,8 @@ class MultiIndexManager:
         self.semantic = DenseIndex(
             IndexConfig(index_type=IndexType.SEMANTIC, dim=self.embedder.dim,
                         metric=Metric.COSINE,
-                        dtype=self.config.semantic_dtype)
+                        dtype=self.config.semantic_dtype,
+                        refine_factor=self.config.semantic_refine)
         )
         self.enable_sparse = enable_sparse
         self.sparse = (
@@ -468,6 +469,12 @@ class MultiIndexManager:
                 "ivf_tail_start": sem._ivf_size,
                 "ivf_tail_pad": _np2(tail) if tail > 0 else 0,
             }
+        elif self.semantic.has_pq:
+            # PQ-coded corpus (the ~150M-rows/chip tier): emb IS the code
+            # matrix; dense ranks feeding RRF are PQ-approximate (exact
+            # refinement applies on the pure-dense search path), which
+            # rank-based RRF + exact BM25 tolerate by construction.
+            dense_impl = "pq"
         elif self.semantic._sq8:
             dense_impl = "sq8"
         else:
@@ -495,6 +502,12 @@ class MultiIndexManager:
         if self.semantic._sq8:
             post_args = dict(post_args, emb_scale=self.semantic.emb_scale)
         post_args.update(ivf_args)
+        pq_kwargs: Dict[str, Any] = {}
+        if dense_impl == "pq":
+            pqc = self.semantic._pq
+            post_args["pq_codebooks"] = pqc.codebooks
+            pq_kwargs = {"pq_m": pqc.m, "pq_bits": pqc.bits,
+                         "pq_impl": "pallas" if on_tpu else "xla"}
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
             q, jnp.asarray(q_idx), jnp.asarray(q_tf),
@@ -508,6 +521,7 @@ class MultiIndexManager:
             rrf_k=rrf_k, use_mmr=use_mmr, enable_sparse=sparse_on,
             dense_block_size=self.semantic.config.scan_block_size,
             dense_impl=dense_impl, sparse_impl=sparse_impl,
+            **pq_kwargs,
         )
         # One blocking transfer for everything the host needs.
         ids, scores, counts, q_host = jax.device_get(
@@ -595,7 +609,14 @@ class MultiIndexManager:
         from ..utils.constants import IndexConstants
 
         actions: Dict[str, Any] = {"ivf_rebuilt": False}
-        if (not self.semantic.has_ivf
+        if self.semantic._pq_mode:
+            # PQ tier: train codebooks once the corpus outgrows the bf16
+            # staging scan (PQ and IVF are mutually exclusive)
+            if (not self.semantic.has_pq
+                    and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
+                self.semantic.build_pq()
+                actions["pq_built"] = True
+        elif (not self.semantic.has_ivf
                 and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
             # first build once the corpus outgrows the exact scan
             self.semantic.build_ivf()

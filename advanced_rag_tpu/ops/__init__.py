@@ -6,6 +6,14 @@ from .fusion import mmr_select, recency_boost, rrf_fuse
 from .hybrid import HybridResult, hybrid_retrieve
 from .ivf import IVFPartitions, auto_nlist, build_ivf, ivf_topk, tune_nprobe
 from .postings import auto_postings_cap, build_postings, postings_topk
+from .pq import (
+    PQCodebook,
+    auto_pq_m,
+    pq_decode,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 from .quant import (
     dense_topk_sq8,
     dense_topk_sq8_approx,
@@ -37,6 +45,12 @@ __all__ = [
     "build_postings",
     "ivf_topk",
     "postings_topk",
+    "PQCodebook",
+    "auto_pq_m",
+    "pq_decode",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
     "sq8_quantize",
     "sq8_quantize_host",
     "tune_nprobe",

@@ -42,7 +42,7 @@ class HybridResult(NamedTuple):
         "k_cand", "k_out", "metric", "scoring", "rrf_k", "use_mmr",
         "dense_block_size", "sparse_block_size", "enable_sparse",
         "dense_impl", "sparse_impl", "nprobe", "ivf_tail_start",
-        "ivf_tail_pad",
+        "ivf_tail_pad", "pq_m", "pq_bits", "pq_impl",
     ),
 )
 def hybrid_retrieve(
@@ -73,6 +73,9 @@ def hybrid_retrieve(
     # SQ8 tier (ops/quant.py): per-row dequant scales when emb is int8
     # codes (required when dense_impl="sq8")
     emb_scale: Optional[jnp.ndarray] = None,    # [N] f32
+    # PQ tier (ops/pq.py): codebooks when emb holds PQ codes [N, m]
+    # (required when dense_impl="pq"; pq_m/pq_bits are static)
+    pq_codebooks: Optional[jnp.ndarray] = None,  # [m, c, dsub] f32
     # IVF partitions (required when dense_impl="ivf"); rows appended
     # since the build form an exact-scan tail at
     # emb[ivf_tail_start : ivf_tail_start + ivf_tail_pad]
@@ -87,11 +90,14 @@ def hybrid_retrieve(
     enable_sparse: bool = True,
     dense_block_size: int = 65536,
     sparse_block_size: int = 8192,
-    dense_impl: str = "scan",    # "scan" | "approx" | "sq8" | "ivf"
+    dense_impl: str = "scan",    # "scan" | "approx" | "sq8" | "ivf" | "pq"
     sparse_impl: str = "xla",    # "xla" compare-scan | "pallas" VMEM kernel
     nprobe: int = 32,            # IVF probes (dense_impl="ivf")
     ivf_tail_start: int = 0,     # first appended-tail row (static)
     ivf_tail_pad: int = 0,       # pow2-padded tail length; 0 = no tail
+    pq_m: int = 0,               # PQ geometry (dense_impl="pq")
+    pq_bits: int = 4,
+    pq_impl: str = "pallas",
 ) -> HybridResult:
     """One-dispatch hybrid search (reference call stack 3.2 collapsed).
 
@@ -140,6 +146,15 @@ def hybrid_retrieve(
                              constant_values=-1)
             d_s, d_i = merge_topk(d_s, d_i, ts, ti, k_cand)
             d_i = jnp.where(d_s <= NEG_INF, -1, d_i)
+    elif dense_impl == "pq":
+        # product-quantized codes (the ~250M-rows/chip tier): one-hot
+        # matmul ADC scan, Pallas VMEM kernel on real TPUs
+        from .pq import pq_topk
+
+        d_s, d_i = pq_topk(
+            pq_codebooks, emb, q_dense, k_cand, valid,
+            m=pq_m, bits=pq_bits, impl=pq_impl,
+        )
     elif dense_impl == "sq8":
         # approx_max_k over materialized [Q, N] scores wherever that
         # fits (mirrors the bf16 "approx" ladder rung); blocked exact
@@ -214,7 +229,16 @@ def hybrid_retrieve(
         # Gather pool embeddings for cosine-MMR; -1 ids clipped to row 0
         # but masked invalid so they are never selected.
         safe = jnp.clip(fused_i, 0)
-        cand_emb = emb[safe].astype(jnp.float32)             # [Q, k_cand, D]
+        if dense_impl == "pq":
+            # reconstruct candidates from their PQ codes (tiny gather)
+            from .pq import PQCodebook, pq_decode
+
+            cand_emb = pq_decode(
+                PQCodebook(codebooks=pq_codebooks, m=pq_m, bits=pq_bits),
+                emb[safe],
+            )                                                # [Q, k_cand, D]
+        else:
+            cand_emb = emb[safe].astype(jnp.float32)         # [Q, k_cand, D]
         if emb_scale is not None:  # dequantize SQ8 codes for cosine-MMR
             cand_emb = cand_emb * emb_scale[safe][..., None]
         ok = fused_i >= 0

@@ -65,6 +65,14 @@ def save_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
             "dtype": str(idx.config.dtype),
             "metric": idx.config.metric.value,
         }
+        if idx._pq is not None:
+            # persist trained codebooks so restore re-encodes with the
+            # SAME quantizer (codes stay comparable across restarts)
+            np.save(root / f"dense_{name}_pq.npy",
+                    np.asarray(idx._pq.codebooks, np.float32))
+            manifest["dense"][name]["pq"] = {
+                "m": idx._pq.m, "bits": idx._pq.bits,
+            }
 
     if manager.sparse is not None:
         sp = manager.sparse
@@ -144,7 +152,22 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
         idx._ensure_capacity(meta["size"])
         idx._host[: meta["size"]] = emb
         idx.size = meta["size"]
-        if idx._sq8:
+        pq_meta = meta.get("pq")
+        if pq_meta and idx._pq_mode:
+            import jax.numpy as _jnp
+
+            from ..ops.pq import PQCodebook, pq_encode
+
+            pq = PQCodebook(
+                codebooks=_jnp.asarray(np.load(root / f"dense_{name}_pq.npy")),
+                m=int(pq_meta["m"]), bits=int(pq_meta["bits"]),
+            )
+            codes = pq_encode(idx._host[: idx.size], pq)
+            full = np.zeros((idx.capacity, pq.m), codes.dtype)
+            full[: idx.size] = codes
+            idx.emb = jax.device_put(full)
+            idx._pq = pq
+        elif idx._sq8:
             from ..ops.quant import sq8_quantize_host
 
             codes, scale = sq8_quantize_host(idx._host[: idx.size])

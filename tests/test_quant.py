@@ -160,6 +160,44 @@ def test_manager_int8_semantic(rng):
     assert hits and hits[0]["chunk_id"] == "c7"
 
 
+def test_sq8_refine_exact_scores(rng):
+    """refine_factor > 1: returned scores are EXACT f32 cosines and the
+    refined ranking matches the f32 oracle (BACKLOG #2)."""
+    from advanced_rag_tpu.index.dense_index import DenseIndex
+
+    cfg = IndexConfig(dim=64, dtype="int8", min_capacity=512,
+                      refine_factor=4)
+    idx = DenseIndex(cfg)
+    v = rng.standard_normal((400, 64)).astype(np.float32)
+    idx.append(0, v)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    q = normed(rng, 3, 64)
+    mask = jnp.asarray(np.arange(idx.capacity) < 400)
+    s, i = idx.search(q, 10, mask)
+    got, rows = np.asarray(s), np.asarray(i)
+    expect = np.einsum("qd,qkd->qk", q, vn[rows])
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+    sf, if_ = dense_topk(jnp.asarray(vn), jnp.asarray(q), 10,
+                         metric="cosine")
+    for a, b in zip(rows, np.asarray(if_)):
+        assert len(set(a.tolist()) & set(b.tolist())) >= 9
+
+
+def test_sq8_refine_mask_and_padding(rng):
+    from advanced_rag_tpu.index.dense_index import DenseIndex
+
+    cfg = IndexConfig(dim=32, dtype="int8", min_capacity=64,
+                      refine_factor=3)
+    idx = DenseIndex(cfg)
+    idx.append(0, rng.standard_normal((50, 32)).astype(np.float32))
+    valid = np.zeros(idx.capacity, bool)
+    valid[:4] = True
+    s, i = idx.search(normed(rng, 2, 32), 10, jnp.asarray(valid))
+    i = np.asarray(i)
+    assert set(i[i >= 0].tolist()) <= set(range(4))
+    assert np.all(i[:, 4:] == -1)
+
+
 def test_sq8_approx_matches_scan(rng):
     from advanced_rag_tpu.ops.quant import dense_topk_sq8_approx
 
