@@ -49,6 +49,11 @@ class DenseIndex:
         # build); appends after that encode with the fixed codebooks.
         self._pq_mode = config.dtype == "pq"
         self._pq = None            # ops.pq.PQCodebook once built
+        # IVF-PQ (ops/ivfpq.py): coarse partitions + residual codes on
+        # top of PQ mode — nprobe-bounded scans + residual recall
+        self._ivfpq = None
+        self._ivfpq_size = 0       # rows covered by the last build
+        self._ivfpq_fill = 0       # occupied tail slots
         self._dtype = jnp.dtype(
             jnp.int8 if self._sq8
             else (jnp.bfloat16 if self._pq_mode else config.dtype))
@@ -80,12 +85,7 @@ class DenseIndex:
         self._host = grown
         self.capacity = new_cap
         if self._pq is not None:
-            from ..ops.pq import pq_encode
-
-            codes = pq_encode(grown[: self.size], self._pq)
-            full = np.zeros((new_cap, self._pq.m), codes.dtype)
-            full[: self.size] = codes
-            self.emb = jax.device_put(full)
+            self._pq_reencode_all()
         elif self._sq8:
             from ..ops.quant import sq8_quantize_host
 
@@ -110,9 +110,23 @@ class DenseIndex:
         self._ensure_capacity(start + next_pow2(n))
         self._host[start : start + n] = v
         if self._pq is not None:
-            from ..ops.pq import pq_encode
+            import ml_dtypes
 
-            vals = {"emb": jax.device_put(pad_rows_pow2(pq_encode(v, self._pq)))}
+            from ..ops.pq import pq_encode_device
+
+            # upload bf16 once, encode on device (codes never cross the
+            # host tunnel); pow2-padded rows encode garbage but land
+            # beyond `size` and are overwritten by the next append
+            dev_v = jnp.asarray(pad_rows_pow2(v).astype(ml_dtypes.bfloat16))
+            vals = {"emb": pq_encode_device(dev_v, self._pq.codebooks)}
+            if self._ivfpq is not None:
+                # residual-encode into the IVF-PQ tail on device too
+                from ..ops.ivfpq import ivfpq_append_tail
+
+                rows = jnp.arange(start, start + n, dtype=jnp.int32)
+                self._ivfpq = ivfpq_append_tail(
+                    self._ivfpq, dev_v[:n], rows, self._ivfpq_fill)
+                self._ivfpq_fill += n
         elif self._sq8:
             from ..ops.quant import sq8_quantize_host
 
@@ -171,8 +185,10 @@ class DenseIndex:
 
         if self.size == 0:
             raise ValueError("cannot build IVF over an empty index")
-        if self._pq is not None:
-            raise ValueError("PQ and IVF tiers are mutually exclusive")
+        if self._pq_mode:
+            # PQ tier: "IVF" means the residual IVF-PQ structure
+            self.build_ivfpq(nlist, train_sample=train_sample, seed=seed)
+            return
         nlist = nlist or self.config.nlist or auto_nlist(
             self.size, IndexConstants.IVF_NLIST_FACTOR)
         nlist = min(nlist, self.size)
@@ -185,6 +201,38 @@ class DenseIndex:
         )
         self._ivf_size = self.size
 
+    def build_ivfpq(self, nlist: int = 0, *, train_sample: int = 262144,
+                    seed: int = 0, centroids: Optional[np.ndarray] = None,
+                    codebooks: Optional[jnp.ndarray] = None) -> None:
+        """Coarse partitions + PQ-coded RESIDUALS (ops/ivfpq.py): the
+        nprobe-bounded search tier on top of dtype="pq".  Passing
+        ``centroids``/``codebooks`` skips training (checkpoint restore
+        re-packs with the persisted quantizers)."""
+        from ..ops.ivf import auto_nlist
+        from ..ops.ivfpq import build_ivfpq
+        from ..utils.constants import IndexConstants
+
+        if self.size == 0:
+            raise ValueError("cannot build IVF-PQ over an empty index")
+        if not self._pq_mode:
+            raise ValueError('build_ivfpq requires dtype="pq"')
+        nlist = nlist or self.config.nlist or auto_nlist(
+            self.size, IndexConstants.IVF_NLIST_FACTOR)
+        nlist = min(nlist, self.size)
+        self._ivfpq = build_ivfpq(
+            self._host[: self.size], nlist,
+            m=self.config.pq_m, bits=self.config.pq_bits,
+            kmeans_iters=self.config.kmeans_iters,
+            train_sample=train_sample, seed=seed,
+            centroids=centroids, codebooks=codebooks,
+        )
+        self._ivfpq_size = self.size
+        self._ivfpq_fill = int(np.sum(np.asarray(self._ivfpq.tail_rows) >= 0))
+
+    @property
+    def has_ivfpq(self) -> bool:
+        return self._ivfpq is not None
+
     def build_pq(self, m: int = 0, bits: int = 0, *,
                  train_sample: int = 65536, seed: int = 0) -> None:
         """Train PQ codebooks on the host mirror and swap device storage
@@ -193,12 +241,12 @@ class DenseIndex:
         Build-then-swap like build_ivf: searches keep using the float
         path until the final assignment; appends afterwards encode with
         the fixed codebooks (no tail — codes are always current)."""
-        from ..ops.pq import pq_encode, pq_train
+        from ..ops.pq import pq_encode_device, pq_train
 
         if self.size == 0:
             raise ValueError("cannot build PQ over an empty index")
-        if self._ivf is not None:
-            raise ValueError("PQ and IVF tiers are mutually exclusive")
+        if not self._pq_mode:
+            raise ValueError('build_pq requires dtype="pq"')
         pq = pq_train(
             self._host[: self.size],
             m or self.config.pq_m,
@@ -206,11 +254,21 @@ class DenseIndex:
             train_sample=train_sample,
             seed=seed,
         )
-        codes = pq_encode(self._host[: self.size], pq)
-        full = np.zeros((self.capacity, pq.m), codes.dtype)
-        full[: self.size] = codes
-        emb = jax.device_put(full)
-        self.emb, self._pq = emb, pq  # swap last (build-then-swap)
+        # The staged bf16 matrix is already in HBM: encode the whole
+        # capacity on device — no host transfers at all.  Rows past
+        # `size` encode garbage codes; the search path masks them.
+        codes = pq_encode_device(self.emb, pq.codebooks)
+        self.emb, self._pq = codes, pq  # swap last (build-then-swap)
+
+    def _pq_reencode_all(self) -> None:
+        """Re-encode the full f32 mirror after growth/restore: one bf16
+        upload, device-side encode (the codes never cross the tunnel)."""
+        import ml_dtypes
+
+        from ..ops.pq import pq_encode_device
+
+        staged = jax.device_put(self._host.astype(ml_dtypes.bfloat16))
+        self.emb = pq_encode_device(staged, self._pq.codebooks)
 
     @property
     def has_pq(self) -> bool:
@@ -224,11 +282,13 @@ class DenseIndex:
         Returns (nprobe, achieved_recall) and updates the config."""
         from ..ops.ivf import tune_nprobe as _tune
 
-        if self._ivf is None:
+        if self._ivf is None and self._ivfpq is None:
             raise ValueError("tune_nprobe requires a built IVF index")
         rng = np.random.default_rng(seed)
         rows = rng.integers(0, self.size, size=min(sample, self.size))
         q = self._host[rows]  # stored (normalized) vectors as queries
+        if self._ivfpq is not None:
+            return self._tune_nprobe_ivfpq(q, recall_target, k)
         bound = jnp.arange(self.capacity) < self.size
         if self._sq8:
             from ..ops.quant import dense_topk_sq8
@@ -245,6 +305,41 @@ class DenseIndex:
         self.config.nprobe = npb
         return npb, rec
 
+    def _tune_nprobe_ivfpq(self, q: np.ndarray, recall_target: float,
+                           k: int) -> Tuple[int, float]:
+        """Doubling sweep for the IVF-PQ tier.  The oracle is full-probe
+        deep candidates exactly re-scored from the f32 mirror — near-
+        exact top-k without a float scan (the codes ARE the storage)."""
+        from ..ops.ivfpq import ivfpq_topk
+
+        idx = self._ivfpq
+        nlist = int(idx.centroids.shape[0])
+        m = int(idx.codebooks.shape[0])
+        bits = self.config.pq_bits
+        qj = jnp.asarray(q, jnp.float32)
+        deep = min(max(8 * k, 64), self.size)
+        _, cand = ivfpq_topk(idx, qj, deep, nprobe=nlist, m=m, bits=bits)
+        _, oracle = self._refine_exact(qj, cand, k)
+        oracle_sets = [set(r[r >= 0].tolist()) for r in np.asarray(oracle)]
+
+        def recall_at(npb: int) -> float:
+            _, ids = ivfpq_topk(idx, qj, k, nprobe=npb, m=m, bits=bits)
+            ids = np.asarray(ids)
+            return float(np.mean([
+                len(set(r[r >= 0].tolist()) & o) / max(len(o), 1)
+                for r, o in zip(ids, oracle_sets)]))
+
+        npb, best = 1, 0.0
+        while npb < nlist:
+            best = recall_at(npb)
+            if best >= recall_target:
+                break
+            npb *= 2
+        else:
+            npb, best = nlist, recall_at(nlist)
+        self.config.nprobe = npb
+        return npb, best
+
     #: appended-tail fraction beyond which a rebuild is recommended
     REBUILD_TAIL_FRACTION = 0.2
 
@@ -254,12 +349,18 @@ class DenseIndex:
 
     @property
     def ivf_tail_rows(self) -> int:
-        """Rows appended since the quantizer was built (exact-scanned)."""
-        return self.size - getattr(self, "_ivf_size", 0) if self._ivf else 0
+        """Rows appended since the quantizer was built (scanned via the
+        exact tail for IVF, the residual-coded tail for IVF-PQ)."""
+        if self._ivf is not None:
+            return self.size - getattr(self, "_ivf_size", 0)
+        if self._ivfpq is not None:
+            return self.size - self._ivfpq_size
+        return 0
 
     @property
     def ivf_needs_rebuild(self) -> bool:
-        return (self._ivf is not None and self.size > 0
+        return ((self._ivf is not None or self._ivfpq is not None)
+                and self.size > 0
                 and self.ivf_tail_rows / self.size > self.REBUILD_TAIL_FRACTION)
 
     def search(
@@ -281,10 +382,11 @@ class DenseIndex:
             q = q[None, :]
         if self.config.metric == Metric.COSINE:
             q = l2_normalize(q)
-        quantized = self._sq8 or self._pq is not None
+        pq_tier = self._pq is not None or self._ivfpq is not None
+        quantized = self._sq8 or pq_tier
         refine = int(self.config.refine_factor) if quantized else 1
         if refine == 0:  # auto: deep for PQ (1 bit/dim), shallow for SQ8
-            refine = 32 if self._pq is not None else 2
+            refine = 32 if pq_tier else 2
         if refine > 1 and self.size > 0:
             k2 = min(max(k * refine, k), self.size, 1024)
             if (self._sq8 and self._ivf is None
@@ -359,9 +461,25 @@ class DenseIndex:
                 s, i = merge_topk(s, i, ts, ti, k)
                 i = _jnp.where(s <= NEG_INF, -1, i)
             return s, i
+        if self._ivfpq is not None:
+            from ..ops.ivfpq import ivfpq_topk
+
+            # packed/tail rows are all real (no garbage-row hazard);
+            # store validity masks deletes by original row id
+            return ivfpq_topk(
+                self._ivfpq, q, k, mask,
+                nprobe=self.config.nprobe,
+                m=int(self._ivfpq.codebooks.shape[0]),
+                bits=self.config.pq_bits,
+            )
         if self._pq is not None:
             from ..ops.pq import pq_topk
 
+            # rows past `size` hold garbage codes (device-side encode
+            # covers the whole capacity) — unlike the float tiers' zero
+            # rows they decode to real centroids, so bound explicitly
+            bound = jnp.arange(self.capacity) < self.size
+            mask = bound if mask is None else jnp.logical_and(mask, bound)
             return pq_topk(
                 self._pq.codebooks, self.emb, q, k, mask,
                 m=self._pq.m, bits=self._pq.bits,
@@ -391,12 +509,22 @@ class DenseIndex:
         return self._host[np.asarray(rows, dtype=np.int64)]
 
     def memory_bytes(self) -> int:
+        total = 0
+        if self._ivfpq is not None:
+            iq = self._ivfpq
+            total += sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                         for a in (iq.centroids, iq.codebooks,
+                                   iq.packed_codes, iq.packed_rows,
+                                   iq.tail_codes, iq.tail_rows,
+                                   iq.tail_assign))
         if self._pq is not None:
             cb = self._pq.codebooks
-            return (self.capacity * self._pq.m * self.emb.dtype.itemsize
+            return (total
+                    + self.capacity * self._pq.m * self.emb.dtype.itemsize
                     + int(np.prod(cb.shape)) * 4)
         scale_b = self.capacity * 4 if self._sq8 else 0
-        return self.capacity * self.dim * self.emb.dtype.itemsize + scale_b
+        return (total + self.capacity * self.dim * self.emb.dtype.itemsize
+                + scale_b)
 
 
 __all__ = ["DenseIndex"]

@@ -610,12 +610,21 @@ class MultiIndexManager:
 
         actions: Dict[str, Any] = {"ivf_rebuilt": False}
         if self.semantic._pq_mode:
-            # PQ tier: train codebooks once the corpus outgrows the bf16
-            # staging scan (PQ and IVF are mutually exclusive)
+            # PQ tier: once the corpus outgrows the bf16 staging scan,
+            # train flat codebooks (fused-hybrid rung + MMR decode) and
+            # the residual IVF-PQ partitions (nprobe-bounded dense path)
             if (not self.semantic.has_pq
                     and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
                 self.semantic.build_pq()
+                self.semantic.build_ivfpq()
                 actions["pq_built"] = True
+            elif self.semantic.ivf_needs_rebuild:
+                # streaming tail outgrew the partitions: re-pack
+                # (build-then-swap, same discipline as the IVF branch)
+                nlist = int(self.semantic._ivfpq.centroids.shape[0])
+                self.semantic.build_ivfpq(nlist=nlist)
+                actions["ivf_rebuilt"] = True
+                actions["ivf_rows"] = self.semantic._ivfpq_size
         elif (not self.semantic.has_ivf
                 and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
             # first build once the corpus outgrows the exact scan

@@ -5,12 +5,14 @@ from .dense import NEG_INF, cdiv, dense_topk, dense_topk_approx, l2_normalize, m
 from .fusion import mmr_select, recency_boost, rrf_fuse
 from .hybrid import HybridResult, hybrid_retrieve
 from .ivf import IVFPartitions, auto_nlist, build_ivf, ivf_topk, tune_nprobe
+from .ivfpq import IVFPQIndex, build_ivfpq, ivfpq_append_tail, ivfpq_topk
 from .postings import auto_postings_cap, build_postings, postings_topk
 from .pq import (
     PQCodebook,
     auto_pq_m,
     pq_decode,
     pq_encode,
+    pq_encode_device,
     pq_topk,
     pq_train,
 )
@@ -43,12 +45,17 @@ __all__ = [
     "auto_postings_cap",
     "build_ivf",
     "build_postings",
+    "IVFPQIndex",
+    "build_ivfpq",
+    "ivfpq_append_tail",
+    "ivfpq_topk",
     "ivf_topk",
     "postings_topk",
     "PQCodebook",
     "auto_pq_m",
     "pq_decode",
     "pq_encode",
+    "pq_encode_device",
     "pq_topk",
     "pq_train",
     "sq8_quantize",

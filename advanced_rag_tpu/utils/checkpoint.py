@@ -73,6 +73,18 @@ def save_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
             manifest["dense"][name]["pq"] = {
                 "m": idx._pq.m, "bits": idx._pq.bits,
             }
+        if idx._ivfpq is not None:
+            # persist both quantizers; restore re-packs partitions with
+            # them (device-side assign+encode, no k-means on load)
+            np.save(root / f"dense_{name}_ivfpq_cent.npy",
+                    np.asarray(idx._ivfpq.centroids, np.float32))
+            np.save(root / f"dense_{name}_ivfpq_cb.npy",
+                    np.asarray(idx._ivfpq.codebooks, np.float32))
+            manifest["dense"][name]["ivfpq"] = {
+                "nlist": int(idx._ivfpq.centroids.shape[0]),
+                "m": int(idx._ivfpq.codebooks.shape[0]),
+                "bits": idx.config.pq_bits,
+            }
 
     if manager.sparse is not None:
         sp = manager.sparse
@@ -156,17 +168,20 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
         if pq_meta and idx._pq_mode:
             import jax.numpy as _jnp
 
-            from ..ops.pq import PQCodebook, pq_encode
+            from ..ops.pq import PQCodebook
 
-            pq = PQCodebook(
+            idx._pq = PQCodebook(
                 codebooks=_jnp.asarray(np.load(root / f"dense_{name}_pq.npy")),
                 m=int(pq_meta["m"]), bits=int(pq_meta["bits"]),
             )
-            codes = pq_encode(idx._host[: idx.size], pq)
-            full = np.zeros((idx.capacity, pq.m), codes.dtype)
-            full[: idx.size] = codes
-            idx.emb = jax.device_put(full)
-            idx._pq = pq
+            idx._pq_reencode_all()  # bf16 upload + device-side encode
+        ivfpq_meta = meta.get("ivfpq")
+        if ivfpq_meta and idx._pq_mode:
+            idx.build_ivfpq(
+                nlist=int(ivfpq_meta["nlist"]),
+                centroids=np.load(root / f"dense_{name}_ivfpq_cent.npy"),
+                codebooks=np.load(root / f"dense_{name}_ivfpq_cb.npy"),
+            )
         elif idx._sq8:
             from ..ops.quant import sq8_quantize_host
 

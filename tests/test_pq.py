@@ -139,17 +139,22 @@ def test_dense_index_pq_staged_build(rng):
     np.testing.assert_allclose(s, expect, rtol=1e-5, atol=1e-5)
 
 
-def test_pq_ivf_mutually_exclusive(rng):
+def test_pq_tier_dispatch(rng):
+    """In PQ mode build_ivf builds the residual IVF-PQ structure
+    (ops/ivfpq.py); build_pq on a float-tier index is rejected."""
     from advanced_rag_tpu.index.dense_index import DenseIndex
 
     idx = DenseIndex(IndexConfig(dim=32, dtype="pq", min_capacity=64))
     idx.append(0, corpus(rng, 64, d=32))
     idx.build_pq()
-    with pytest.raises(ValueError):
-        idx.build_ivf(nlist=8)
+    idx.build_ivf(nlist=8)      # -> IVF-PQ, coexists with flat codes
+    assert idx.has_pq and idx.has_ivfpq and not idx.has_ivf
+    s, i = idx.search(idx._host[:2], 3)
+    assert np.asarray(i)[0, 0] == 0  # self-query hits itself
     idx2 = DenseIndex(IndexConfig(dim=32, min_capacity=64))
     idx2.append(0, corpus(rng, 64, d=32))
     idx2.build_ivf(nlist=8)
+    assert idx2.has_ivf and not idx2.has_ivfpq
     with pytest.raises(ValueError):
         idx2.build_pq()
 
