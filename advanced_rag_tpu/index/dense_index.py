@@ -404,9 +404,10 @@ class DenseIndex:
             return self._refine_exact(q, i2, k)
         return self._search_device(q, k, mask)
 
-    def _refine_exact(self, q: jnp.ndarray, cand: jnp.ndarray, k: int):
+    def _refine_exact_host(self, q: np.ndarray, cand: np.ndarray,
+                           k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Re-score candidate rows with exact f32 dot products from the
-        host mirror and re-rank -> (scores [Q, k], rows [Q, k])."""
+        host mirror and re-rank -> np (scores [Q, k], rows [Q, k])."""
         from ..ops.dense import NEG_INF as _NEG
 
         ids = np.asarray(cand)                       # [Q, k2]
@@ -418,6 +419,11 @@ class DenseIndex:
         out_s = np.take_along_axis(scores, order, axis=1)
         out_i = np.take_along_axis(ids, order, axis=1).astype(np.int32)
         out_i[out_s <= float(_NEG)] = -1
+        return out_s, out_i
+
+    def _refine_exact(self, q: jnp.ndarray, cand: jnp.ndarray, k: int):
+        out_s, out_i = self._refine_exact_host(np.asarray(q),
+                                               np.asarray(cand), k)
         return jnp.asarray(out_s), jnp.asarray(out_i)
 
     def _search_device(

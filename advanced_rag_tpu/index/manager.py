@@ -503,11 +503,23 @@ class MultiIndexManager:
             post_args = dict(post_args, emb_scale=self.semantic.emb_scale)
         post_args.update(ivf_args)
         pq_kwargs: Dict[str, Any] = {}
+        pq_refine = 0
         if dense_impl == "pq":
             pqc = self.semantic._pq
             post_args["pq_codebooks"] = pqc.codebooks
             pq_kwargs = {"pq_m": pqc.m, "pq_bits": pqc.bits,
                          "pq_impl": "pallas" if on_tpu else "xla"}
+            # BACKLOG #2: over-retrieve deep raw-PQ dense candidates in
+            # the fused dispatch, then exactly re-score them from the
+            # f32 mirror and re-fuse host-side — hybrid results get the
+            # same exact dense ranking as the pure-dense path, at zero
+            # extra device round-trips.
+            pq_refine = int(self.semantic.config.refine_factor)
+            if pq_refine == 0:
+                pq_refine = 32
+            if pq_refine > 1:
+                pq_kwargs["dense_depth"] = min(
+                    max(k_cand * pq_refine, k_cand), 1024)
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
             q, jnp.asarray(q_idx), jnp.asarray(q_tf),
@@ -524,9 +536,22 @@ class MultiIndexManager:
             **pq_kwargs,
         )
         # One blocking transfer for everything the host needs.
-        ids, scores, counts, q_host = jax.device_get(
-            (res.ids, res.scores, res.method_counts, q)
-        )
+        if pq_refine > 1:
+            (ids, scores, counts, q_host, d_ids, s_ids, dom_ids) = \
+                jax.device_get((res.ids, res.scores, res.method_counts, q,
+                                res.dense_ids, res.sparse_ids,
+                                res.domain_ids))
+            ids, scores, counts = self._refuse_exact(
+                q_host[:nq], d_ids[:nq], s_ids[:nq], dom_ids[:nq],
+                k_cand=k_cand, k_out=k_out, rrf_k=rrf_k, use_mmr=use_mmr,
+                mmr_lambda=mmr_lambda,
+                weights=np.asarray(weights, np.float32),
+                sparse_on=sparse_on,
+                domain_on=domain_emb is not None)
+        else:
+            ids, scores, counts, q_host = jax.device_get(
+                (res.ids, res.scores, res.method_counts, q)
+            )
         for text, vec in zip(cache_fill, q_host):
             self._semantic_cache.put_sync(text, np.asarray(vec, np.float32),
                                           "semantic")
@@ -543,6 +568,68 @@ class MultiIndexManager:
             out.append(hits)
         return out
 
+
+    def _refuse_exact(
+        self,
+        q_host: np.ndarray,       # [Q, D] f32 normalized queries
+        d_ids_deep: np.ndarray,   # [Q, depth] raw-PQ dense candidates
+        s_ids: np.ndarray,        # [Q, k_cand] sparse candidates
+        dom_ids: np.ndarray,      # [Q, k_cand] domain candidates (-1 pad)
+        *,
+        k_cand: int,
+        k_out: int,
+        rrf_k: int,
+        use_mmr: bool,
+        mmr_lambda: float,
+        weights: np.ndarray,
+        sparse_on: bool,
+        domain_on: bool,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host-side exact re-fusion for the PQ tier (BACKLOG #2).
+
+        The fused device program returned deep raw-PQ dense candidates;
+        here they are exactly re-scored from the f32 mirror, then RRF +
+        MMR re-run with the SAME ops (ops/fusion.py) on the CPU jax
+        backend — candidate pools are <= ~100 rows, so this costs
+        microseconds and zero extra device round-trips.  MMR similarity
+        uses exact mirror embeddings (better than PQ-decoded)."""
+        from ..ops.fusion import mmr_select, rrf_fuse
+
+        _, d_i = self.semantic._refine_exact_host(q_host, d_ids_deep, k_cand)
+        methods = [d_i.astype(np.int32)]
+        if sparse_on:
+            methods.append(np.asarray(s_ids)[:, :k_cand].astype(np.int32))
+        if domain_on:
+            methods.append(np.asarray(dom_ids)[:, :k_cand].astype(np.int32))
+        cand = np.stack(methods, axis=0)                    # [M, Q, K]
+        w = np.asarray(weights, np.float32)[: len(methods)]
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            fused_s, fused_i, counts = rrf_fuse(
+                jnp.asarray(cand), jnp.asarray(w), rrf_k=rrf_k, k_out=k_cand)
+            if use_mmr:
+                fi = np.asarray(fused_i)
+                cand_emb = self.semantic._host[np.clip(fi, 0, None)]
+                ok = jnp.asarray(fi >= 0)
+                pos = jax.vmap(
+                    lambda ce, rel, okq: mmr_select(
+                        ce, rel, k_out, float(mmr_lambda), okq)
+                )(jnp.asarray(cand_emb), fused_s, ok)
+                sel_ok = pos >= 0
+                safe_pos = jnp.clip(pos, 0)
+                out_i = jnp.where(
+                    sel_ok, jnp.take_along_axis(fused_i, safe_pos, 1), -1)
+                out_s = jnp.where(
+                    sel_ok, jnp.take_along_axis(fused_s, safe_pos, 1),
+                    jnp.float32(-1e30))
+                out_c = jnp.where(
+                    sel_ok, jnp.take_along_axis(counts, safe_pos, 1), 0)
+            else:
+                out_i = fused_i[:, :k_out]
+                out_s = fused_s[:, :k_out]
+                out_c = counts[:, :k_out]
+        return (np.asarray(out_i), np.asarray(out_s), np.asarray(out_c))
 
     def _hydrate(
         self, scores: np.ndarray, rows: np.ndarray, method: str

@@ -30,10 +30,12 @@ class HybridResult(NamedTuple):
     ids: jnp.ndarray            # [Q, k_out] i32 final ranked rows (-1 pad)
     scores: jnp.ndarray         # [Q, k_out] f32 fused RRF scores
     method_counts: jnp.ndarray  # [Q, k_out] i32 how many indexes hit each id
-    dense_ids: jnp.ndarray      # [Q, k_cand] per-index candidates (for eval)
-    dense_scores: jnp.ndarray
-    sparse_ids: jnp.ndarray
+    dense_ids: jnp.ndarray      # [Q, dense_depth] per-index candidates
+    dense_scores: jnp.ndarray   # (depth > k_cand when the PQ tier over-
+    sparse_ids: jnp.ndarray     #  retrieves for host exact refinement)
     sparse_scores: jnp.ndarray
+    domain_ids: jnp.ndarray     # [Q, k_cand] (-1-filled when no domain)
+    domain_scores: jnp.ndarray
 
 
 @functools.partial(
@@ -42,7 +44,7 @@ class HybridResult(NamedTuple):
         "k_cand", "k_out", "metric", "scoring", "rrf_k", "use_mmr",
         "dense_block_size", "sparse_block_size", "enable_sparse",
         "dense_impl", "sparse_impl", "nprobe", "ivf_tail_start",
-        "ivf_tail_pad", "pq_m", "pq_bits", "pq_impl",
+        "ivf_tail_pad", "pq_m", "pq_bits", "pq_impl", "dense_depth",
     ),
 )
 def hybrid_retrieve(
@@ -98,6 +100,13 @@ def hybrid_retrieve(
     pq_m: int = 0,               # PQ geometry (dense_impl="pq")
     pq_bits: int = 4,
     pq_impl: str = "pallas",
+    # dense over-retrieve depth for host exact refinement (0 = k_cand):
+    # the dense rung retrieves `dense_depth` candidates (returned in
+    # dense_ids/dense_scores); fusion in-program still consumes the top
+    # k_cand.  The PQ tier uses this to fetch deep raw-rank candidates
+    # which the manager exactly re-scores from the f32 mirror and then
+    # re-fuses host-side (BACKLOG #2).
+    dense_depth: int = 0,
 ) -> HybridResult:
     """One-dispatch hybrid search (reference call stack 3.2 collapsed).
 
@@ -111,6 +120,7 @@ def hybrid_retrieve(
     "pallas" keeps corpus blocks VMEM-resident across query terms
     (ops/pallas_sparse.py) instead of re-streaming HBM per term.
     """
+    depth = max(dense_depth, k_cand)
     if dense_impl == "ivf":
         # partitioned ANN (the 10M-tier path) inside the fused program;
         # appended-tail rows are exact-scanned and merged, identical to
@@ -118,7 +128,7 @@ def hybrid_retrieve(
         from .dense import merge_topk
         from .ivf import ivf_topk
 
-        d_s, d_i = ivf_topk(ivf_parts, q_dense, k_cand, valid,
+        d_s, d_i = ivf_topk(ivf_parts, q_dense, depth, valid,
                             nprobe=nprobe)
         if ivf_tail_pad:
             t_emb = jax.lax.dynamic_slice_in_dim(
@@ -127,7 +137,7 @@ def hybrid_retrieve(
                 valid, ivf_tail_start, ivf_tail_pad, axis=0)
                 if valid is not None
                 else jnp.ones((ivf_tail_pad,), jnp.bool_))
-            kk = min(k_cand, ivf_tail_pad)
+            kk = min(depth, ivf_tail_pad)
             if emb_scale is not None:
                 from .quant import dense_topk_sq8
 
@@ -139,12 +149,12 @@ def hybrid_retrieve(
                 ts, ti = dense_topk(t_emb, q_dense, kk, t_mask,
                                     metric=metric, normalize_queries=False)
             ti = jnp.where(ti >= 0, ti + ivf_tail_start, -1)
-            if kk < k_cand:
-                ts = jnp.pad(ts, ((0, 0), (0, k_cand - kk)),
+            if kk < depth:
+                ts = jnp.pad(ts, ((0, 0), (0, depth - kk)),
                              constant_values=float(NEG_INF))
-                ti = jnp.pad(ti, ((0, 0), (0, k_cand - kk)),
+                ti = jnp.pad(ti, ((0, 0), (0, depth - kk)),
                              constant_values=-1)
-            d_s, d_i = merge_topk(d_s, d_i, ts, ti, k_cand)
+            d_s, d_i = merge_topk(d_s, d_i, ts, ti, depth)
             d_i = jnp.where(d_s <= NEG_INF, -1, d_i)
     elif dense_impl == "pq":
         # product-quantized codes (the ~250M-rows/chip tier): one-hot
@@ -152,7 +162,7 @@ def hybrid_retrieve(
         from .pq import pq_topk
 
         d_s, d_i = pq_topk(
-            pq_codebooks, emb, q_dense, k_cand, valid,
+            pq_codebooks, emb, q_dense, depth, valid,
             m=pq_m, bits=pq_bits, impl=pq_impl,
         )
     elif dense_impl == "sq8":
@@ -163,14 +173,14 @@ def hybrid_retrieve(
             from .quant import dense_topk_sq8_approx
 
             d_s, d_i = dense_topk_sq8_approx(
-                emb, emb_scale, q_dense, k_cand, valid,
+                emb, emb_scale, q_dense, depth, valid,
                 metric="ip", normalize_queries=False,
             )
         else:
             from .quant import dense_topk_sq8
 
             d_s, d_i = dense_topk_sq8(
-                emb, emb_scale, q_dense, k_cand, valid,
+                emb, emb_scale, q_dense, depth, valid,
                 metric="ip",  # cosine rows pre-normalized upstream
                 normalize_queries=False,
             )
@@ -178,14 +188,14 @@ def hybrid_retrieve(
         from .dense import dense_topk_approx
 
         d_s, d_i = dense_topk_approx(
-            emb, q_dense, k_cand, valid, metric=metric, recall_target=0.99,
+            emb, q_dense, depth, valid, metric=metric, recall_target=0.99,
         )
     else:
         d_s, d_i = dense_topk(
-            emb, q_dense, k_cand, valid,
+            emb, q_dense, depth, valid,
             metric=metric, block_size=dense_block_size, normalize_queries=False,
         )
-    methods_i = [d_i]
+    methods_i = [d_i[:, :k_cand]]
     if enable_sparse:
         if sparse_impl == "postings":
             from .postings import postings_topk
@@ -209,14 +219,17 @@ def hybrid_retrieve(
             )
         methods_i.append(s_i)
     else:
-        s_s = jnp.full_like(d_s, NEG_INF)
-        s_i = jnp.full_like(d_i, -1)
+        s_s = jnp.full((d_s.shape[0], k_cand), NEG_INF, d_s.dtype)
+        s_i = jnp.full((d_i.shape[0], k_cand), -1, d_i.dtype)
     if domain_emb is not None and q_domain is not None:
-        _, dom_i = dense_topk(
+        dom_s, dom_i = dense_topk(
             domain_emb, q_domain, k_cand, valid,
             metric=metric, block_size=dense_block_size, normalize_queries=False,
         )
         methods_i.append(dom_i)
+    else:
+        dom_s = jnp.full((d_s.shape[0], k_cand), NEG_INF, d_s.dtype)
+        dom_i = jnp.full((d_i.shape[0], k_cand), -1, d_i.dtype)
     cand_ids = jnp.stack(methods_i, axis=0)                  # [M, Q, K]
     w = weights[: len(methods_i)]
 
@@ -260,7 +273,8 @@ def hybrid_retrieve(
         out_s = fused_s[:, :k_out]
         out_c = counts[:, :k_out]
 
-    return HybridResult(out_i, out_s, out_c, d_i, d_s, s_i, s_s)
+    return HybridResult(out_i, out_s, out_c, d_i, d_s, s_i, s_s,
+                        dom_i, dom_s)
 
 
 __all__ = ["hybrid_retrieve", "HybridResult"]

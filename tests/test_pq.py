@@ -205,3 +205,55 @@ def test_checkpoint_pq_roundtrip(rng, tmp_path):
     assert [h["chunk_id"] for h in after] == [h["chunk_id"] for h in before]
     np.testing.assert_allclose([h["score"] for h in after],
                                [h["score"] for h in before], rtol=1e-5)
+
+
+def test_hybrid_pq_refined_matches_bf16(rng):
+    """BACKLOG #2: the PQ-tier hybrid path over-retrieves deep raw-PQ
+    dense candidates in the fused dispatch, exactly re-scores them from
+    the f32 mirror, and re-fuses host-side — final hybrid ids must match
+    the bf16 tier's (whose dense ranks are exact by construction)."""
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+
+    chunks = [
+        ChunkRecord(chunk_id=f"c{j}", doc_id=f"d{j % 5}",
+                    content=" ".join(f"w{(j * 13 + t) % 211}"
+                                     for t in range(24)))
+        for j in range(300)
+    ]
+    queries = ["w7 w20 w33", "w100 w113", "w1 w14 w27 w40"]
+
+    mref = MultiIndexManager(config=PipelineConfig(semantic_dtype="bfloat16"))
+    mref.index_chunks(chunks)
+    mpq = MultiIndexManager(config=PipelineConfig(semantic_dtype="pq"))
+    mpq.index_chunks(chunks)
+    mpq.semantic.build_pq()
+    assert mpq.semantic.has_pq
+
+    for query in queries:
+        ref = [h["chunk_id"] for h in mref.hybrid_search_sync(query, 8)]
+        got = [h["chunk_id"] for h in mpq.hybrid_search_sync(query, 8)]
+        # the bf16 reference itself carries bf16 rounding in its dense
+        # ranks, so require top-3 identity + strong set overlap rather
+        # than full positional equality
+        assert got[:3] == ref[:3], query
+        assert len(set(got) & set(ref)) >= 6, (query, got, ref)
+
+
+def test_hybrid_pq_refine_disabled_still_works(rng):
+    """refine_factor=1 turns host re-fusion off; raw-PQ ranks feed RRF
+    in-program (the pre-refinement behavior stays available)."""
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+
+    cfg = PipelineConfig(semantic_dtype="pq", semantic_refine=1)
+    mgr = MultiIndexManager(config=cfg)
+    chunks = [
+        ChunkRecord(chunk_id=f"c{j}", doc_id="d0",
+                    content=f"term{j} filler text number {j}")
+        for j in range(64)
+    ]
+    mgr.index_chunks(chunks)
+    mgr.semantic.build_pq()
+    hits = mgr.hybrid_search_sync("term3 filler", 5)
+    assert hits and all(h["chunk_id"].startswith("c") for h in hits)
