@@ -309,7 +309,12 @@ class DenseIndex:
                            k: int) -> Tuple[int, float]:
         """Doubling sweep for the IVF-PQ tier.  The oracle is full-probe
         deep candidates exactly re-scored from the f32 mirror — near-
-        exact top-k without a float scan (the codes ARE the storage)."""
+        exact top-k without a float scan (the codes ARE the storage).
+
+        Recall is measured at the tier's OPERATING POINT — does the
+        refine-depth candidate set at this nprobe contain the true
+        top-k — not on raw ADC ranks (whose quantization shuffle the
+        downstream exact refinement erases anyway)."""
         from ..ops.ivfpq import ivfpq_topk
 
         idx = self._ivfpq
@@ -317,13 +322,14 @@ class DenseIndex:
         m = int(idx.codebooks.shape[0])
         bits = self.config.pq_bits
         qj = jnp.asarray(q, jnp.float32)
-        deep = min(max(8 * k, 64), self.size)
-        _, cand = ivfpq_topk(idx, qj, deep, nprobe=nlist, m=m, bits=bits)
+        refine = int(self.config.refine_factor) or 32
+        depth = int(min(max(k * max(refine, 1), k), self.size, 1024))
+        _, cand = ivfpq_topk(idx, qj, depth, nprobe=nlist, m=m, bits=bits)
         _, oracle = self._refine_exact(qj, cand, k)
         oracle_sets = [set(r[r >= 0].tolist()) for r in np.asarray(oracle)]
 
         def recall_at(npb: int) -> float:
-            _, ids = ivfpq_topk(idx, qj, k, nprobe=npb, m=m, bits=bits)
+            _, ids = ivfpq_topk(idx, qj, depth, nprobe=npb, m=m, bits=bits)
             ids = np.asarray(ids)
             return float(np.mean([
                 len(set(r[r >= 0].tolist()) & o) / max(len(o), 1)

@@ -162,15 +162,17 @@ def pq_encode_device(
     n, d = emb.shape
     m, c, dsub = codebooks.shape
     blk = min(block, n)
-    if n % blk:
-        raise ValueError(f"pq_encode_device: N={n} not divisible by {blk}")
+    pad = (-n) % blk
+    if pad:  # static pad to a block multiple; padded codes sliced off
+        emb = jnp.pad(emb, ((0, pad), (0, 0)))
 
     def body(_, i):
         xb = lax.dynamic_slice(emb, (i * blk, 0), (blk, d))
         return None, _encode_block(xb.reshape(blk, m, dsub), codebooks)
 
-    _, out = lax.scan(body, None, jnp.arange(n // blk, dtype=jnp.int32))
-    return out.reshape(n, m)
+    _, out = lax.scan(body, None,
+                      jnp.arange((n + pad) // blk, dtype=jnp.int32))
+    return out.reshape(n + pad, m)[:n]
 
 
 def pq_encode(

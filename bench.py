@@ -40,7 +40,9 @@ def main() -> None:
     baseline_ms = 80.0      # reference retrieve SLA (BASELINE.md)
 
     # dense storage tier: "int8" = SQ8 codes (production semantic_dtype
-    # knob; 2x bf16 scan speed at ~0.99 overlap), "bf16" = approx_max_k
+    # knob; 2x bf16 scan speed at ~0.99 overlap), "bf16" = approx_max_k,
+    # "pq" = product-quantized codes (96 B/row; raw ADC ranks in-program
+    # — the manager's host refinement is outside this kernel bench)
     dtype = os.environ.get("BENCH_DTYPE", "int8")
 
     # Disk-cached corpus + postings generation (host gen at 1M x 384
@@ -52,20 +54,25 @@ def main() -> None:
 
     cache_dir = Path(os.environ.get("BENCH_CACHE", "/tmp/rag_bench_cache"))
     cache_dir.mkdir(parents=True, exist_ok=True)
-    cache = cache_dir / f"corpus_{n}_{d}_{nnz}_{vocab}.npz"
+    # one .npy per array, loaded mmap'd: the bench host CPU is burst-
+    # throttled, so a multi-GB npz read is minutes of wall clock while
+    # mmap costs nothing until device_put pages it in
+    cache = cache_dir / f"corpus_{n}_{d}_{nnz}_{vocab}"
     import ml_dtypes as _mld
 
-    if cache.exists():
-        data = np.load(cache)
-        # bf16 arrays are stored as uint16 bit-views (npz mangles
+    def _mm(name):
+        return np.load(cache / f"{name}.npy", mmap_mode="r")
+
+    if (cache / "ok").exists():
+        # bf16 arrays are stored as uint16 bit-views (npy mangles
         # ml_dtypes otherwise)
-        emb16 = data["emb16"].view(_mld.bfloat16)
-        codes, scale = data["codes"], data["scale"]
-        doc_idx = data["doc_idx"]
-        doc_tf16 = data["doc_tf16"].view(_mld.bfloat16)
-        doc_len, df = data["doc_len"], data["df"]
-        post_rows = data["post_rows"]
-        post_tf16 = data["post_tf16"].view(_mld.bfloat16)
+        emb16 = _mm("emb16").view(_mld.bfloat16)
+        codes, scale = _mm("codes"), _mm("scale")
+        doc_idx = _mm("doc_idx")
+        doc_tf16 = _mm("doc_tf16").view(_mld.bfloat16)
+        doc_len, df = _mm("doc_len"), _mm("df")
+        post_rows = _mm("post_rows")
+        post_tf16 = _mm("post_tf16").view(_mld.bfloat16)
     else:
         import ml_dtypes
 
@@ -84,15 +91,34 @@ def main() -> None:
         post_rows, post_tf = build_postings(doc_idx, doc_tf, vocab, cap)
         doc_tf16 = doc_tf.astype(ml_dtypes.bfloat16)
         post_tf16 = post_tf.astype(ml_dtypes.bfloat16)
-        np.savez(cache, emb16=emb16.view(np.uint16), codes=codes,
-                 scale=scale, doc_idx=doc_idx,
-                 doc_tf16=doc_tf16.view(np.uint16), doc_len=doc_len,
-                 df=df, post_rows=post_rows,
-                 post_tf16=post_tf16.view(np.uint16))
+        cache.mkdir(parents=True, exist_ok=True)
+        for name, arr in (("emb16", emb16.view(np.uint16)), ("codes", codes),
+                          ("scale", scale), ("doc_idx", doc_idx),
+                          ("doc_tf16", doc_tf16.view(np.uint16)),
+                          ("doc_len", doc_len), ("df", df),
+                          ("post_rows", post_rows),
+                          ("post_tf16", post_tf16.view(np.uint16))):
+            np.save(cache / f"{name}.npy", arr)
+        (cache / "ok").touch()
 
+    pq_args = {}
+    pq_kw = {}
     if dtype == "int8":
         emb_dev = jax.device_put(jnp.asarray(codes))
         emb_scale = jax.device_put(jnp.asarray(scale))
+    elif dtype == "pq":
+        from advanced_rag_tpu.ops.pq import pq_encode_device, pq_train
+
+        sel = np.sort(np.random.default_rng(7).choice(
+            n, min(n, 65536), replace=False))
+        pq = pq_train(np.asarray(emb16[sel], np.float32), bits=4)
+        emb_dev = pq_encode_device(jax.device_put(jnp.asarray(emb16)),
+                                   pq.codebooks)
+        emb_scale = None
+        pq_args = {"pq_codebooks": pq.codebooks}
+        pq_kw = {"pq_m": pq.m, "pq_bits": 4,
+                 "pq_impl": "pallas" if jax.default_backend() == "tpu"
+                 else "xla"}
     else:
         emb_dev = jax.device_put(jnp.asarray(emb16))
         emb_scale = None
@@ -111,6 +137,8 @@ def main() -> None:
 
     if dtype == "int8":
         dense_impl = "sq8"
+    elif dtype == "pq":
+        dense_impl = "pq"
     else:
         dense_impl = "approx" if on_tpu else "scan"
 
@@ -118,10 +146,10 @@ def main() -> None:
         return hybrid_retrieve(
             emb_dev, di, dt, dl, dfj, jnp.float32(n),
             q_dense, q_idx, q_tf, valid, weights, jnp.float32(0.8),
-            post_rows=pr, post_tf=pt, emb_scale=emb_scale,
+            post_rows=pr, post_tf=pt, emb_scale=emb_scale, **pq_args,
             k_cand=k_cand, k_out=k_out, metric="ip", use_mmr=True,
             dense_impl=dense_impl,
-            sparse_impl="postings",
+            sparse_impl="postings", **pq_kw,
         )
 
     def make_queries(batch):

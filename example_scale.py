@@ -10,6 +10,8 @@ small scale).  This one exercises the knobs a production deployment at
   4. fused hybrid search through the IVF path
   5. streaming appends -> exact-scan tail -> maintenance rebuild
   6. delete -> postings compaction
+  7. the >30M tier: PQ codes + IVF-PQ residual partitions
+     (semantic_dtype="pq", exact hybrid via host re-fusion)
 
 Runs in ~a minute on CPU (small corpus stands in for the big one; the
 code path is identical — only shapes change).
@@ -79,7 +81,28 @@ def main() -> None:
     print(f"   maintenance: {out}")
     hits = mgr.hybrid_search_batch_sync(["bulletin 42 about zeppelins"], 3)[0]
     assert all(h["doc_id"] != "fresh" for h in hits)
-    print("   deleted docs no longer retrievable — done.")
+    print("   deleted docs no longer retrievable.")
+
+    print("== 7. PQ + IVF-PQ tier (the >30M-rows/chip configuration)")
+    mpq = MultiIndexManager(
+        config=PipelineConfig(semantic_dim=64, semantic_dtype="pq"))
+    mpq.index_chunks(docs)
+    mpq.semantic.build_pq()       # flat codes: ~16x smaller than f32
+    mpq.semantic.build_ivf()      # pq mode -> residual IVF-PQ partitions
+    npb, rec = mpq.semantic.tune_nprobe(recall_target=0.95, k=10, sample=32)
+    stats = mpq.get_collection_stats()["semantic"]
+    print(f"   pq={mpq.semantic.has_pq} ivfpq={mpq.semantic.has_ivfpq} "
+          f"nprobe={npb} recall@10={rec:.3f} "
+          f"memory={stats['memory_bytes']/1e6:.1f} MB")
+    hits = mpq.hybrid_search_batch_sync(
+        ["note 80 on signal processing"], 5)[0]
+    print("   hybrid (deep PQ candidates + exact host re-fusion):",
+          [h["chunk_id"] for h in hits][:3])
+    mpq.index_chunks([ChunkRecord(chunk_id="z1", doc_id="z",
+                                  content="note on airship mooring masts")])
+    hits = mpq.hybrid_search_batch_sync(["airship mooring"], 3)[0]
+    assert hits[0]["chunk_id"] == "z1"
+    print("   streaming append -> residual-coded tail retrievable — done.")
 
 
 if __name__ == "__main__":
