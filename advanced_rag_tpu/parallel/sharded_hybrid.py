@@ -29,11 +29,12 @@ from .sharded_search import _merge
     jax.jit,
     static_argnames=("k_cand", "k_out", "metric", "scoring", "rrf_k",
                      "use_mmr", "dense_block_size", "sparse_block_size",
-                     "mesh", "shard_axis"),
+                     "mesh", "shard_axis", "dense_impl", "pq_m", "pq_bits",
+                     "pq_impl", "dense_depth"),
 )
 def sharded_hybrid_retrieve(
-    emb: jnp.ndarray,        # [N, D] row-sharded (N % S == 0)
-    doc_idx: jnp.ndarray,    # [N, P] row-sharded
+    emb: jnp.ndarray,        # [N, D] row-sharded (N % S == 0); PQ codes
+    doc_idx: jnp.ndarray,    # [N, P] row-sharded        [N, m] for "pq"
     doc_tf: jnp.ndarray,     # [N, P] row-sharded
     doc_len: jnp.ndarray,    # [N] row-sharded
     df: jnp.ndarray,         # [V] replicated
@@ -44,6 +45,7 @@ def sharded_hybrid_retrieve(
     valid: Optional[jnp.ndarray],   # [N] row-sharded
     weights: jnp.ndarray,    # [2] f32
     mmr_lambda: jnp.ndarray,
+    pq_codebooks: Optional[jnp.ndarray] = None,  # [m, c, dsub] replicated
     *,
     mesh: Mesh,
     k_cand: int,
@@ -55,8 +57,17 @@ def sharded_hybrid_retrieve(
     dense_block_size: int = 65536,
     sparse_block_size: int = 8192,
     shard_axis: str = "shard",
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """-> (ids [Q, k_out], scores, method_counts), replicated.
+    dense_impl: str = "scan",    # "scan" | "pq" (flat codes shard by rows)
+    pq_m: int = 0,
+    pq_bits: int = 4,
+    pq_impl: str = "pallas",
+    # dense over-retrieve depth (0 = k_cand): when > k_cand the return
+    # grows deep global dense candidates for host exact refinement —
+    # the sharded analogue of ops/hybrid.py dense_depth.
+    dense_depth: int = 0,
+):
+    """-> (ids [Q, k_out], scores, method_counts)[, dense ids/scores at
+    ``dense_depth``], all replicated.
 
     Contract identical to ops.hybrid.hybrid_retrieve run on the
     unsharded corpus (BM25 exact via global df + psum'd avg_len; RRF and
@@ -67,19 +78,34 @@ def sharded_hybrid_retrieve(
     if n % num_shards:
         raise ValueError(f"corpus rows {n} not divisible by {num_shards}")
     local_n = n // num_shards
+    depth = max(dense_depth, k_cand)
     if valid is None:
         valid = jnp.ones((n,), jnp.bool_)
 
-    def local(emb_l, idx_l, tf_l, len_l, df_r, nd, q, qi, qt, valid_l, w, lam):
+    def local(emb_l, idx_l, tf_l, len_l, df_r, nd, q, qi, qt, valid_l, w,
+              lam, cbs):
         shard = lax.axis_index(shard_axis).astype(jnp.int32)
         offset = shard * local_n
 
-        d_s, d_i = dense_topk(
-            emb_l, q, k_cand, valid_l, metric=metric,
-            block_size=min(dense_block_size, local_n), normalize_queries=False,
-        )
+        if dense_impl == "pq":
+            from ..ops.pq import pq_topk
+
+            d_s, d_i = pq_topk(
+                cbs, emb_l, q, min(depth, local_n), valid_l,
+                m=pq_m, bits=pq_bits, impl=pq_impl)
+            if min(depth, local_n) < depth:
+                pad = depth - min(depth, local_n)
+                d_s = jnp.pad(d_s, ((0, 0), (0, pad)),
+                              constant_values=float(NEG_INF))
+                d_i = jnp.pad(d_i, ((0, 0), (0, pad)), constant_values=-1)
+        else:
+            d_s, d_i = dense_topk(
+                emb_l, q, depth, valid_l, metric=metric,
+                block_size=min(dense_block_size, local_n),
+                normalize_queries=False,
+            )
         d_s, d_gi = _merge(d_s, jnp.where(d_i >= 0, d_i + offset, -1),
-                           k_cand, shard_axis, num_shards)
+                           depth, shard_axis, num_shards)
 
         v = valid_l.astype(jnp.float32)
         len_sum = lax.psum(jnp.sum(len_l.astype(jnp.float32) * v), shard_axis)
@@ -93,11 +119,12 @@ def sharded_hybrid_retrieve(
                            k_cand, shard_axis, num_shards)
 
         fused_s, fused_i, counts = rrf_fuse(
-            jnp.stack([d_gi, s_gi]), w, rrf_k=rrf_k, k_out=k_cand)
+            jnp.stack([d_gi[:, :k_cand], s_gi]), w, rrf_k=rrf_k,
+            k_out=k_cand)
 
         if not use_mmr:
             return (fused_i[:, :k_out], fused_s[:, :k_out],
-                    counts[:, :k_out])
+                    counts[:, :k_out], d_gi, d_s)
 
         # Candidate embeddings: each shard contributes the rows it owns,
         # one psum assembles the [Q, k_cand, D] pool (k_cand*D floats per
@@ -105,7 +132,14 @@ def sharded_hybrid_retrieve(
         local_rows = fused_i - offset
         own = (local_rows >= 0) & (local_rows < local_n) & (fused_i >= 0)
         safe = jnp.clip(local_rows, 0, local_n - 1)
-        ce = emb_l[safe].astype(jnp.float32)              # [Q, k_cand, D]
+        if dense_impl == "pq":
+            from ..ops.pq import PQCodebook, pq_decode
+
+            ce = pq_decode(
+                PQCodebook(codebooks=cbs, m=pq_m, bits=pq_bits),
+                emb_l[safe])                              # [Q, k_cand, D]
+        else:
+            ce = emb_l[safe].astype(jnp.float32)          # [Q, k_cand, D]
         ce = jnp.where(own[:, :, None], ce, 0.0)
         ce = lax.psum(ce, shard_axis)
         ok = fused_i >= 0
@@ -119,21 +153,27 @@ def sharded_hybrid_retrieve(
         out_i = jnp.where(sel_ok, jnp.take_along_axis(fused_i, sp, 1), -1)
         out_s = jnp.where(sel_ok, jnp.take_along_axis(fused_s, sp, 1), NEG_INF)
         out_c = jnp.where(sel_ok, jnp.take_along_axis(counts, sp, 1), 0)
-        return out_i, out_s, out_c
+        return out_i, out_s, out_c, d_gi, d_s
 
-    return shard_map(
+    if pq_codebooks is None:  # keep the pytree static for shard_map
+        pq_codebooks = jnp.zeros((1, 1, 1), jnp.float32)
+    out = shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(shard_axis, None), P(shard_axis, None), P(shard_axis, None),
             P(shard_axis), P(None), P(),
             P(None, None), P(None, None), P(None, None), P(shard_axis),
-            P(None), P(),
+            P(None), P(), P(None, None, None),
         ),
-        out_specs=(P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None), P(None, None),
+                   P(None, None), P(None, None)),
         check_vma=False,
     )(emb, doc_idx, doc_tf, doc_len, df, n_docs,
-      q_dense, q_idx, q_tf, valid, weights, mmr_lambda)
+      q_dense, q_idx, q_tf, valid, weights, mmr_lambda, pq_codebooks)
+    if dense_depth > k_cand:
+        return out
+    return out[:3]
 
 
 __all__ = ["sharded_hybrid_retrieve"]
