@@ -46,6 +46,7 @@ def sharded_hybrid_retrieve(
     weights: jnp.ndarray,    # [2] f32
     mmr_lambda: jnp.ndarray,
     pq_codebooks: Optional[jnp.ndarray] = None,  # [m, c, dsub] replicated
+    emb_scale: Optional[jnp.ndarray] = None,     # [N] f32 row-sharded (sq8)
     *,
     mesh: Mesh,
     k_cand: int,
@@ -57,7 +58,7 @@ def sharded_hybrid_retrieve(
     dense_block_size: int = 65536,
     sparse_block_size: int = 8192,
     shard_axis: str = "shard",
-    dense_impl: str = "scan",    # "scan" | "pq" (flat codes shard by rows)
+    dense_impl: str = "scan",    # "scan" | "sq8" | "pq" (row-sharded codes)
     pq_m: int = 0,
     pq_bits: int = 4,
     pq_impl: str = "pallas",
@@ -83,7 +84,7 @@ def sharded_hybrid_retrieve(
         valid = jnp.ones((n,), jnp.bool_)
 
     def local(emb_l, idx_l, tf_l, len_l, df_r, nd, q, qi, qt, valid_l, w,
-              lam, cbs):
+              lam, cbs, scale_l):
         shard = lax.axis_index(shard_axis).astype(jnp.int32)
         offset = shard * local_n
 
@@ -93,6 +94,17 @@ def sharded_hybrid_retrieve(
             d_s, d_i = pq_topk(
                 cbs, emb_l, q, min(depth, local_n), valid_l,
                 m=pq_m, bits=pq_bits, impl=pq_impl)
+            if min(depth, local_n) < depth:
+                pad = depth - min(depth, local_n)
+                d_s = jnp.pad(d_s, ((0, 0), (0, pad)),
+                              constant_values=float(NEG_INF))
+                d_i = jnp.pad(d_i, ((0, 0), (0, pad)), constant_values=-1)
+        elif dense_impl == "sq8":
+            from ..ops.quant import dense_topk_sq8
+
+            d_s, d_i = dense_topk_sq8(
+                emb_l, scale_l, q, min(depth, local_n), valid_l,
+                metric="ip", normalize_queries=False)
             if min(depth, local_n) < depth:
                 pad = depth - min(depth, local_n)
                 d_s = jnp.pad(d_s, ((0, 0), (0, pad)),
@@ -140,6 +152,8 @@ def sharded_hybrid_retrieve(
                 emb_l[safe])                              # [Q, k_cand, D]
         else:
             ce = emb_l[safe].astype(jnp.float32)          # [Q, k_cand, D]
+            if dense_impl == "sq8":                       # dequantize codes
+                ce = ce * scale_l[safe][..., None]
         ce = jnp.where(own[:, :, None], ce, 0.0)
         ce = lax.psum(ce, shard_axis)
         ok = fused_i >= 0
@@ -157,6 +171,8 @@ def sharded_hybrid_retrieve(
 
     if pq_codebooks is None:  # keep the pytree static for shard_map
         pq_codebooks = jnp.zeros((1, 1, 1), jnp.float32)
+    if emb_scale is None:
+        emb_scale = jnp.zeros((n,), jnp.float32)
     out = shard_map(
         local,
         mesh=mesh,
@@ -164,13 +180,14 @@ def sharded_hybrid_retrieve(
             P(shard_axis, None), P(shard_axis, None), P(shard_axis, None),
             P(shard_axis), P(None), P(),
             P(None, None), P(None, None), P(None, None), P(shard_axis),
-            P(None), P(), P(None, None, None),
+            P(None), P(), P(None, None, None), P(shard_axis),
         ),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None), P(None, None)),
         check_vma=False,
     )(emb, doc_idx, doc_tf, doc_len, df, n_docs,
-      q_dense, q_idx, q_tf, valid, weights, mmr_lambda, pq_codebooks)
+      q_dense, q_idx, q_tf, valid, weights, mmr_lambda, pq_codebooks,
+      emb_scale)
     if dense_depth > k_cand:
         return out
     return out[:3]

@@ -111,3 +111,39 @@ def test_pq_rung_matches_single_device(setup, use_mmr):
         ref_set = set(np.asarray(ref.dense_ids)[r].tolist()) - {-1}
         got_set = set(np.asarray(gd_i)[r].tolist()) - {-1}
         assert len(got_set & ref_set) >= int(0.9 * len(ref_set))
+
+
+def test_sq8_rung_matches_single_device(setup):
+    """Row-sharded SQ8 codes + per-row scales reproduce the single-chip
+    SQ8 hybrid (int8 MXU matmul + rescale per shard, ICI merge)."""
+    from advanced_rag_tpu.ops.quant import sq8_quantize_host
+
+    emb, doc_idx, doc_tf, doc_len, df, q, q_idx, q_tf, valid, n = setup
+    w = jnp.asarray([0.7, 0.3], jnp.float32)
+    lam = jnp.float32(0.8)
+    codes, scale = sq8_quantize_host(emb)
+
+    ref = hybrid_retrieve(
+        jnp.asarray(codes), jnp.asarray(doc_idx), jnp.asarray(doc_tf),
+        jnp.asarray(doc_len), jnp.asarray(df), jnp.float32(n),
+        jnp.asarray(q), jnp.asarray(q_idx), jnp.asarray(q_tf),
+        jnp.asarray(valid), w, lam, emb_scale=jnp.asarray(scale),
+        k_cand=24, k_out=8, use_mmr=True, dense_impl="sq8",
+    )
+
+    mesh = build_mesh(MeshConfig(mesh_shape=(8, 1)))
+    arrs = shard_corpus_arrays(
+        mesh, pad_to_shards(codes, 8), pad_to_shards(doc_idx, 8, -1),
+        pad_to_shards(doc_tf, 8), pad_to_shards(doc_len, 8),
+        pad_to_shards(valid, 8, False), pad_to_shards(scale, 8),
+    )
+    emb_s, di_s, dt_s, dl_s, v_s, sc_s = arrs
+    got_i, got_s, got_c = sharded_hybrid_retrieve(
+        emb_s, di_s, dt_s, dl_s, jnp.asarray(df), jnp.float32(n),
+        jnp.asarray(q), jnp.asarray(q_idx), jnp.asarray(q_tf),
+        v_s, w, lam, None, sc_s, mesh=mesh, k_cand=24, k_out=8,
+        use_mmr=True, dense_impl="sq8",
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref.ids))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref.scores),
+                               rtol=1e-5, atol=1e-6)
