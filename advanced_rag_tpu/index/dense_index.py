@@ -68,7 +68,8 @@ class DenseIndex:
         v = np.asarray(vectors, dtype=np.float32)
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}] vectors, got {v.shape}")
-        if self.config.metric == Metric.COSINE:
+        if (self.config.metric == Metric.COSINE
+                and not getattr(self, "_skip_normalize", False)):
             # store normalized -> search reduces to inner product
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             v = v / np.maximum(norms, 1e-12)
@@ -128,16 +129,26 @@ class DenseIndex:
                     self._ivfpq, dev_v[:n], rows, self._ivfpq_fill)
                 self._ivfpq_fill += n
         elif self._sq8:
-            from ..ops.quant import sq8_quantize_host
+            from ..ops.quant import sq8_quantize
 
-            codes, scale = sq8_quantize_host(v)
+            # quantize on device: upload f32 once, codes/scales never
+            # exist on the host (the host CPU is burst-throttled — every
+            # avoided full-array pass matters at bulk-import sizes)
+            dev_v = jax.device_put(v)
+            codes, scale = sq8_quantize(dev_v)
+            pad = next_pow2(n) - n
             vals = {
-                "emb": jax.device_put(pad_rows_pow2(codes)),
-                "emb_scale": jax.device_put(pad_rows_pow2(scale)),
+                "emb": jnp.pad(codes, ((0, pad), (0, 0))),
+                "emb_scale": jnp.pad(scale, (0, pad)),
             }
         else:
-            vals = {"emb": jax.device_put(
-                _to_host_dtype(pad_rows_pow2(v), self._dtype))}
+            # pad + dtype-cast on device for the same reason (the batch-
+            # sized f32 staging spike is fine; only the full-matrix
+            # restore path needs the host-side cast of _to_host_dtype)
+            dev_v = jax.device_put(v)
+            pad = next_pow2(n) - n
+            vals = {"emb": jnp.pad(dev_v, ((0, pad), (0, 0))).astype(
+                self._dtype)}
         self.size = max(self.size, start + n)
         return vals
 
@@ -166,6 +177,31 @@ class DenseIndex:
         # stays valid for the segment it was built over; appended rows
         # form an exact-scan tail merged at query time.  Rebuild when
         # the tail outgrows REBUILD_TAIL_FRACTION (stats expose it).
+
+    def bulk_load(self, vectors: np.ndarray, *,
+                  pre_normalized: bool = False) -> int:
+        """Engine-level bulk import (BACKLOG: throttled-host imports).
+
+        Appends ``vectors`` at row ``self.size`` and returns the start
+        row.  ``pre_normalized=True`` skips the host normalize pass —
+        with device-side pad/cast/quantize in prepare_append, the only
+        remaining host work is the mirror memcpy, so a multi-GB import
+        costs one host pass instead of four.  Embedding dumps are
+        normally already unit-norm; pass False (default) to normalize.
+
+        NOTE: rows appended here must stay aligned with the CorpusStore
+        when used under MultiIndexManager — use the manager's ingest for
+        text corpora; this is the raw-embedding path."""
+        start = self.size
+        if pre_normalized and self.config.metric == Metric.COSINE:
+            self._skip_normalize = True
+            try:
+                self.append(start, vectors)
+            finally:
+                self._skip_normalize = False
+        else:
+            self.append(start, vectors)
+        return start
 
     @property
     def search_metric(self) -> str:

@@ -236,3 +236,53 @@ class TestMultiIndexManager:
         manager.index_chunks(make_records(3))
         hits = asyncio.run(manager.search("semantic", "chunk content", 2))
         assert len(hits) == 2
+
+
+class TestBulkLoad:
+    def test_bulk_load_matches_append(self):
+        from advanced_rag_tpu.config import IndexConfig
+        from advanced_rag_tpu.index.dense_index import DenseIndex
+
+        rng = np.random.default_rng(0)
+        v = rng.standard_normal((300, 32)).astype(np.float32)
+        a = DenseIndex(IndexConfig(dim=32, min_capacity=64))
+        a.append(0, v)
+        b = DenseIndex(IndexConfig(dim=32, min_capacity=64))
+        start = b.bulk_load(v)
+        assert start == 0 and b.size == 300
+        q = v[:3]
+        sa, ia = a.search(q, 5)
+        sb, ib = b.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_allclose(np.asarray(sa), np.asarray(sb),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_bulk_load_pre_normalized_skips_host_pass(self):
+        from advanced_rag_tpu.config import IndexConfig
+        from advanced_rag_tpu.index.dense_index import DenseIndex
+
+        rng = np.random.default_rng(1)
+        v = rng.standard_normal((128, 16)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        idx = DenseIndex(IndexConfig(dim=16, min_capacity=64))
+        idx.bulk_load(v, pre_normalized=True)
+        s, i = idx.search(v[:2], 1)
+        assert np.asarray(i)[0, 0] == 0
+        assert np.asarray(s)[0, 0] == pytest.approx(1.0, abs=1e-2)
+        # mirror holds the vectors verbatim (no second normalize)
+        np.testing.assert_array_equal(idx._host[:128], v)
+
+    def test_bulk_load_sq8_and_pq_tiers(self):
+        from advanced_rag_tpu.config import IndexConfig
+        from advanced_rag_tpu.index.dense_index import DenseIndex
+
+        rng = np.random.default_rng(2)
+        v = rng.standard_normal((256, 32)).astype(np.float32)
+        for dtype in ("int8", "pq"):
+            idx = DenseIndex(IndexConfig(dim=32, dtype=dtype,
+                                         min_capacity=64))
+            idx.bulk_load(v)
+            if dtype == "pq":
+                idx.build_pq()
+            s, i = idx.search(v[:4], 3)
+            assert (np.asarray(i)[:, 0] == np.arange(4)).all()
