@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -90,6 +91,14 @@ class MultiIndexManager:
         self._semantic_cache = semantic_cache_ or semantic_cache
         self._domain_cache = domain_cache_ or domain_cache
         self._closed = False
+        # Serializes corpus mutations (ingest/delete).  Concurrent
+        # index_chunks calls are real in the service (client disconnect
+        # leaves the first to_thread ingest running while a retry starts
+        # a second): without exclusion, both base their fused append on
+        # the same device arrays and the last commit silently drops the
+        # other's rows; with it, the second call blocks, then dedupes
+        # against COMMITTED state (idempotent re-ingest).
+        self._write_lock = threading.Lock()
 
     # -- embeddings ----------------------------------------------------------
 
@@ -158,71 +167,72 @@ class MultiIndexManager:
             report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
             return report
 
-        first_new = self.store.size
-        rows, store_pending = self.store.prepare_append(records)
-        # Only embed rows that are NEW (idempotent re-ingest skips work).
-        new_rows: List[int] = []
-        new_records: List[ChunkRecord] = []
-        seen = set()
-        for row, rec in zip(rows, records):
-            if row >= first_new and row not in seen:
-                seen.add(row)
-                new_rows.append(row)
-                new_records.append(rec)
-        if new_rows:
-            # ONE fused device program for corpus columns + dense
-            # embeddings + sparse slots (+ domain): every append array is
-            # updated in a single dispatch (BACKLOG #6 — each dispatch
-            # costs ~28 ms through the remote-chip tunnel).
-            from .corpus import fused_append
+        with self._write_lock:
+            first_new = self.store.size
+            rows, store_pending = self.store.prepare_append(records)
+            # Only embed rows that are NEW (idempotent re-ingest skips work).
+            new_rows: List[int] = []
+            new_records: List[ChunkRecord] = []
+            seen = set()
+            for row, rec in zip(rows, records):
+                if row >= first_new and row not in seen:
+                    seen.add(row)
+                    new_rows.append(row)
+                    new_records.append(rec)
+            if new_rows:
+                # ONE fused device program for corpus columns + dense
+                # embeddings + sparse slots (+ domain): every append array is
+                # updated in a single dispatch (BACKLOG #6 — each dispatch
+                # costs ~28 ms through the remote-chip tunnel).
+                from .corpus import fused_append
 
-            start = min(new_rows)
-            # rows from CorpusStore.append are contiguous for fresh records
-            texts = [r.content for r in new_records]
-            emb = self._embed_batch_cached(
-                texts, self.embedder, self._semantic_cache, "semantic"
-            )
-            arrays: Dict[str, Any] = {}
-            vals: Dict[str, Any] = {}
-
-            def collect(prefix: str, arrs, vls) -> None:
-                for name, a in arrs.items():
-                    arrays[prefix + name] = a
-                    vals[prefix + name] = vls[name]
-
-            if store_pending is not None:
-                collect("c:", self.store.device_arrays(), store_pending[1])
-            sem_vals = self.semantic.prepare_append(start, emb)
-            collect("e:", self.semantic.device_arrays(), sem_vals)
-            if self.sparse is not None:
-                from .text import encode_documents
-
-                sp_enc = encode_documents(texts, self.sparse.vocab_size,
-                                          self.sparse.doc_nnz)
-                sp_vals = self.sparse.prepare_append_encoded(start, *sp_enc)
-                collect("s:", self.sparse.device_arrays(), sp_vals)
-            if self.domain is not None and self.domain_embedder is not None:
-                demb = self._embed_batch_cached(
-                    texts, self.domain_embedder, self._domain_cache, "domain"
+                start = min(new_rows)
+                # rows from CorpusStore.append are contiguous for fresh records
+                texts = [r.content for r in new_records]
+                emb = self._embed_batch_cached(
+                    texts, self.embedder, self._semantic_cache, "semantic"
                 )
-                dom_vals = self.domain.prepare_append(start, demb)
-                collect("d:", self.domain.device_arrays(), dom_vals)
+                arrays: Dict[str, Any] = {}
+                vals: Dict[str, Any] = {}
 
-            updated = fused_append(arrays, jnp.int32(start), vals)
+                def collect(prefix: str, arrs, vls) -> None:
+                    for name, a in arrs.items():
+                        arrays[prefix + name] = a
+                        vals[prefix + name] = vls[name]
 
-            def split(prefix: str):
-                return {k[len(prefix):]: v for k, v in updated.items()
-                        if k.startswith(prefix)}
+                if store_pending is not None:
+                    collect("c:", self.store.device_arrays(), store_pending[1])
+                sem_vals = self.semantic.prepare_append(start, emb)
+                collect("e:", self.semantic.device_arrays(), sem_vals)
+                if self.sparse is not None:
+                    from .text import encode_documents
 
-            if store_pending is not None:
-                self.store.commit_device(split("c:"))
-            self.semantic.commit_device(split("e:"))
-            if self.sparse is not None:
-                self.sparse.commit_device(split("s:"))
-            if self.domain is not None and self.domain_embedder is not None:
-                self.domain.commit_device(split("d:"))
-        report["indexed"] = len(records)
-        report["rows"] = rows
+                    sp_enc = encode_documents(texts, self.sparse.vocab_size,
+                                              self.sparse.doc_nnz)
+                    sp_vals = self.sparse.prepare_append_encoded(start, *sp_enc)
+                    collect("s:", self.sparse.device_arrays(), sp_vals)
+                if self.domain is not None and self.domain_embedder is not None:
+                    demb = self._embed_batch_cached(
+                        texts, self.domain_embedder, self._domain_cache, "domain"
+                    )
+                    dom_vals = self.domain.prepare_append(start, demb)
+                    collect("d:", self.domain.device_arrays(), dom_vals)
+
+                updated = fused_append(arrays, jnp.int32(start), vals)
+
+                def split(prefix: str):
+                    return {k[len(prefix):]: v for k, v in updated.items()
+                            if k.startswith(prefix)}
+
+                if store_pending is not None:
+                    self.store.commit_device(split("c:"))
+                self.semantic.commit_device(split("e:"))
+                if self.sparse is not None:
+                    self.sparse.commit_device(split("s:"))
+                if self.domain is not None and self.domain_embedder is not None:
+                    self.domain.commit_device(split("d:"))
+            report["indexed"] = len(records)
+            report["rows"] = rows
         report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
         return report
 
@@ -646,14 +656,16 @@ class MultiIndexManager:
     def delete_by_filter(self, filters: Dict[str, Any], *,
                          forget_content: bool = False) -> int:
         """Delete rows matching a filter spec (reference indexing.py:692)."""
-        mask = self.store.build_filter_mask(filters)
-        if mask is None:
-            raise ValidationError("delete_by_filter requires filters")
-        rows = np.nonzero(np.asarray(mask))[0].tolist()
-        deleted = self.store.delete_rows(rows, forget_content=forget_content)
-        if deleted and self.sparse is not None:
-            self.sparse.remove_rows(rows)
-        return deleted
+        with self._write_lock:
+            mask = self.store.build_filter_mask(filters)
+            if mask is None:
+                raise ValidationError("delete_by_filter requires filters")
+            rows = np.nonzero(np.asarray(mask))[0].tolist()
+            deleted = self.store.delete_rows(rows,
+                                             forget_content=forget_content)
+            if deleted and self.sparse is not None:
+                self.sparse.remove_rows(rows)
+            return deleted
 
     def get_collection_stats(self) -> Dict[str, Any]:
         """Reference indexing.py:678-690 equivalent."""
@@ -663,6 +675,8 @@ class MultiIndexManager:
             "dim": self.semantic.dim,
             "memory_bytes": self.semantic.memory_bytes(),
             "ivf": self.semantic.has_ivf,
+            "pq": self.semantic.has_pq,
+            "ivfpq": self.semantic.has_ivfpq,
             "ivf_tail_rows": self.semantic.ivf_tail_rows,
             "ivf_needs_rebuild": self.semantic.ivf_needs_rebuild,
         }

@@ -64,15 +64,30 @@ try:
     )
 
     _PROM = True
-    REQUESTS_TOTAL = Counter("rag_api_requests_total", "API requests",
-                             ["endpoint", "status"])
-    RETRIEVE_LATENCY = Histogram(
-        "rag_retrieve_latency_ms", "Retrieve latency (ms)",
+
+    def _metric(cls, name, *args, **kwargs):
+        """Idempotent registration: `python -m advanced_rag_tpu.service.app`
+        executes this module twice (once via the package import in
+        service/__init__.py, once as __main__ by runpy) — re-use the
+        collector the first pass registered instead of crashing."""
+        from prometheus_client import REGISTRY
+
+        try:
+            return cls(name, *args, **kwargs)
+        except ValueError:
+            return REGISTRY._names_to_collectors[name]
+
+    REQUESTS_TOTAL = _metric(Counter, "rag_api_requests_total",
+                             "API requests", ["endpoint", "status"])
+    RETRIEVE_LATENCY = _metric(
+        Histogram, "rag_retrieve_latency_ms", "Retrieve latency (ms)",
         buckets=MetricsConstants.LATENCY_BUCKETS_MS)
-    ERRORS_TOTAL = Counter("rag_errors_total", "Errors", ["error_type"])
-    ACTIVE_REQUESTS = Gauge("rag_active_requests", "In-flight requests")
-    EMBED_LATENCY = Histogram("rag_embedding_latency_seconds",
-                              "Embedding latency (s)")
+    ERRORS_TOTAL = _metric(Counter, "rag_errors_total", "Errors",
+                           ["error_type"])
+    ACTIVE_REQUESTS = _metric(Gauge, "rag_active_requests",
+                              "In-flight requests")
+    EMBED_LATENCY = _metric(Histogram, "rag_embedding_latency_seconds",
+                            "Embedding latency (s)")
 except ImportError:  # pragma: no cover - prometheus is baked in
     _PROM = False
 
@@ -673,15 +688,22 @@ async def index_maintain(request: web.Request) -> web.Response:
         return _json_error(401, "invalid API key", request["request_id"])
     body = await request.json() if request.can_read_body else {}
     mgr = state.pipeline.index_manager
+    sem = mgr.semantic
     out: Dict[str, Any] = {}
-    if body.get("build_ivf") and not mgr.semantic.has_ivf:
-        await asyncio.to_thread(mgr.semantic.build_ivf)
+    partitioned = sem.has_ivf or sem.has_ivfpq
+    if body.get("build_pq") and sem._pq_mode and not sem.has_pq:
+        await asyncio.to_thread(sem.build_pq)
+        out["pq_built"] = True
+    if body.get("build_ivf") and not partitioned:
+        # pq mode routes to the residual IVF-PQ build
+        await asyncio.to_thread(sem.build_ivf)
         out["ivf_built"] = True
+        partitioned = True
     out.update(await asyncio.to_thread(mgr.maintenance_tick))
     target = body.get("tune_recall")
-    if target and mgr.semantic.has_ivf:
+    if target and (sem.has_ivf or sem.has_ivfpq):
         npb, rec = await asyncio.to_thread(
-            mgr.semantic.tune_nprobe, float(target))
+            sem.tune_nprobe, float(target))
         out["nprobe"] = npb
         out["tuned_recall"] = rec
     return web.json_response(out)

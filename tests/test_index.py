@@ -286,3 +286,66 @@ class TestBulkLoad:
                 idx.build_pq()
             s, i = idx.search(v[:4], 3)
             assert (np.asarray(i)[:, 0] == np.arange(4)).all()
+
+
+class TestConcurrentIngest:
+    def test_concurrent_duplicate_ingest_serializes(self):
+        """Two threads ingesting the same batch concurrently (the
+        service's client-disconnect + retry shape) must leave the store
+        and every index family aligned, with all rows searchable the
+        moment either call returns."""
+        import threading
+
+        from advanced_rag_tpu.config import PipelineConfig
+        from advanced_rag_tpu.index.corpus import ChunkRecord
+        from advanced_rag_tpu.index.manager import MultiIndexManager
+
+        mgr = MultiIndexManager(config=PipelineConfig())
+        chunks = [ChunkRecord(chunk_id=f"c{j}", doc_id="d0",
+                              content=f"row {j} text payload {j % 7}")
+                  for j in range(64)]
+        reports = [None, None]
+
+        def go(slot):
+            reports[slot] = mgr.index_chunks(chunks)
+
+        threads = [threading.Thread(target=go, args=(s,)) for s in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r["indexed"] == 64 for r in reports)
+        st = mgr.get_collection_stats()
+        assert st["store"]["size"] == 64
+        assert st["semantic"]["rows"] == 64
+        assert st["sparse"]["rows"] == 64
+
+    def test_concurrent_distinct_batches_no_row_loss(self):
+        import threading
+
+        from advanced_rag_tpu.config import PipelineConfig
+        from advanced_rag_tpu.index.corpus import ChunkRecord
+        from advanced_rag_tpu.index.manager import MultiIndexManager
+
+        mgr = MultiIndexManager(config=PipelineConfig())
+
+        def batch(tag):
+            return [ChunkRecord(chunk_id=f"{tag}{j}", doc_id=tag,
+                                content=f"{tag} content row {j}")
+                    for j in range(40)]
+
+        threads = [threading.Thread(target=mgr.index_chunks,
+                                    args=(batch(t),)) for t in ("a", "b")]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        st = mgr.get_collection_stats()
+        assert st["store"]["size"] == 80
+        assert st["semantic"]["rows"] == 80
+        assert st["sparse"]["rows"] == 80
+        # every row retrievable through the fused hybrid path
+        hits = mgr.hybrid_search_batch_sync(["a content row 7"], 5)[0]
+        assert any(h["chunk_id"] == "a7" for h in hits)
+        hits = mgr.hybrid_search_batch_sync(["b content row 3"], 5)[0]
+        assert any(h["chunk_id"] == "b3" for h in hits)

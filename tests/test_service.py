@@ -252,3 +252,34 @@ class TestAdminEndpoints:
                                  headers={"X-API-Key": "secret"})
         assert resp.status == 200
         state.api_key = ""
+
+
+class TestAdminPQTier:
+    async def test_maintain_pq_tier(self, loop, tmp_path, monkeypatch):
+        """build_pq + build_ivf (pq mode -> IVF-PQ) + tune via the admin
+        endpoint; stats expose the tier flags."""
+        monkeypatch.delenv("API_KEY", raising=False)
+        pipeline = AdvancedRAGPipeline(PipelineConfig(semantic_dtype="pq"))
+        db = DatabasePool(sqlite_path=str(tmp_path / "chat.db"))
+        app = create_app(pipeline=pipeline, db=db)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await _ingest(client)
+            resp = await client.post("/admin/index/maintain",
+                                     json={"build_pq": True,
+                                           "build_ivf": True,
+                                           "tune_recall": 0.5})
+            assert resp.status == 200
+            data = await resp.json()
+            assert data.get("pq_built") and data.get("ivf_built")
+            assert "nprobe" in data
+            stats = await (await client.get("/admin/index/stats")).json()
+            assert stats["semantic"]["pq"] is True
+            assert stats["semantic"]["ivfpq"] is True
+            resp = await client.post("/retrieve", json={
+                "query": "hybrid retrieval"})
+            assert resp.status == 200
+            assert (await resp.json())["results"]
+        finally:
+            await client.close()
