@@ -162,17 +162,22 @@ def pq_encode_device(
     n, d = emb.shape
     m, c, dsub = codebooks.shape
     blk = min(block, n)
-    pad = (-n) % blk
-    if pad:  # static pad to a block multiple; padded codes sliced off
-        emb = jnp.pad(emb, ((0, pad), (0, 0)))
+    nblocks = cdiv(n, blk)
+    out_dt = jnp.uint8 if c > 128 else jnp.int8
 
-    def body(_, i):
-        xb = lax.dynamic_slice(emb, (i * blk, 0), (blk, d))
-        return None, _encode_block(xb.reshape(blk, m, dsub), codebooks)
+    # Ragged tail via an OVERLAPPING last block (start clamped to
+    # n - blk): the overlap rows are re-encoded to identical values.
+    # No pad copy of `emb` — at the 10M tier a jnp.pad here would
+    # duplicate a ~7 GB buffer and OOM the chip.
+    def body(i, out):
+        start = jnp.minimum(i * blk, n - blk)
+        xb = lax.dynamic_slice(emb, (start, 0), (blk, d))
+        codes = _encode_block(xb.reshape(blk, m, dsub), codebooks)
+        return lax.dynamic_update_slice(out, codes.astype(out_dt),
+                                        (start, 0))
 
-    _, out = lax.scan(body, None,
-                      jnp.arange((n + pad) // blk, dtype=jnp.int32))
-    return out.reshape(n + pad, m)[:n]
+    return lax.fori_loop(0, nblocks, body,
+                         jnp.zeros((n, m), out_dt))
 
 
 def pq_encode(
