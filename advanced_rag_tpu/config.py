@@ -66,6 +66,10 @@ class IndexConfig:
     # pq_bits each (4 -> 16 centroids/subspace, 8 -> 256)
     pq_m: int = 0                           # 0 -> auto (dim // 4)
     pq_bits: int = 4
+    # OPQ: learn an orthogonal rotation before quantizing (ops/pq.py
+    # opq_train) — better codes at the same bytes on anisotropic
+    # embeddings; flat-PQ tier only (IVF-PQ residuals are near-isotropic)
+    pq_opq: bool = False
     kmeans_iters: int = IndexConstants.IVF_KMEANS_ITERS
     scan_block_size: int = IndexConstants.SCAN_BLOCK_SIZE
     min_capacity: int = IndexConstants.MIN_CAPACITY
@@ -148,6 +152,9 @@ class PipelineConfig:
     # exact re-score factor for quantized tiers (int8/pq); 0 = auto per
     # tier (int8 -> 2, pq -> 32), 1 disables
     semantic_refine: int = 0
+    # learn an OPQ rotation when building flat-PQ codes (recall lift at
+    # the same bytes/row on anisotropic embedding distributions)
+    semantic_opq: bool = False
     semantic_dim: int = IndexConstants.SEMANTIC_DIM
     domain_dim: int = IndexConstants.DOMAIN_DIM
     sparse_vocab_size: int = IndexConstants.SPARSE_VOCAB_SIZE

@@ -49,6 +49,7 @@ class DenseIndex:
         # build); appends after that encode with the fixed codebooks.
         self._pq_mode = config.dtype == "pq"
         self._pq = None            # ops.pq.PQCodebook once built
+        self._pq_rot = None        # OPQ rotation [D, D] (config.pq_opq)
         # IVF-PQ (ops/ivfpq.py): coarse partitions + residual codes on
         # top of PQ mode — nprobe-bounded scans + residual recall
         self._ivfpq = None
@@ -119,7 +120,8 @@ class DenseIndex:
             # host tunnel); pow2-padded rows encode garbage but land
             # beyond `size` and are overwritten by the next append
             dev_v = jnp.asarray(pad_rows_pow2(v).astype(ml_dtypes.bfloat16))
-            vals = {"emb": pq_encode_device(dev_v, self._pq.codebooks)}
+            vals = {"emb": pq_encode_device(dev_v, self._pq.codebooks,
+                                            self._pq_rot)}
             if self._ivfpq is not None:
                 # residual-encode into the IVF-PQ tail on device too
                 from ..ops.ivfpq import ivfpq_append_tail
@@ -252,6 +254,10 @@ class DenseIndex:
             raise ValueError("cannot build IVF-PQ over an empty index")
         if not self._pq_mode:
             raise ValueError('build_ivfpq requires dtype="pq"')
+        if self._pq_rot is not None:
+            raise ValueError(
+                "OPQ (pq_opq) applies to the flat-PQ tier only — IVF-PQ "
+                "residuals are near-isotropic and rotate-invariant")
         nlist = nlist or self.config.nlist or auto_nlist(
             self.size, IndexConstants.IVF_NLIST_FACTOR)
         nlist = min(nlist, self.size)
@@ -283,17 +289,30 @@ class DenseIndex:
             raise ValueError("cannot build PQ over an empty index")
         if not self._pq_mode:
             raise ValueError('build_pq requires dtype="pq"')
-        pq = pq_train(
-            self._host[: self.size],
-            m or self.config.pq_m,
-            bits or self.config.pq_bits,
-            train_sample=train_sample,
-            seed=seed,
-        )
+        if self.config.pq_opq:
+            from ..ops.pq import opq_train
+
+            rot, pq = opq_train(
+                self._host[: self.size],
+                m or self.config.pq_m,
+                bits or self.config.pq_bits,
+                train_sample=train_sample,
+                seed=seed,
+            )
+            self._pq_rot = rot
+        else:
+            pq = pq_train(
+                self._host[: self.size],
+                m or self.config.pq_m,
+                bits or self.config.pq_bits,
+                train_sample=train_sample,
+                seed=seed,
+            )
         # The staged bf16 matrix is already in HBM: encode the whole
-        # capacity on device — no host transfers at all.  Rows past
-        # `size` encode garbage codes; the search path masks them.
-        codes = pq_encode_device(self.emb, pq.codebooks)
+        # capacity on device — no host transfers at all (OPQ rotation
+        # applies per block inside the encode).  Rows past `size`
+        # encode garbage codes; the search path masks them.
+        codes = pq_encode_device(self.emb, pq.codebooks, self._pq_rot)
         self.emb, self._pq = codes, pq  # swap last (build-then-swap)
 
     def _pq_reencode_all(self) -> None:
@@ -304,7 +323,8 @@ class DenseIndex:
         from ..ops.pq import pq_encode_device
 
         staged = jax.device_put(self._host.astype(ml_dtypes.bfloat16))
-        self.emb = pq_encode_device(staged, self._pq.codebooks)
+        self.emb = pq_encode_device(staged, self._pq.codebooks,
+                                    self._pq_rot)
 
     @property
     def has_pq(self) -> bool:
@@ -523,6 +543,9 @@ class DenseIndex:
         if self._pq is not None:
             from ..ops.pq import pq_topk
 
+            if self._pq_rot is not None:  # OPQ: q.x == (qR).(xR)
+                q = jnp.dot(q, self._pq_rot,
+                            preferred_element_type=jnp.float32)
             # rows past `size` hold garbage codes (device-side encode
             # covers the whole capacity) — unlike the float tiers' zero
             # rows they decode to real centroids, so bound explicitly

@@ -69,7 +69,8 @@ class MultiIndexManager:
             IndexConfig(index_type=IndexType.SEMANTIC, dim=self.embedder.dim,
                         metric=Metric.COSINE,
                         dtype=self.config.semantic_dtype,
-                        refine_factor=self.config.semantic_refine)
+                        refine_factor=self.config.semantic_refine,
+                        pq_opq=self.config.semantic_opq)
         )
         self.enable_sparse = enable_sparse
         self.sparse = (
@@ -514,11 +515,18 @@ class MultiIndexManager:
         post_args.update(ivf_args)
         pq_kwargs: Dict[str, Any] = {}
         pq_refine = 0
+        q_prog = q
         if dense_impl == "pq":
             pqc = self.semantic._pq
             post_args["pq_codebooks"] = pqc.codebooks
             pq_kwargs = {"pq_m": pqc.m, "pq_bits": pqc.bits,
                          "pq_impl": "pallas" if on_tpu else "xla"}
+            if self.semantic._pq_rot is not None:
+                # OPQ: rotate the dense query (q.x == (qR).(xR)); the
+                # cached/downloaded q and the exact refinement keep the
+                # ORIGINAL embedding space
+                q_prog = jnp.dot(q, self.semantic._pq_rot,
+                                 preferred_element_type=jnp.float32)
             # BACKLOG #2: over-retrieve deep raw-PQ dense candidates in
             # the fused dispatch, then exactly re-score them from the
             # f32 mirror and re-fuse host-side — hybrid results get the
@@ -532,7 +540,7 @@ class MultiIndexManager:
                     max(k_cand * pq_refine, k_cand), 1024)
         res = hybrid_retrieve(
             self.semantic.emb, *sparse_args,
-            q, jnp.asarray(q_idx), jnp.asarray(q_tf),
+            q_prog, jnp.asarray(q_idx), jnp.asarray(q_tf),
             mask,
             jnp.asarray(np.asarray(weights, np.float32)),
             jnp.float32(mmr_lambda),

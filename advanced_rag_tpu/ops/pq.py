@@ -149,8 +149,9 @@ def _encode_block(xb: jnp.ndarray, cb: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("block",))
 def pq_encode_device(
-    emb: jnp.ndarray,           # [N, D] float (any), N % block' == 0
+    emb: jnp.ndarray,           # [N, D] float (any)
     codebooks: jnp.ndarray,     # [m, c, dsub] f32
+    rotation: Optional[jnp.ndarray] = None,  # [D, D] OPQ rotation
     *,
     block: int = 8192,
 ) -> jnp.ndarray:
@@ -172,6 +173,9 @@ def pq_encode_device(
     def body(i, out):
         start = jnp.minimum(i * blk, n - blk)
         xb = lax.dynamic_slice(emb, (start, 0), (blk, d))
+        if rotation is not None:  # OPQ: rotate per block (no big temp)
+            xb = jnp.dot(xb.astype(jnp.float32), rotation,
+                         preferred_element_type=jnp.float32)
         codes = _encode_block(xb.reshape(blk, m, dsub), codebooks)
         return lax.dynamic_update_slice(out, codes.astype(out_dt),
                                         (start, 0))
@@ -207,6 +211,53 @@ def pq_encode(
             block=inner)
         out[start:start + b] = np.asarray(codes[:b]).astype(out_dt)
     return out
+
+
+def opq_train(
+    emb_host: np.ndarray,     # [N, D] f32 (pre-normalized for cosine)
+    m: int = 0,
+    bits: int = 4,
+    *,
+    opq_iters: int = 8,
+    pq_iters: int = 4,
+    final_iters: int = 12,
+    train_sample: int = 65536,
+    seed: int = 0,
+) -> Tuple[jnp.ndarray, PQCodebook]:
+    """OPQ (Ge et al.): learn an orthogonal rotation R that minimizes PQ
+    reconstruction error, then train codebooks in the rotated space.
+
+    Alternating minimization: train codebooks on X@R (few Lloyd iters),
+    reconstruct X_hat, solve the orthogonal Procrustes problem
+    min_R ||X R - X_hat||_F  via  SVD(X^T X_hat) = U S V^T, R = U V^T.
+    Inner product is exactly preserved (q.x == (qR).(xR)), so queries
+    just rotate before LUT construction; candidates decode to rotated
+    vectors whose cosines are unchanged (MMR unaffected); the exact
+    refinement pass uses the unrotated mirror and needs nothing.
+
+    Returns (R [D, D] f32, PQCodebook over the rotated space)."""
+    n, d = emb_host.shape
+    m = m or auto_pq_m(d, bits)
+    x = emb_host
+    if n > train_sample:
+        sel = np.random.default_rng(seed).choice(n, train_sample,
+                                                 replace=False)
+        x = emb_host[sel]
+    xj = jnp.asarray(x, jnp.float32)
+    r = jnp.eye(d, dtype=jnp.float32)
+    pq = None
+    for it in range(opq_iters):
+        xr = np.asarray(xj @ r)
+        pq = pq_train(xr, m, bits, iters=pq_iters,
+                      train_sample=train_sample, seed=seed + it)
+        codes = pq_encode(xr, pq)
+        xhat = pq_decode(pq, jnp.asarray(codes))            # [Nt, D]
+        # Procrustes: R = U V^T of X^T X_hat
+        u, _, vt = jnp.linalg.svd(xj.T @ xhat, full_matrices=False)
+        r = u @ vt
+    pq = pq_train(np.asarray(xj @ r), m, bits, iters=final_iters,
+                  train_sample=train_sample, seed=seed)
+    return r, pq
 
 
 def pq_decode(pq: PQCodebook, codes: jnp.ndarray) -> jnp.ndarray:
@@ -390,6 +441,7 @@ __all__ = [
     "PQCodebook",
     "auto_pq_m",
     "pq_train",
+    "opq_train",
     "pq_encode",
     "pq_encode_device",
     "pq_decode",

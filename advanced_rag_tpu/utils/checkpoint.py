@@ -72,7 +72,11 @@ def save_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
                     np.asarray(idx._pq.codebooks, np.float32))
             manifest["dense"][name]["pq"] = {
                 "m": idx._pq.m, "bits": idx._pq.bits,
+                "opq": idx._pq_rot is not None,
             }
+            if idx._pq_rot is not None:
+                np.save(root / f"dense_{name}_opq.npy",
+                        np.asarray(idx._pq_rot, np.float32))
         if idx._ivfpq is not None:
             # persist both quantizers; restore re-packs partitions with
             # them (device-side assign+encode, no k-means on load)
@@ -174,6 +178,9 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
                 codebooks=_jnp.asarray(np.load(root / f"dense_{name}_pq.npy")),
                 m=int(pq_meta["m"]), bits=int(pq_meta["bits"]),
             )
+            if pq_meta.get("opq"):
+                idx._pq_rot = _jnp.asarray(
+                    np.load(root / f"dense_{name}_opq.npy"))
             idx._pq_reencode_all()  # bf16 upload + device-side encode
         ivfpq_meta = meta.get("ivfpq")
         if ivfpq_meta and idx._pq_mode:
@@ -182,6 +189,9 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
                 centroids=np.load(root / f"dense_{name}_ivfpq_cent.npy"),
                 codebooks=np.load(root / f"dense_{name}_ivfpq_cb.npy"),
             )
+        if pq_meta and idx._pq_mode:
+            pass  # emb already holds codes (re-encoded above) — the
+            #       float restore below must NOT overwrite them
         elif idx._sq8:
             from ..ops.quant import sq8_quantize_host
 

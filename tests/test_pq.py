@@ -201,6 +201,11 @@ def test_checkpoint_pq_roundtrip(rng, tmp_path):
     fresh = MultiIndexManager(config=PipelineConfig(semantic_dtype="pq"))
     load_index(fresh, tmp_path / "ckpt")
     assert fresh.semantic.has_pq
+    # device storage must be the CODES, not a float re-upload (a broken
+    # restore chain once overwrote codes with the bf16 mirror and was
+    # masked at toy scale by refinement covering the whole corpus)
+    assert fresh.semantic.emb.dtype == jnp.int8
+    assert fresh.semantic.emb.shape[1] == fresh.semantic._pq.m
     after = fresh.search_sync("semantic", "chunk 9 text about 2", 3)
     assert [h["chunk_id"] for h in after] == [h["chunk_id"] for h in before]
     np.testing.assert_allclose([h["score"] for h in after],
@@ -257,3 +262,87 @@ def test_hybrid_pq_refine_disabled_still_works(rng):
     mgr.semantic.build_pq()
     hits = mgr.hybrid_search_sync("term3 filler", 5)
     assert hits and all(h["chunk_id"].startswith("c") for h in hits)
+
+
+def test_opq_beats_flat_on_anisotropic(rng):
+    """OPQ rotation must cut reconstruction error and lift candidate
+    recall on correlated/anisotropic embeddings (ops/pq.py opq_train)."""
+    from advanced_rag_tpu.ops.pq import opq_train
+
+    d = 64
+    proj = rng.standard_normal((d, d)).astype(np.float32) * \
+        (0.9 ** np.arange(d))[None, :]
+    x = rng.standard_normal((4000, d)).astype(np.float32) @ proj
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    flat = pq_train(x, bits=4, train_sample=4000, seed=1)
+    rot, opq = opq_train(x, bits=4, train_sample=4000, seed=1,
+                         opq_iters=6)
+    # rotation is orthogonal
+    np.testing.assert_allclose(np.asarray(rot @ rot.T), np.eye(d),
+                               atol=1e-4)
+    xr = np.asarray(jnp.asarray(x) @ rot)
+    e_flat = float(np.mean(
+        (np.asarray(pq_decode(flat, jnp.asarray(pq_encode(x, flat))))
+         - x) ** 2))
+    e_opq = float(np.mean(
+        (np.asarray(pq_decode(opq, jnp.asarray(pq_encode(xr, opq))))
+         - xr) ** 2))
+    assert e_opq < e_flat * 0.85, (e_opq, e_flat)
+
+
+def test_dense_index_opq_lifecycle(rng, tmp_path):
+    """pq_opq=True: build trains a rotation, appends/search/checkpoint
+    all stay exact through the rotated code space."""
+    from advanced_rag_tpu.index.dense_index import DenseIndex
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.utils.checkpoint import load_index, save_index
+
+    cfg = IndexConfig(dim=32, dtype="pq", min_capacity=64, pq_opq=True)
+    idx = DenseIndex(cfg)
+    pts = corpus(rng, 300, d=32)
+    idx.append(0, pts)
+    idx.build_pq()
+    assert idx._pq_rot is not None
+    s, i = idx.search(pts[:4], 3)
+    assert (np.asarray(i)[:, 0] == np.arange(4)).all()
+    # post-build appends encode through the rotation
+    more = corpus(rng, 40, d=32)
+    idx.append(300, more)
+    s2, i2 = idx.search(more[:2], 2)
+    assert np.asarray(i2)[0, 0] == 300
+
+    # manager-level: hybrid path rotates the dense query in-program
+    mgr = MultiIndexManager(config=PipelineConfig(
+        semantic_dtype="pq", semantic_opq=True))
+    chunks = [ChunkRecord(chunk_id=f"c{j}", doc_id="d0",
+                          content=f"text number {j} topic {j % 5}")
+              for j in range(48)]
+    mgr.index_chunks(chunks)
+    mgr.semantic.build_pq()
+    assert mgr.semantic._pq_rot is not None
+    hits = mgr.hybrid_search_batch_sync(["text number 7 topic 2"], 5)[0]
+    assert any(h["chunk_id"] == "c7" for h in hits)
+
+    # checkpoint round-trips the rotation
+    save_index(mgr, tmp_path / "ck")
+    fresh = MultiIndexManager(config=PipelineConfig(
+        semantic_dtype="pq", semantic_opq=True))
+    load_index(fresh, tmp_path / "ck")
+    assert fresh.semantic._pq_rot is not None
+    np.testing.assert_allclose(np.asarray(fresh.semantic._pq_rot),
+                               np.asarray(mgr.semantic._pq_rot), rtol=1e-6)
+    h2 = fresh.search_sync("semantic", "text number 7 topic 2", 3)
+    h1 = mgr.search_sync("semantic", "text number 7 topic 2", 3)
+    assert [x["chunk_id"] for x in h1] == [x["chunk_id"] for x in h2]
+
+
+def test_opq_with_ivfpq_rejected(rng):
+    from advanced_rag_tpu.index.dense_index import DenseIndex
+
+    idx = DenseIndex(IndexConfig(dim=32, dtype="pq", min_capacity=64,
+                                 pq_opq=True))
+    idx.append(0, corpus(rng, 64, d=32))
+    idx.build_pq()
+    with pytest.raises(ValueError):
+        idx.build_ivfpq(nlist=8)
