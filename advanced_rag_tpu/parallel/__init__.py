@@ -15,6 +15,12 @@ from .multihost import (
     pod_dense_topk,
 )
 from .sharded_hybrid import sharded_hybrid_retrieve
+from .sharded_ivf import (
+    build_sharded_ivf,
+    build_sharded_ivfpq,
+    sharded_ivf_topk,
+    sharded_ivfpq_topk,
+)
 from .sharded_search import (
     shard_corpus_arrays,
     sharded_dense_topk,
@@ -32,8 +38,12 @@ __all__ = [
     "corpus_sharding",
     "replicated",
     "pad_to_shards",
+    "build_sharded_ivf",
+    "build_sharded_ivfpq",
     "sharded_dense_topk",
     "sharded_hybrid_retrieve",
+    "sharded_ivf_topk",
+    "sharded_ivfpq_topk",
     "sharded_sparse_topk",
     "shard_corpus_arrays",
     "gather_merge_topk",
