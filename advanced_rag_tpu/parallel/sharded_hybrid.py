@@ -30,7 +30,7 @@ from .sharded_search import _merge
     static_argnames=("k_cand", "k_out", "metric", "scoring", "rrf_k",
                      "use_mmr", "dense_block_size", "sparse_block_size",
                      "mesh", "shard_axis", "dense_impl", "pq_m", "pq_bits",
-                     "pq_impl", "dense_depth"),
+                     "pq_impl", "dense_depth", "nprobe"),
 )
 def sharded_hybrid_retrieve(
     emb: jnp.ndarray,        # [N, D] row-sharded (N % S == 0); PQ codes
@@ -47,6 +47,10 @@ def sharded_hybrid_retrieve(
     mmr_lambda: jnp.ndarray,
     pq_codebooks: Optional[jnp.ndarray] = None,  # [m, c, dsub] replicated
     emb_scale: Optional[jnp.ndarray] = None,     # [N] f32 row-sharded (sq8)
+    # stacked per-shard residual structures (build_sharded_ivfpq) for
+    # dense_impl="ivfpq"; emb then holds row-sharded FLAT pq codes used
+    # only for the MMR decode (candidate generation probes partitions)
+    ivfpq_idx=None,                              # parallel IVFPQIndex
     *,
     mesh: Mesh,
     k_cand: int,
@@ -58,7 +62,8 @@ def sharded_hybrid_retrieve(
     dense_block_size: int = 65536,
     sparse_block_size: int = 8192,
     shard_axis: str = "shard",
-    dense_impl: str = "scan",    # "scan" | "sq8" | "pq" (row-sharded codes)
+    dense_impl: str = "scan",    # "scan" | "sq8" | "pq" | "ivfpq"
+    nprobe: int = 32,            # partitioned probes (dense_impl="ivfpq")
     pq_m: int = 0,
     pq_bits: int = 4,
     pq_impl: str = "pallas",
@@ -84,11 +89,26 @@ def sharded_hybrid_retrieve(
         valid = jnp.ones((n,), jnp.bool_)
 
     def local(emb_l, idx_l, tf_l, len_l, df_r, nd, q, qi, qt, valid_l, w,
-              lam, cbs, scale_l):
+              lam, cbs, scale_l, pidx):
         shard = lax.axis_index(shard_axis).astype(jnp.int32)
         offset = shard * local_n
 
-        if dense_impl == "pq":
+        if dense_impl == "ivfpq":
+            # per-shard residual partitions (build_sharded_ivfpq):
+            # nprobe-bounded candidate generation; flat codes in emb_l
+            # serve only the MMR decode below
+            from ..ops.ivfpq import IVFPQIndex, ivfpq_topk
+
+            li = IVFPQIndex(*(leaf[0] for leaf in pidx))
+            d_s, d_i = ivfpq_topk(
+                li, q, min(depth, local_n), valid_l, nprobe=nprobe,
+                m=int(li.codebooks.shape[0]), bits=pq_bits)
+            if min(depth, local_n) < depth:
+                pad = depth - min(depth, local_n)
+                d_s = jnp.pad(d_s, ((0, 0), (0, pad)),
+                              constant_values=float(NEG_INF))
+                d_i = jnp.pad(d_i, ((0, 0), (0, pad)), constant_values=-1)
+        elif dense_impl == "pq":
             from ..ops.pq import pq_topk
 
             d_s, d_i = pq_topk(
@@ -144,7 +164,7 @@ def sharded_hybrid_retrieve(
         local_rows = fused_i - offset
         own = (local_rows >= 0) & (local_rows < local_n) & (fused_i >= 0)
         safe = jnp.clip(local_rows, 0, local_n - 1)
-        if dense_impl == "pq":
+        if dense_impl in ("pq", "ivfpq"):
             from ..ops.pq import PQCodebook, pq_decode
 
             ce = pq_decode(
@@ -173,6 +193,12 @@ def sharded_hybrid_retrieve(
         pq_codebooks = jnp.zeros((1, 1, 1), jnp.float32)
     if emb_scale is None:
         emb_scale = jnp.zeros((n,), jnp.float32)
+    if ivfpq_idx is None:
+        pidx_arg: tuple = ()
+        pidx_spec: tuple = ()
+    else:
+        pidx_arg = tuple(ivfpq_idx)           # NamedTuple -> leaf tuple
+        pidx_spec = tuple(P(shard_axis) for _ in pidx_arg)
     out = shard_map(
         local,
         mesh=mesh,
@@ -180,14 +206,14 @@ def sharded_hybrid_retrieve(
             P(shard_axis, None), P(shard_axis, None), P(shard_axis, None),
             P(shard_axis), P(None), P(),
             P(None, None), P(None, None), P(None, None), P(shard_axis),
-            P(None), P(), P(None, None, None), P(shard_axis),
+            P(None), P(), P(None, None, None), P(shard_axis), pidx_spec,
         ),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None), P(None, None)),
         check_vma=False,
     )(emb, doc_idx, doc_tf, doc_len, df, n_docs,
       q_dense, q_idx, q_tf, valid, weights, mmr_lambda, pq_codebooks,
-      emb_scale)
+      emb_scale, pidx_arg)
     if dense_depth > k_cand:
         return out
     return out[:3]

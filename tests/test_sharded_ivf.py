@@ -78,3 +78,46 @@ def test_sharded_ivfpq_candidate_recall(setup):
                               mesh=mesh, nprobe=16, m=m, bits=4)
     assert recall(i, oracle) >= 0.9    # exact top-10 inside depth-40
     assert 5 not in np.asarray(i)
+
+
+def test_sharded_fused_hybrid_ivfpq(setup):
+    """IVF-PQ inside the sharded fused program: partitioned candidate
+    generation + BM25 + RRF + MMR in one dispatch; deep candidates
+    surface for host refinement."""
+    from advanced_rag_tpu.index.text import encode_documents, encode_queries
+    from advanced_rag_tpu.ops.pq import pq_encode, pq_train
+    from advanced_rag_tpu.parallel import sharded_hybrid_retrieve
+
+    emb, q, mesh, v_s, oracle = setup
+    rng = np.random.default_rng(1)
+    n = len(emb)
+    texts = [f"doc {i} " + " ".join(rng.choice(
+        ["alpha", "beta", "gamma", "delta"], 6).tolist()) for i in range(n)]
+    doc_idx, doc_tf, doc_len, df = encode_documents(texts, 2048, 16)
+    q_idx, q_tf = encode_queries(["alpha beta", "gamma delta",
+                                  "alpha", "delta beta"], 2048, 8)
+
+    sidx = build_sharded_ivfpq(emb, mesh, nlist=16, train_sample=2048)
+    flat = pq_train(emb, bits=4, train_sample=2048, seed=3)
+    codes = pq_encode(emb, flat)
+
+    arrs = shard_corpus_arrays(
+        mesh, pad_to_shards(codes, 8), pad_to_shards(doc_idx, 8, -1),
+        pad_to_shards(doc_tf, 8), pad_to_shards(doc_len, 8),
+    )
+    emb_s, di_s, dt_s, dl_s = arrs
+    out = sharded_hybrid_retrieve(
+        emb_s, di_s, dt_s, dl_s, jnp.asarray(df), jnp.float32(n),
+        jnp.asarray(q), jnp.asarray(q_idx), jnp.asarray(q_tf),
+        v_s, jnp.asarray([0.7, 0.3], jnp.float32), jnp.float32(0.8),
+        flat.codebooks, None, sidx,
+        mesh=mesh, k_cand=16, k_out=8, use_mmr=True,
+        dense_impl="ivfpq", nprobe=16, pq_m=flat.m, pq_bits=4,
+        dense_depth=64,
+    )
+    ids, scores, counts, d_ids, d_s = out
+    assert (np.asarray(ids) >= 0).any()
+    assert d_ids.shape == (4, 64)
+    # deep partitioned candidates cover the exact top-10 (full probe)
+    assert recall(d_ids, oracle) >= 0.9
+    assert 5 not in np.asarray(ids)
