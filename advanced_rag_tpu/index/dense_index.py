@@ -450,7 +450,10 @@ class DenseIndex:
         if refine == 0:  # auto: deep for PQ (1 bit/dim), shallow for SQ8
             refine = 32 if pq_tier else 2
         if refine > 1 and self.size > 0:
-            k2 = min(max(k * refine, k), self.size, 1024)
+            # bound by CAPACITY (stable pow2), not size — a size bound
+            # would recompile the jitted search on every append while
+            # the corpus is small; missing rows just pad with -1
+            k2 = min(max(k * refine, k), self.capacity, 1024)
             if (self._sq8 and self._ivf is None
                     and self.capacity <= 4_194_304):
                 # candidate generation, not final ranking: the sort-free
