@@ -444,6 +444,12 @@ class DenseIndex:
             q = q[None, :]
         if self.config.metric == Metric.COSINE:
             q = l2_normalize(q)
+        if mask is None:
+            # rows in [size, capacity) are padding (zero codes score 0.0
+            # on the int8 paths, garbage on pq) — they must never
+            # surface as results; computed from traced `size` so no
+            # recompile per append
+            mask = jnp.arange(self.capacity) < self.size
         pq_tier = self._pq is not None or self._ivfpq is not None
         quantized = self._sq8 or pq_tier
         refine = int(self.config.refine_factor) if quantized else 1

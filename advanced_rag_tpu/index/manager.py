@@ -100,6 +100,12 @@ class MultiIndexManager:
         # other's rows; with it, the second call blocks, then dedupes
         # against COMMITTED state (idempotent re-ingest).
         self._write_lock = threading.Lock()
+        # Condition over the SAME lock: duplicate ingests wait on it for
+        # in-flight rows (claimed in phase 1, committed in phase 3) so
+        # "indexed" always means "searchable" — while DISTINCT batches
+        # embed concurrently outside the critical section.
+        self._write_cv = threading.Condition(self._write_lock)
+        self._inflight_rows: set = set()
 
     # -- embeddings ----------------------------------------------------------
 
@@ -168,7 +174,10 @@ class MultiIndexManager:
             report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
             return report
 
-        with self._write_lock:
+        # Phase 1 (locked): claim rows + dedupe.  If any deduped row is
+        # still in flight in another thread (claimed but not committed),
+        # wait for its commit — read-your-writes for duplicate ingests.
+        with self._write_cv:
             first_new = self.store.size
             rows, store_pending = self.store.prepare_append(records)
             # Only embed rows that are NEW (idempotent re-ingest skips work).
@@ -180,19 +189,53 @@ class MultiIndexManager:
                     seen.add(row)
                     new_rows.append(row)
                     new_records.append(rec)
-            if new_rows:
-                # ONE fused device program for corpus columns + dense
-                # embeddings + sparse slots (+ domain): every append array is
-                # updated in a single dispatch (BACKLOG #6 — each dispatch
-                # costs ~28 ms through the remote-chip tunnel).
+            self._inflight_rows.update(new_rows)
+            others = set(rows) - seen
+            while others & self._inflight_rows:
+                self._write_cv.wait(timeout=60.0)
+
+        if not new_rows:
+            report["indexed"] = len(records)
+            report["rows"] = rows
+            report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
+            return report
+
+        try:
+            # Phase 2 (UNLOCKED): embedding + sparse encoding — the slow
+            # compute — runs concurrently across ingests.  Claimed rows
+            # stay device-invalid until the fused commit below, so
+            # searches never see half-written rows.
+            start = min(new_rows)
+            # rows from CorpusStore.append are contiguous for fresh records
+            texts = [r.content for r in new_records]
+            emb = self._embed_batch_cached(
+                texts, self.embedder, self._semantic_cache, "semantic"
+            )
+            sp_enc = None
+            if self.sparse is not None:
+                from .text import encode_documents
+
+                sp_enc = encode_documents(texts, self.sparse.vocab_size,
+                                          self.sparse.doc_nnz)
+            demb = None
+            if self.domain is not None and self.domain_embedder is not None:
+                demb = self._embed_batch_cached(
+                    texts, self.domain_embedder, self._domain_cache, "domain"
+                )
+
+            # Phase 3 (locked): ONE fused device program for corpus
+            # columns + dense embeddings + sparse slots (+ domain) over
+            # device arrays fetched NOW.  Commits must land in ASCENDING
+            # row order: append blocks are pow2-padded, so a lower-start
+            # block's pad region overlaps the next batch's rows and
+            # would wipe them if it committed later.
+            mine = set(new_rows)
+            with self._write_cv:
+                while any(r < start for r in self._inflight_rows
+                          if r not in mine):
+                    self._write_cv.wait(timeout=60.0)
                 from .corpus import fused_append
 
-                start = min(new_rows)
-                # rows from CorpusStore.append are contiguous for fresh records
-                texts = [r.content for r in new_records]
-                emb = self._embed_batch_cached(
-                    texts, self.embedder, self._semantic_cache, "semantic"
-                )
                 arrays: Dict[str, Any] = {}
                 vals: Dict[str, Any] = {}
 
@@ -202,20 +245,15 @@ class MultiIndexManager:
                         vals[prefix + name] = vls[name]
 
                 if store_pending is not None:
-                    collect("c:", self.store.device_arrays(), store_pending[1])
+                    collect("c:", self.store.device_arrays(),
+                            store_pending[1])
                 sem_vals = self.semantic.prepare_append(start, emb)
                 collect("e:", self.semantic.device_arrays(), sem_vals)
                 if self.sparse is not None:
-                    from .text import encode_documents
-
-                    sp_enc = encode_documents(texts, self.sparse.vocab_size,
-                                              self.sparse.doc_nnz)
-                    sp_vals = self.sparse.prepare_append_encoded(start, *sp_enc)
+                    sp_vals = self.sparse.prepare_append_encoded(
+                        start, *sp_enc)
                     collect("s:", self.sparse.device_arrays(), sp_vals)
-                if self.domain is not None and self.domain_embedder is not None:
-                    demb = self._embed_batch_cached(
-                        texts, self.domain_embedder, self._domain_cache, "domain"
-                    )
+                if demb is not None:
                     dom_vals = self.domain.prepare_append(start, demb)
                     collect("d:", self.domain.device_arrays(), dom_vals)
 
@@ -230,10 +268,14 @@ class MultiIndexManager:
                 self.semantic.commit_device(split("e:"))
                 if self.sparse is not None:
                     self.sparse.commit_device(split("s:"))
-                if self.domain is not None and self.domain_embedder is not None:
+                if demb is not None:
                     self.domain.commit_device(split("d:"))
-            report["indexed"] = len(records)
-            report["rows"] = rows
+        finally:
+            with self._write_cv:
+                self._inflight_rows.difference_update(new_rows)
+                self._write_cv.notify_all()
+        report["indexed"] = len(records)
+        report["rows"] = rows
         report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
         return report
 
@@ -702,6 +744,25 @@ class MultiIndexManager:
             }
         return stats
 
+    def build_semantic(self, *, pq: bool = False,
+                       ivf: bool = False) -> Dict[str, Any]:
+        """Explicit tier builds under the write lock (the service admin
+        path) — direct DenseIndex.build_* calls are caller-synchronized;
+        anything that can race a live ingest goes through here."""
+        out: Dict[str, Any] = {}
+        with self._write_lock:
+            sem = self.semantic
+            if pq and sem._pq_mode and not sem.has_pq:
+                sem.build_pq()
+                out["pq_built"] = True
+            if ivf and not (sem.has_ivf or sem.has_ivfpq):
+                if sem._pq_mode and sem._pq_rot is not None:
+                    out["ivf_skipped"] = "opq rotation active"
+                else:
+                    sem.build_ivf()
+                    out["ivf_built"] = True
+        return out
+
     # -- background maintenance (BACKLOG #7: Milvus-compaction equivalent) ----
 
     def maintenance_tick(self) -> Dict[str, Any]:
@@ -717,6 +778,15 @@ class MultiIndexManager:
         indexing.py:429-431)."""
         from ..utils.constants import IndexConstants
 
+        with self._write_lock:
+            return self._maintenance_tick_locked(IndexConstants)
+
+    def _maintenance_tick_locked(self, IndexConstants) -> Dict[str, Any]:
+        """Body of maintenance_tick, under the write lock: tier builds
+        swap `semantic.emb` (bf16 staging -> codes), which must never
+        interleave with a fused-append commit basing itself on the old
+        array object (the commit would resurrect the pre-swap storage
+        and leave `_pq` pointing at float data)."""
         actions: Dict[str, Any] = {"ivf_rebuilt": False}
         if self.semantic._pq_mode:
             # PQ tier: once the corpus outgrows the bf16 staging scan,
@@ -725,7 +795,11 @@ class MultiIndexManager:
             if (not self.semantic.has_pq
                     and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
                 self.semantic.build_pq()
-                self.semantic.build_ivfpq()
+                if self.semantic._pq_rot is None:
+                    # OPQ and IVF-PQ are mutually exclusive (residuals
+                    # are near-isotropic); with OPQ on, the flat rotated
+                    # codes ARE the scale tier
+                    self.semantic.build_ivfpq()
                 actions["pq_built"] = True
             elif self.semantic.ivf_needs_rebuild:
                 # streaming tail outgrew the partitions: re-pack

@@ -240,6 +240,7 @@ def ivf_topk(
     """Masked IVF top-k -> (scores [Q, k], original row ids [Q, k])."""
     q = queries.astype(jnp.float32)
     nlist, cap, d = parts.packed_emb.shape
+    nprobe = min(nprobe, nlist)  # small shards: never probe past nlist
 
     c_scores = jnp.dot(q, parts.centroids.T,
                        preferred_element_type=jnp.float32)   # [Q, nlist]

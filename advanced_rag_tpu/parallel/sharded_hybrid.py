@@ -92,6 +92,15 @@ def sharded_hybrid_retrieve(
               lam, cbs, scale_l, pidx):
         shard = lax.axis_index(shard_axis).astype(jnp.int32)
         offset = shard * local_n
+        kk = min(depth, local_n)
+
+        def pad_depth(d_s, d_i):
+            if kk < depth:
+                d_s = jnp.pad(d_s, ((0, 0), (0, depth - kk)),
+                              constant_values=float(NEG_INF))
+                d_i = jnp.pad(d_i, ((0, 0), (0, depth - kk)),
+                              constant_values=-1)
+            return d_s, d_i
 
         if dense_impl == "ivfpq":
             # per-shard residual partitions (build_sharded_ivfpq):
@@ -101,35 +110,23 @@ def sharded_hybrid_retrieve(
 
             li = IVFPQIndex(*(leaf[0] for leaf in pidx))
             d_s, d_i = ivfpq_topk(
-                li, q, min(depth, local_n), valid_l, nprobe=nprobe,
+                li, q, kk, valid_l, nprobe=nprobe,
                 m=int(li.codebooks.shape[0]), bits=pq_bits)
-            if min(depth, local_n) < depth:
-                pad = depth - min(depth, local_n)
-                d_s = jnp.pad(d_s, ((0, 0), (0, pad)),
-                              constant_values=float(NEG_INF))
-                d_i = jnp.pad(d_i, ((0, 0), (0, pad)), constant_values=-1)
+            d_s, d_i = pad_depth(d_s, d_i)
         elif dense_impl == "pq":
             from ..ops.pq import pq_topk
 
             d_s, d_i = pq_topk(
-                cbs, emb_l, q, min(depth, local_n), valid_l,
+                cbs, emb_l, q, kk, valid_l,
                 m=pq_m, bits=pq_bits, impl=pq_impl)
-            if min(depth, local_n) < depth:
-                pad = depth - min(depth, local_n)
-                d_s = jnp.pad(d_s, ((0, 0), (0, pad)),
-                              constant_values=float(NEG_INF))
-                d_i = jnp.pad(d_i, ((0, 0), (0, pad)), constant_values=-1)
+            d_s, d_i = pad_depth(d_s, d_i)
         elif dense_impl == "sq8":
             from ..ops.quant import dense_topk_sq8
 
             d_s, d_i = dense_topk_sq8(
-                emb_l, scale_l, q, min(depth, local_n), valid_l,
+                emb_l, scale_l, q, kk, valid_l,
                 metric="ip", normalize_queries=False)
-            if min(depth, local_n) < depth:
-                pad = depth - min(depth, local_n)
-                d_s = jnp.pad(d_s, ((0, 0), (0, pad)),
-                              constant_values=float(NEG_INF))
-                d_i = jnp.pad(d_i, ((0, 0), (0, pad)), constant_values=-1)
+            d_s, d_i = pad_depth(d_s, d_i)
         else:
             d_s, d_i = dense_topk(
                 emb_l, q, depth, valid_l, metric=metric,

@@ -689,16 +689,14 @@ async def index_maintain(request: web.Request) -> web.Response:
     body = await request.json() if request.can_read_body else {}
     mgr = state.pipeline.index_manager
     sem = mgr.semantic
-    out: Dict[str, Any] = {}
-    partitioned = sem.has_ivf or sem.has_ivfpq
-    if body.get("build_pq") and sem._pq_mode and not sem.has_pq:
-        await asyncio.to_thread(sem.build_pq)
-        out["pq_built"] = True
-    if body.get("build_ivf") and not partitioned:
-        # pq mode routes to the residual IVF-PQ build
-        await asyncio.to_thread(sem.build_ivf)
-        out["ivf_built"] = True
-        partitioned = True
+    # builds + maintenance take the manager write lock (they swap
+    # semantic.emb between storage tiers — racing a live ingest's fused
+    # commit would resurrect the pre-swap array)
+    out: Dict[str, Any] = await asyncio.to_thread(
+        mgr.build_semantic,
+        pq=bool(body.get("build_pq")),
+        ivf=bool(body.get("build_ivf")),
+    )
     out.update(await asyncio.to_thread(mgr.maintenance_tick))
     target = body.get("tune_recall")
     if target and (sem.has_ivf or sem.has_ivfpq):
