@@ -20,6 +20,7 @@ from .config import (
     load_yaml_config,
 )
 from .index import ChunkRecord, CorpusStore, DenseIndex, MultiIndexManager, SparseIndex
+from .models.cross_encoder import CrossEncoderReranker
 from .pipeline import (
     AdaptiveChunker,
     AdvancedRAGPipeline,
@@ -36,11 +37,40 @@ from .pipeline import (
     RetrievalResult,
     SemanticEnricher,
 )
+from .pipeline.chunking import Chunk, ChunkMetadata
+from .pipeline.compliance import AuditEventType, AuditLog, DocumentVersion
+from .pipeline.diagnostics import DiagnosticMetrics
+from .pipeline.enrichment import EnrichmentResult
+from .pipeline.evaluation import DriftReport, EvaluationMetrics
+from .pipeline.orchestrator import PipelineStage
+from .pipeline.query_ops import DecompositionResult
+from .pipeline.ranker import LearnedRankerConfig
 from .utils.exceptions import AdvancedRAGException, RAGException
+
+# Migration alias: the reference exposes its index layer as
+# ``MilvusIndexManager`` (indexing.py:80).  The device-resident manager
+# is API-compatible at the surface that matters (index_chunks / search /
+# delete_by_filter / get_collection_stats / close / _generate_*), so
+# imports written against the reference keep working.
+MilvusIndexManager = MultiIndexManager
 
 __all__ = [
     "__version__",
     "AdaptiveChunker",
+    "AuditEventType",
+    "AuditLog",
+    "Chunk",
+    "ChunkMetadata",
+    "CrossEncoderReranker",
+    "DecompositionResult",
+    "DiagnosticMetrics",
+    "DocumentVersion",
+    "DriftReport",
+    "EnrichmentResult",
+    "EvaluationMetrics",
+    "LearnedRankerConfig",
+    "MilvusIndexManager",
+    "PipelineStage",
     "AdvancedRAGException",
     "AdvancedRAGPipeline",
     "ChunkRecord",

@@ -317,3 +317,37 @@ class TestPipelineEndToEnd:
         assert "empty_document" in flags
         assert "very_short_document" in flags
         assert "high_redundancy" in flags or "low_vocabulary_diversity" in flags
+
+
+class TestReferenceAPISurface:
+    def test_reference_public_names_importable(self):
+        """Every name the reference exports from its package root
+        (reference __init__.py:72-112) resolves here — imports written
+        against the reference keep working after switching."""
+        import advanced_rag_tpu as a
+
+        reference_all = [
+            "AdvancedRAGPipeline", "PipelineConfig", "PipelineStage",
+            "RetrievalResult", "DocumentDiagnostics", "DiagnosticMetrics",
+            "AdaptiveChunker", "ChunkMetadata", "Chunk",
+            "MilvusIndexManager", "IndexType", "IndexConfig",
+            "HybridRetriever", "RetrievalConfig", "CrossEncoderReranker",
+            "LearnedRanker", "LearnedRankerConfig", "SemanticEnricher",
+            "EnrichmentResult", "QueryDecomposer", "DecompositionResult",
+            "ExperimentManager", "RAGEvaluator", "EvaluationMetrics",
+            "DriftReport", "ComplianceManager", "AuditLog",
+            "DocumentVersion", "AuditEventType",
+        ]
+        missing = [n for n in reference_all if not hasattr(a, n)]
+        assert not missing, missing
+
+    def test_milvus_manager_alias_surface(self):
+        import advanced_rag_tpu as a
+
+        assert a.MilvusIndexManager is a.MultiIndexManager
+        m = a.MilvusIndexManager(connect=False)
+        for meth in ("index_chunks", "search", "search_sync",
+                     "delete_by_filter", "get_collection_stats", "close",
+                     "_generate_semantic_embedding"):
+            assert hasattr(m, meth), meth
+        m.close()
