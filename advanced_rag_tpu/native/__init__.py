@@ -58,6 +58,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_float, i32p, f32p]
     lib.art_text_stats.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, f64p]
+    lib.art_split_sentences.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, i64p, i64p, i32p, ctypes.c_int32]
+    lib.art_split_sentences.restype = ctypes.c_int32
+    lib.art_quick_stats.argtypes = [ctypes.c_char_p, ctypes.c_int64, f64p]
     return lib
 
 
@@ -143,3 +147,41 @@ __all__ = [
     "encode_queries_native",
     "text_stats_native",
 ]
+
+
+def split_sentences_native(text: str):
+    """C++ fast path for chunking: -> (sentences, token_counts) in one
+    pass, or None if unavailable.  Matches diagnostics.split_sentences
+    + per-sentence len(tokenize_words(s)) on ASCII whitespace (unicode
+    whitespace falls back to the python path upstream)."""
+    lib = get_lib()
+    if lib is None or not text:
+        return None
+    raw = text.encode("utf-8", "ignore")
+    max_sents = len(raw) // 2 + 1
+    starts = np.zeros(max_sents, np.int64)
+    ends = np.zeros(max_sents, np.int64)
+    counts = np.zeros(max_sents, np.int32)
+    n = lib.art_split_sentences(
+        raw, len(raw),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_sents)
+    sentences = [raw[starts[i]:ends[i]].decode("utf-8", "ignore")
+                 for i in range(n)]
+    return sentences, counts[:n].tolist()
+
+
+def quick_stats_native(text: str):
+    """(token_count, entropy, distinct) for per-chunk quick stats, or
+    None.  Token rule matches diagnostics.tokenize_words exactly
+    (apostrophe included), so no content guard is needed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = text.encode("utf-8", "ignore")
+    out = np.zeros(3, np.float64)
+    lib.art_quick_stats(data, len(data),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return int(out[0]), float(out[1]), int(out[2])

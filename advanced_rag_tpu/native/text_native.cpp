@@ -254,6 +254,68 @@ void art_encode_queries(const char* buf, const int64_t* offsets,
   }
 }
 
+// Chunker hot loop (pipeline/chunking.py): sentence splitting + per-
+// sentence token counts in ONE pass.  Splitting mirrors diagnostics.py
+// _SENT_RE = r"(?<=[.!?])\s+|\n\n+" exactly:
+//   (a) after [.!?], a whitespace run is a delimiter (greedy \s+);
+//   (b) a run of >= 2 CONSECUTIVE '\n' is a delimiter (only \n — a
+//       "\n \n" mix does NOT split, matching the regex).
+// Pieces are whitespace-stripped; empty pieces dropped.  Outputs byte
+// [start, end) offsets into the original text plus the count of
+// [a-zA-Z0-9']+ tokens per sentence (what the packer needs — it never
+// materializes the token strings).
+int32_t art_split_sentences(const char* text, int64_t len,
+                            int64_t* starts, int64_t* ends,
+                            int32_t* tok_counts, int32_t max_sents) {
+  int32_t n = 0;
+  int64_t i = 0;
+  while (i < len && n < max_sents) {
+    // skip leading whitespace of the piece
+    while (i < len && std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+    if (i >= len) break;
+    int64_t start = i;
+    int64_t end = i;           // one past the last non-space char seen
+    int32_t tokens = 0;
+    bool in_tok = false;
+    while (i < len) {
+      unsigned char c = static_cast<unsigned char>(text[i]);
+      unsigned char lowered;
+      // diagnostics.tokenize_words rule [a-zA-Z0-9']+ — the apostrophe
+      // belongs to the word class here (unlike the BM25 tokenizer)
+      bool tok_char = is_token_char(c, lowered) || c == '\'';
+      if (tok_char && !in_tok) { ++tokens; in_tok = true; }
+      if (!tok_char) in_tok = false;
+      if (!std::isspace(c)) { end = i + 1; ++i; continue; }
+      // whitespace: delimiter checks against the PRECEDING char
+      unsigned char prev = static_cast<unsigned char>(text[i - 1]);
+      bool after_punct = (prev == '.' || prev == '!' || prev == '?');
+      // count consecutive leading '\n' in this whitespace run
+      int64_t j = i;
+      int nl = 0;
+      while (j < len && text[j] == '\n') { ++nl; ++j; }
+      if (after_punct || nl >= 2) {
+        // consume the whole \s+ run when rule (a) applies; rule (b)
+        // alone consumes only the newline run (regex alternation)
+        if (after_punct) {
+          while (i < len &&
+                 std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+        } else {
+          i = j;
+        }
+        break;
+      }
+      ++i;  // interior whitespace: part of the sentence
+    }
+    if (end > start) {
+      starts[n] = start;
+      ends[n] = end;
+      tok_counts[n] = tokens;
+      ++n;
+    }
+  }
+  return n;
+}
+
 // Diagnostics hot loop: token count, shannon entropy (normalized by
 // log2(vocab)), 1/2/3-gram redundancy.  Token stream here KEEPS
 // stopwords?  No — mirrors pipeline/diagnostics.py tokenize_words which
@@ -309,6 +371,49 @@ void art_text_stats(const char* text, int64_t len, int32_t drop_stopwords,
     }
     out[1 + g] = 1.0 - (double)grams.size() / (double)total;
   }
+}
+
+// Per-chunk quick stats (pipeline/chunking.py _quick_stats): token
+// count, normalized shannon entropy, distinct count — no n-grams, no
+// BLAKE2 (FNV-1a groups equal tokens just as well), apostrophe included
+// in the word class to match diagnostics.tokenize_words exactly.
+void art_quick_stats(const char* text, int64_t len,
+                     double* out /* [3]: tokens, entropy, distinct */) {
+  std::unordered_map<uint64_t, int64_t> uni;
+  uni.reserve(256);
+  uint64_t h = 1469598103934665603ULL;
+  bool in_tok = false;
+  int64_t n = 0;
+  for (int64_t i = 0; i <= len; ++i) {
+    unsigned char lowered = 0;
+    bool tok_char = false;
+    if (i < len) {
+      unsigned char c = static_cast<unsigned char>(text[i]);
+      tok_char = is_token_char(c, lowered);
+      if (!tok_char && c == '\'') { tok_char = true; lowered = c; }
+    }
+    if (tok_char) {
+      h ^= lowered;
+      h *= 1099511628211ULL;
+      in_tok = true;
+    } else if (in_tok) {
+      uni[h] += 1;
+      ++n;
+      h = 1469598103934665603ULL;
+      in_tok = false;
+    }
+  }
+  out[0] = (double)n;
+  out[2] = (double)uni.size();
+  double entropy = 0.0;
+  if (n > 0 && uni.size() > 1) {
+    for (const auto& kv : uni) {
+      double p = (double)kv.second / (double)n;
+      entropy -= p * std::log2(p);
+    }
+    entropy /= std::log2((double)uni.size());
+  }
+  out[1] = entropy;
 }
 
 }  // extern "C"

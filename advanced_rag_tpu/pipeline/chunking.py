@@ -113,22 +113,49 @@ class AdaptiveChunker:
             return []
         doc_id = doc_id or content_hash(text)
         target = self.target_chunk_size(metrics)
-        sentences = split_sentences(text)
+        # C++ fast path: sentences + per-sentence token counts in one
+        # pass (the host CPU is burst-throttled; per-sentence python
+        # tokenize calls dominate bulk-text ingest).  ASCII only — the
+        # python regexes treat unicode whitespace differently.
+        sent_counts = None
+        if text.isascii():
+            from ..native import split_sentences_native
+
+            native = split_sentences_native(text)
+            if native is not None:
+                sentences, sent_counts = native
+            else:
+                sentences = split_sentences(text)
+        else:
+            sentences = split_sentences(text)
         if len(sentences) >= 2:
-            pieces = self._semantic_chunks(text, sentences, target)
+            pieces = self._semantic_chunks(text, sentences, target,
+                                           sent_counts)
         else:
             pieces = self._fixed_chunks(text, target)
         chunks: List[Chunk] = []
         for idx, (content, start, end) in enumerate(pieces):
-            tokens = tokenize_words(content)
-            entropy, redundancy = self._quick_stats(tokens)
+            # Per-chunk stats without materializing token strings
+            # (art_quick_stats matches tokenize_words' rule exactly)
+            nat = None
+            if content.isascii():
+                from ..native import quick_stats_native
+
+                nat = quick_stats_native(content)
+            if nat is not None:
+                ntok, entropy, distinct = nat
+                redundancy = (1.0 - distinct / ntok) if ntok else 0.0
+            else:
+                tokens = tokenize_words(content)
+                ntok = len(tokens)
+                entropy, redundancy = self._quick_stats(tokens)
             meta = ChunkMetadata(
                 chunk_id=content_hash(f"{doc_id}:{content}"),
                 doc_id=doc_id,
                 chunk_index=idx,
                 start_char=start,
                 end_char=end,
-                token_count=len(tokens),
+                token_count=ntok,
                 entropy=entropy,
                 redundancy=redundancy,
                 domain_density=metrics.domain_density if metrics else 0.0,
@@ -139,12 +166,14 @@ class AdaptiveChunker:
         return chunks
 
     def _semantic_chunks(
-        self, text: str, sentences: List[str], target: int
+        self, text: str, sentences: List[str], target: int,
+        sent_tokens: Optional[List[int]] = None,
     ) -> List[tuple[str, int, int]]:
         """Pack sentences up to the target size; overlap by trailing
         sentences covering ~overlap_ratio of the target
         (reference chunking.py:203-263)."""
-        sent_tokens = [len(tokenize_words(s)) for s in sentences]
+        if sent_tokens is None:
+            sent_tokens = [len(tokenize_words(s)) for s in sentences]
         overlap_budget = int(target * self.overlap_ratio)
         out: List[tuple[str, int, int]] = []
         i, cursor = 0, 0

@@ -271,3 +271,30 @@ def test_checkpoint_roundtrip_ivfpq(tmp_path):
     h1 = mgr.search_sync("semantic", "pallas vmem kernel number 7", 3)
     h2 = mgr2.search_sync("semantic", "pallas vmem kernel number 7", 3)
     assert h1[0]["chunk_id"] == h2[0]["chunk_id"]
+
+
+def test_maintenance_opq_skips_ivfpq(monkeypatch):
+    """semantic_opq + threshold crossing must NOT raise: OPQ and IVF-PQ
+    are exclusive, so maintenance builds the rotated flat codes only
+    (regression: build_ivfpq after an OPQ build raised every tick)."""
+    from advanced_rag_tpu.config import PipelineConfig
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.utils import constants
+
+    monkeypatch.setattr(constants.IndexConstants, "IVF_AUTO_THRESHOLD", 16)
+    mgr = MultiIndexManager(config=PipelineConfig(
+        semantic_dtype="pq", semantic_opq=True))
+    chunks = [ChunkRecord(chunk_id=f"c{j}", doc_id="d0",
+                          content=f"opq corpus row {j} term {j % 5}")
+              for j in range(24)]
+    mgr.index_chunks(chunks)
+    actions = mgr.maintenance_tick()
+    assert actions.get("pq_built")
+    assert mgr.semantic.has_pq and mgr.semantic._pq_rot is not None
+    assert not mgr.semantic.has_ivfpq
+    # second tick is a clean no-op, not a crash loop
+    actions2 = mgr.maintenance_tick()
+    assert not actions2.get("pq_built")
+    hits = mgr.hybrid_search_batch_sync(["opq corpus row 7"], 3)[0]
+    assert any(h["chunk_id"] == "c7" for h in hits)

@@ -100,3 +100,58 @@ def test_hash_parity_with_python():
     vocab = 16384
     native = encode_documents_native(["zebra"], vocab, 4)
     assert native[0][0, 0] == hash_term("zebra", vocab)
+
+
+class TestSplitSentencesNative:
+    CASES = [
+        "Simple one. And two! Then three? Done.",
+        "No terminal punctuation here",
+        "Para one line.\n\nPara two starts here. And ends.",
+        "Trailing spaces.   \n\n   Leading spaces after blank.",
+        "Mixed \n \n no split on broken blank line",
+        "a.b stays joined. but this splits.  Double-space delim.",
+        "Ends with punct and space. ",
+        "  leading ws then text. second piece.",
+        "don't drop apostrophes. can't count wrong.",
+        "newline run\n\n\n\nmany blanks",
+        "",
+        "   ",
+    ]
+
+    def test_matches_python_split_and_counts(self):
+        from advanced_rag_tpu.native import split_sentences_native
+        from advanced_rag_tpu.pipeline.diagnostics import (
+            split_sentences,
+            tokenize_words,
+        )
+
+        if split_sentences_native("probe. text.") is None:
+            pytest.skip("native build unavailable")
+        for text in self.CASES:
+            got = split_sentences_native(text)
+            want = split_sentences(text)
+            if got is None:
+                assert text == ""  # empty input short-circuits
+                continue
+            sents, counts = got
+            assert sents == want, text
+            assert counts == [len(tokenize_words(s)) for s in want], text
+
+    def test_chunker_output_identical(self):
+        import os
+
+        from advanced_rag_tpu.pipeline.chunking import AdaptiveChunker
+
+        text = ("The quick brown fox jumps. " * 40 + "\n\n" +
+                "Second paragraph with different words here! " * 30 +
+                "Tail question, yes? Final words.")
+        ch = AdaptiveChunker()
+        native = ch.chunk_document(text, doc_id="d")
+        os.environ["ADVANCED_RAG_TPU_NO_NATIVE"] = "1"
+        try:
+            python = ch.chunk_document(text, doc_id="d")
+        finally:
+            del os.environ["ADVANCED_RAG_TPU_NO_NATIVE"]
+        assert [c.content for c in native] == [c.content for c in python]
+        assert [c.metadata.start_char for c in native] == \
+            [c.metadata.start_char for c in python]
