@@ -62,6 +62,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int64, i64p, i64p, i32p, ctypes.c_int32]
     lib.art_split_sentences.restype = ctypes.c_int32
     lib.art_quick_stats.argtypes = [ctypes.c_char_p, ctypes.c_int64, f64p]
+    lib.art_analyze_document.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_char_p, i64p, ctypes.c_int64, i32p, ctypes.c_int32,
+        f64p, i64p, i64p, i64p]
     return lib
 
 
@@ -185,3 +189,56 @@ def quick_stats_native(text: str):
     lib.art_quick_stats(data, len(data),
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return int(out[0]), float(out[1]), int(out[2])
+
+
+def analyze_document_native(text: str, lexicons):
+    """One-pass document diagnostics: returns a dict with token_count,
+    entropy, ngrams {1,2,3}, distinct, sentence_count, coherence,
+    domain hit-rates per lexicon (in iteration order), and the top-20
+    token distribution — or None.  ASCII-gated by the caller."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = text.encode("utf-8", "ignore")
+    names = list(lexicons.keys())
+    words, ids = [], []
+    for li, name in enumerate(names):
+        for w in lexicons[name]:
+            words.append(w.encode("utf-8", "ignore"))
+            ids.append(li)
+    lex_buf = b"".join(words)
+    lex_off = np.zeros(len(words) + 1, np.int64)
+    np.cumsum([len(w) for w in words], out=lex_off[1:])
+    lex_ids = np.asarray(ids, np.int32)
+    out = np.zeros(8 + len(names), np.float64)
+    top_off = np.zeros(20, np.int64)
+    top_len = np.zeros(20, np.int64)
+    top_cnt = np.zeros(20, np.int64)
+    lib.art_analyze_document(
+        raw, len(raw), lex_buf,
+        lex_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(words),
+        lex_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(names),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        top_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        top_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        top_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    dist = {}
+    for k in range(20):
+        if top_off[k] < 0 or top_cnt[k] == 0:
+            break
+        word = raw[top_off[k]:top_off[k] + top_len[k]].decode(
+            "utf-8", "ignore").lower()
+        dist[word] = int(top_cnt[k])
+    return {
+        "token_count": int(out[0]),
+        "entropy": float(out[1]),
+        "ngrams": {1: float(out[2]), 2: float(out[3]), 3: float(out[4])},
+        "distinct": int(out[5]),
+        "sentence_count": int(out[6]),
+        "coherence": float(out[7]),
+        "domain_scores": {name: float(out[8 + i])
+                          for i, name in enumerate(names)},
+        "token_distribution": dist,
+    }

@@ -416,4 +416,191 @@ void art_quick_stats(const char* text, int64_t len,
   out[1] = entropy;
 }
 
+// Whole-document analyzer (pipeline/diagnostics.py analyze_document):
+// tokens / entropy / 1-3-gram redundancy / distinct / sentence count /
+// adjacent-sentence Jaccard coherence / per-lexicon hit rates / top-20
+// token byte-ranges — all in two text passes.  Token rule matches
+// tokenize_words exactly ([a-zA-Z0-9']+, lowercased); ties in the
+// top-20 break by first occurrence like Counter.most_common.
+void art_analyze_document(
+    const char* text, int64_t len,
+    const char* lex_buf, const int64_t* lex_offsets, int64_t n_lex_words,
+    const int32_t* lex_ids, int32_t n_lexicons,
+    double* out,  // [8 + n_lexicons]: tokens, entropy, r1, r2, r3,
+                  // distinct, n_sents, coherence, lex_hits...
+    int64_t* top_off, int64_t* top_len, int64_t* top_cnt /* [20] */) {
+  struct TokInfo {
+    int64_t count = 0;
+    int64_t first = 0;   // first-occurrence token index (tie order)
+    int64_t off = 0;     // first-occurrence byte offset
+    int64_t tlen = 0;
+  };
+  auto tok_char = [](unsigned char c, unsigned char& lowered) {
+    if (is_token_char(c, lowered)) return true;
+    if (c == '\'') { lowered = c; return true; }
+    return false;
+  };
+
+  // pass 1: tokens -> hashes, counts, first occurrences
+  std::vector<uint64_t> hashes;
+  hashes.reserve(1024);
+  std::unordered_map<uint64_t, TokInfo> uni;
+  uni.reserve(512);
+  uint64_t h = 1469598103934665603ULL;
+  int64_t tok_start = -1;
+  for (int64_t i = 0; i <= len; ++i) {
+    unsigned char lowered = 0;
+    bool in = i < len &&
+              tok_char(static_cast<unsigned char>(text[i]), lowered);
+    if (in) {
+      if (tok_start < 0) tok_start = i;
+      h ^= lowered;
+      h *= 1099511628211ULL;
+    } else if (tok_start >= 0) {
+      auto& info = uni[h];
+      if (info.count == 0) {
+        info.first = (int64_t)hashes.size();
+        info.off = tok_start;
+        info.tlen = i - tok_start;
+      }
+      info.count += 1;
+      hashes.push_back(h);
+      h = 1469598103934665603ULL;
+      tok_start = -1;
+    }
+  }
+  const int64_t n = (int64_t)hashes.size();
+  out[0] = (double)n;
+  out[5] = (double)uni.size();
+  for (int g = 0; g < 3; ++g) out[2 + g] = 0.0;
+  out[1] = 0.0;
+  for (int k = 0; k < 20; ++k) { top_off[k] = -1; top_len[k] = 0; top_cnt[k] = 0; }
+  for (int32_t l = 0; l < n_lexicons; ++l) out[8 + l] = 0.0;
+  if (n == 0) { out[6] = 0.0; out[7] = 1.0; return; }
+
+  double entropy = 0.0;
+  if (uni.size() > 1) {
+    for (const auto& kv : uni) {
+      double p = (double)kv.second.count / (double)n;
+      entropy -= p * std::log2(p);
+    }
+    entropy /= std::log2((double)uni.size());
+  }
+  out[1] = entropy;
+
+  for (int g = 1; g <= 3; ++g) {
+    if (n < g) { out[1 + g] = 0.0; continue; }
+    std::unordered_set<uint64_t> grams;
+    grams.reserve(n);
+    int64_t total = n - g + 1;
+    for (int64_t i = 0; i < total; ++i) {
+      uint64_t gh = 1469598103934665603ULL;
+      for (int j = 0; j < g; ++j) {
+        uint64_t x = hashes[i + j];
+        for (int b = 0; b < 8; ++b) {
+          gh ^= (x >> (8 * b)) & 0xff;
+          gh *= 1099511628211ULL;
+        }
+      }
+      grams.insert(gh);
+    }
+    out[1 + g] = 1.0 - (double)grams.size() / (double)total;
+  }
+
+  // lexicon hit rates: hash each lexicon word with the same FNV
+  std::vector<std::unordered_set<uint64_t>> lex_sets(n_lexicons);
+  for (int64_t w = 0; w < n_lex_words; ++w) {
+    uint64_t wh = 1469598103934665603ULL;
+    for (int64_t p = lex_offsets[w]; p < lex_offsets[w + 1]; ++p) {
+      wh ^= static_cast<unsigned char>(lex_buf[p]);
+      wh *= 1099511628211ULL;
+    }
+    int32_t lid = lex_ids[w];
+    if (lid >= 0 && lid < n_lexicons) lex_sets[lid].insert(wh);
+  }
+  for (const auto& kv : uni) {
+    for (int32_t l = 0; l < n_lexicons; ++l) {
+      if (lex_sets[l].count(kv.first))
+        out[8 + l] += (double)kv.second.count;
+    }
+  }
+  for (int32_t l = 0; l < n_lexicons; ++l) out[8 + l] /= (double)n;
+
+  // pass 2: sentences (same rules as art_split_sentences) + coherence
+  int64_t sents = 0;
+  double sim_sum = 0.0;
+  int64_t sim_cnt = 0;
+  std::unordered_set<uint64_t> prev_set, cur_set;
+  bool have_prev = false;
+  int64_t i = 0;
+  while (i < len) {
+    while (i < len && std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+    if (i >= len) break;
+    int64_t end = i;
+    cur_set.clear();
+    uint64_t th = 1469598103934665603ULL;
+    bool in_tok = false;
+    while (i < len) {
+      unsigned char c = static_cast<unsigned char>(text[i]);
+      unsigned char lowered = 0;
+      bool tc = tok_char(c, lowered);
+      if (tc) { th ^= lowered; th *= 1099511628211ULL; in_tok = true; }
+      else if (in_tok) {
+        cur_set.insert(th);
+        th = 1469598103934665603ULL;
+        in_tok = false;
+      }
+      if (!std::isspace(c)) { end = i + 1; ++i; continue; }
+      unsigned char prev = static_cast<unsigned char>(text[i - 1]);
+      bool after_punct = (prev == '.' || prev == '!' || prev == '?');
+      int64_t j = i;
+      int nl = 0;
+      while (j < len && text[j] == '\n') { ++nl; ++j; }
+      if (after_punct || nl >= 2) {
+        if (after_punct) {
+          while (i < len &&
+                 std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+        } else {
+          i = j;
+        }
+        break;
+      }
+      ++i;
+    }
+    if (in_tok) cur_set.insert(th);
+    if (end > 0) {
+      ++sents;
+      if (have_prev) {
+        int64_t inter = 0;
+        for (uint64_t x : cur_set) inter += (int64_t)prev_set.count(x);
+        int64_t uni_sz = (int64_t)(prev_set.size() + cur_set.size()) - inter;
+        sim_sum += uni_sz > 0 ? (double)inter / (double)uni_sz : 0.0;
+        ++sim_cnt;
+      }
+      prev_set.swap(cur_set);
+      have_prev = true;
+    }
+  }
+  out[6] = (double)sents;
+  out[7] = sim_cnt > 0 ? sim_sum / (double)sim_cnt : 1.0;
+
+  // top-20 tokens by (count desc, first occurrence asc)
+  std::vector<const std::pair<const uint64_t, TokInfo>*> items;
+  items.reserve(uni.size());
+  for (const auto& kv : uni) items.push_back(&kv);
+  size_t topn = items.size() < 20 ? items.size() : 20;
+  std::partial_sort(
+      items.begin(), items.begin() + topn, items.end(),
+      [](const auto* a, const auto* b) {
+        if (a->second.count != b->second.count)
+          return a->second.count > b->second.count;
+        return a->second.first < b->second.first;
+      });
+  for (size_t k = 0; k < topn; ++k) {
+    top_off[k] = items[k]->second.off;
+    top_len[k] = items[k]->second.tlen;
+    top_cnt[k] = items[k]->second.count;
+  }
+}
+
 }  // extern "C"

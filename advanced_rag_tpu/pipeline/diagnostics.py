@@ -149,20 +149,51 @@ class DocumentDiagnostics:
     # -- top level ------------------------------------------------------------
 
     def analyze_document(self, text: str) -> DiagnosticMetrics:
+        # Fully-native fast path (text_native.cpp art_analyze_document):
+        # tokens/entropy/n-grams/lexicons/coherence/top-20 in two C
+        # passes, zero python token materialization.  ASCII only — the
+        # python regexes treat unicode whitespace/word chars differently
+        # (hash-based grouping collides with probability ~n^2/2^64 — nil).
+        if text.isascii():
+            from ..native import analyze_document_native
+
+            nat = analyze_document_native(text, self.lexicons)
+            if nat is not None:
+                return self._metrics_from_native(nat)
+        return self._analyze_python(text)
+
+    def _metrics_from_native(self, nat: Dict[str, Any]) -> DiagnosticMetrics:
+        ngrams = nat["ngrams"]
+        redundancy = (0.4 * ngrams[1] + 0.35 * ngrams[2]
+                      + 0.25 * ngrams[3])
+        n_tok = nat["token_count"]
+        n_sent = nat["sentence_count"]
+        diversity = (nat["distinct"] / n_tok) if n_tok else 0.0
+        density = max(nat["domain_scores"].values(), default=0.0)
+        avg_sent_len = (n_tok / n_sent) if n_sent else 0.0
+        complexity = float(np.clip(
+            0.4 * nat["entropy"] + 0.3 * diversity
+            + 0.3 * min(avg_sent_len / 40.0, 1.0), 0.0, 1.0))
+        return DiagnosticMetrics(
+            entropy=nat["entropy"],
+            redundancy=redundancy,
+            domain_density=density,
+            vocabulary_diversity=diversity,
+            coherence=nat["coherence"] if n_sent >= 2 else 1.0,
+            complexity=complexity,
+            token_count=n_tok,
+            sentence_count=n_sent,
+            token_distribution=nat["token_distribution"],
+            ngram_redundancy=ngrams,
+            domain_scores=nat["domain_scores"],
+        )
+
+    def _analyze_python(self, text: str) -> DiagnosticMetrics:
+        """Pure-python reference implementation (source of truth)."""
         tokens = tokenize_words(text)
         sentences = split_sentences(text)
-        # Native fast path for the O(tokens) entropy/n-gram loops
-        # (hash-based n-grams collide with probability ~n^2/2^64 — nil).
-        from ..native import text_stats_native
-
-        fast = text_stats_native(text, drop_stopwords=False)
-        if fast is not None and int(fast[0]) == len(tokens):
-            _, entropy, r1, r2, r3, _ = fast
-            ngrams = {1: r1, 2: r2, 3: r3}
-            redundancy = 0.4 * r1 + 0.35 * r2 + 0.25 * r3
-        else:
-            entropy = self.shannon_entropy(tokens)
-            redundancy, ngrams = self.redundancy(tokens)
+        entropy = self.shannon_entropy(tokens)
+        redundancy, ngrams = self.redundancy(tokens)
         density, domain_scores = self.domain_density(tokens)
         diversity = self.vocabulary_diversity(tokens)
         coherence = self.coherence(sentences)

@@ -155,3 +155,55 @@ class TestSplitSentencesNative:
         assert [c.content for c in native] == [c.content for c in python]
         assert [c.metadata.start_char for c in native] == \
             [c.metadata.start_char for c in python]
+
+
+class TestAnalyzeDocumentNative:
+    CASES = [
+        "The quick brown fox jumps over the lazy dog. " * 20,
+        "Algorithm api architecture! Database deployment encryption. "
+        "Patient therapy treatment?",
+        "One sentence only without punctuation",
+        "Para one.\n\nPara two here. Three! Four? " * 10,
+        "don't can't won't isn't. apostrophes count once.",
+        "",
+        "Repeat repeat repeat repeat. Repeat repeat repeat.",
+        "asset audit bond capital. appeal attorney breach clause!",
+    ]
+
+    def test_full_parity_with_python(self):
+        """Every DiagnosticMetrics field matches the pure-python path:
+        counts exactly, floats to 1e-9, dicts (top-20 distribution,
+        domain scores, n-gram redundancy) exactly."""
+        import os
+
+        from advanced_rag_tpu.pipeline.diagnostics import DocumentDiagnostics
+
+        d = DocumentDiagnostics()
+        from advanced_rag_tpu.native import analyze_document_native
+
+        if analyze_document_native("probe. text.", d.lexicons) is None:
+            pytest.skip("native build unavailable")
+        for t in self.CASES:
+            a = d.analyze_document(t)
+            os.environ["ADVANCED_RAG_TPU_NO_NATIVE"] = "1"
+            try:
+                b = d.analyze_document(t)
+            finally:
+                del os.environ["ADVANCED_RAG_TPU_NO_NATIVE"]
+            assert a.token_count == b.token_count, t
+            assert a.sentence_count == b.sentence_count, t
+            for f in ("entropy", "redundancy", "domain_density",
+                      "vocabulary_diversity", "coherence", "complexity"):
+                assert abs(getattr(a, f) - getattr(b, f)) < 1e-9, (f, t)
+            assert a.token_distribution == b.token_distribution, t
+            assert a.domain_scores == b.domain_scores, t
+            for g in (1, 2, 3):
+                assert abs(a.ngram_redundancy[g]
+                           - b.ngram_redundancy[g]) < 1e-9, (g, t)
+
+    def test_unicode_falls_back(self):
+        from advanced_rag_tpu.pipeline.diagnostics import DocumentDiagnostics
+
+        d = DocumentDiagnostics()
+        m = d.analyze_document("Füchse springen. Und laufen weiter.")
+        assert m.token_count > 0  # python path handles it
