@@ -47,10 +47,11 @@ def sharded_hybrid_retrieve(
     mmr_lambda: jnp.ndarray,
     pq_codebooks: Optional[jnp.ndarray] = None,  # [m, c, dsub] replicated
     emb_scale: Optional[jnp.ndarray] = None,     # [N] f32 row-sharded (sq8)
-    # stacked per-shard residual structures (build_sharded_ivfpq) for
-    # dense_impl="ivfpq"; emb then holds row-sharded FLAT pq codes used
-    # only for the MMR decode (candidate generation probes partitions)
+    # stacked per-shard partitioned structures for dense_impl="ivfpq"
+    # (build_sharded_ivfpq) / "ivf" (build_sharded_ivf); with ivfpq,
+    # emb holds row-sharded FLAT pq codes used only for the MMR decode
     ivfpq_idx=None,                              # parallel IVFPQIndex
+    ivf_parts=None,                              # parallel IVFPartitions
     *,
     mesh: Mesh,
     k_cand: int,
@@ -62,7 +63,7 @@ def sharded_hybrid_retrieve(
     dense_block_size: int = 65536,
     sparse_block_size: int = 8192,
     shard_axis: str = "shard",
-    dense_impl: str = "scan",    # "scan" | "sq8" | "pq" | "ivfpq"
+    dense_impl: str = "scan",    # scan | sq8 | pq | ivf | ivfpq
     nprobe: int = 32,            # partitioned probes (dense_impl="ivfpq")
     pq_m: int = 0,
     pq_bits: int = 4,
@@ -85,11 +86,12 @@ def sharded_hybrid_retrieve(
         raise ValueError(f"corpus rows {n} not divisible by {num_shards}")
     local_n = n // num_shards
     depth = max(dense_depth, k_cand)
+    has_scale = emb_scale is not None   # sq8 codes in emb (flat or ivf)
     if valid is None:
         valid = jnp.ones((n,), jnp.bool_)
 
     def local(emb_l, idx_l, tf_l, len_l, df_r, nd, q, qi, qt, valid_l, w,
-              lam, cbs, scale_l, pidx):
+              lam, cbs, scale_l, pidx, pivf):
         shard = lax.axis_index(shard_axis).astype(jnp.int32)
         offset = shard * local_n
         kk = min(depth, local_n)
@@ -102,7 +104,19 @@ def sharded_hybrid_retrieve(
                               constant_values=-1)
             return d_s, d_i
 
-        if dense_impl == "ivfpq":
+        if dense_impl == "ivf":
+            # per-shard packed float/SQ8 partitions (build_sharded_ivf)
+            from ..ops.ivf import IVFPartitions, ivf_topk
+
+            sq8_p = len(pivf) == 7
+            lp = IVFPartitions(
+                *(leaf[0] for leaf in pivf[:5]),
+                packed_scale=pivf[5][0] if sq8_p else None,
+                tail_scale=pivf[6][0] if sq8_p else None,
+            )
+            d_s, d_i = ivf_topk(lp, q, kk, valid_l, nprobe=nprobe)
+            d_s, d_i = pad_depth(d_s, d_i)
+        elif dense_impl == "ivfpq":
             # per-shard residual partitions (build_sharded_ivfpq):
             # nprobe-bounded candidate generation; flat codes in emb_l
             # serve only the MMR decode below
@@ -169,7 +183,7 @@ def sharded_hybrid_retrieve(
                 emb_l[safe])                              # [Q, k_cand, D]
         else:
             ce = emb_l[safe].astype(jnp.float32)          # [Q, k_cand, D]
-            if dense_impl == "sq8":                       # dequantize codes
+            if has_scale:                                 # dequantize sq8
                 ce = ce * scale_l[safe][..., None]
         ce = jnp.where(own[:, :, None], ce, 0.0)
         ce = lax.psum(ce, shard_axis)
@@ -196,6 +210,12 @@ def sharded_hybrid_retrieve(
     else:
         pidx_arg = tuple(ivfpq_idx)           # NamedTuple -> leaf tuple
         pidx_spec = tuple(P(shard_axis) for _ in pidx_arg)
+    if ivf_parts is None:
+        pivf_arg: tuple = ()
+        pivf_spec: tuple = ()
+    else:
+        pivf_arg = tuple(a for a in ivf_parts if a is not None)
+        pivf_spec = tuple(P(shard_axis) for _ in pivf_arg)
     out = shard_map(
         local,
         mesh=mesh,
@@ -204,13 +224,14 @@ def sharded_hybrid_retrieve(
             P(shard_axis), P(None), P(),
             P(None, None), P(None, None), P(None, None), P(shard_axis),
             P(None), P(), P(None, None, None), P(shard_axis), pidx_spec,
+            pivf_spec,
         ),
         out_specs=(P(None, None), P(None, None), P(None, None),
                    P(None, None), P(None, None)),
         check_vma=False,
     )(emb, doc_idx, doc_tf, doc_len, df, n_docs,
       q_dense, q_idx, q_tf, valid, weights, mmr_lambda, pq_codebooks,
-      emb_scale, pidx_arg)
+      emb_scale, pidx_arg, pivf_arg)
     if dense_depth > k_cand:
         return out
     return out[:3]

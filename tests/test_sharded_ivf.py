@@ -121,3 +121,46 @@ def test_sharded_fused_hybrid_ivfpq(setup):
     # deep partitioned candidates cover the exact top-10 (full probe)
     assert recall(d_ids, oracle) >= 0.9
     assert 5 not in np.asarray(ids)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_sharded_fused_hybrid_ivf(setup, dtype):
+    """Float and SQ8 IVF partitions inside the sharded fused program."""
+    from advanced_rag_tpu.index.text import encode_documents, encode_queries
+    from advanced_rag_tpu.ops.quant import sq8_quantize_host
+    from advanced_rag_tpu.parallel import sharded_hybrid_retrieve
+
+    emb, q, mesh, v_s, oracle = setup
+    rng = np.random.default_rng(2)
+    n = len(emb)
+    texts = [f"doc {i} " + " ".join(rng.choice(
+        ["alpha", "beta", "gamma", "delta"], 6).tolist()) for i in range(n)]
+    doc_idx, doc_tf, doc_len, df = encode_documents(texts, 2048, 16)
+    q_idx, q_tf = encode_queries(["alpha beta", "gamma delta",
+                                  "alpha", "delta beta"], 2048, 8)
+    parts = build_sharded_ivf(emb, mesh, nlist=16, dtype=dtype,
+                              train_sample=2048)
+    if dtype == "int8":
+        codes, scale = sq8_quantize_host(emb)
+        emb_rows, scale_rows = codes, scale
+    else:
+        emb_rows, scale_rows = emb, None
+    arrs = shard_corpus_arrays(
+        mesh, pad_to_shards(emb_rows, 8), pad_to_shards(doc_idx, 8, -1),
+        pad_to_shards(doc_tf, 8), pad_to_shards(doc_len, 8),
+    )
+    emb_s, di_s, dt_s, dl_s = arrs
+    sc_s = (shard_corpus_arrays(mesh, pad_to_shards(scale_rows, 8))
+            if scale_rows is not None else None)
+    out = sharded_hybrid_retrieve(
+        emb_s, di_s, dt_s, dl_s, jnp.asarray(df), jnp.float32(n),
+        jnp.asarray(q), jnp.asarray(q_idx), jnp.asarray(q_tf),
+        v_s, jnp.asarray([0.7, 0.3], jnp.float32), jnp.float32(0.8),
+        None, sc_s, None, parts,
+        mesh=mesh, k_cand=16, k_out=8, use_mmr=True,
+        dense_impl="ivf", nprobe=16, dense_depth=40,
+    )
+    ids, scores, counts, d_ids, d_s = out
+    assert (np.asarray(ids) >= 0).any()
+    assert recall(d_ids, oracle) >= (0.85 if dtype == "int8" else 0.9)
+    assert 5 not in np.asarray(ids)
