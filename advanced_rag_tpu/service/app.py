@@ -679,6 +679,40 @@ async def index_stats(request: web.Request) -> web.Response:
         state.pipeline.index_manager.get_collection_stats())
 
 
+async def index_checkpoint(request: web.Request) -> web.Response:
+    """Persist or restore the full index state (utils/checkpoint.py) —
+    the durability half of the serving checklist.  Body:
+    {"dir": "/path", "action": "save"|"load"}.  Restore requires an
+    EMPTY manager (fresh boot), matching load_index's contract."""
+    state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
+    body = await request.json() if request.can_read_body else {}
+    ckpt_dir = body.get("dir") or os.environ.get("RAG_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return _json_error(400, "dir required (or RAG_CHECKPOINT_DIR)",
+                           request["request_id"])
+    action = body.get("action", "save")
+    mgr = state.pipeline.index_manager
+    from ..utils.checkpoint import load_index, save_index
+
+    try:
+        if action == "save":
+            with mgr._write_lock:  # consistent snapshot vs live ingest
+                manifest = await asyncio.to_thread(save_index, mgr, ckpt_dir)
+            return web.json_response({"saved": True,
+                                      "rows": manifest["size"]})
+        if action == "load":
+            with mgr._write_lock:
+                await asyncio.to_thread(load_index, mgr, ckpt_dir)
+            return web.json_response(
+                {"loaded": True, "rows": mgr.store.size})
+        return _json_error(400, f"unknown action {action!r}",
+                           request["request_id"])
+    except (ValueError, FileNotFoundError) as exc:
+        return _json_error(409, str(exc), request["request_id"])
+
+
 async def index_maintain(request: web.Request) -> web.Response:
     """One maintenance pass now (build-then-swap IVF rebuild when the
     streaming tail is oversized); body {"build_ivf": true} forces a
@@ -744,6 +778,7 @@ def create_app(config: Optional[PipelineConfig] = None,
     app.router.add_get("/perf", perf_report)
     app.router.add_get("/admin/index/stats", index_stats)
     app.router.add_post("/admin/index/maintain", index_maintain)
+    app.router.add_post("/admin/index/checkpoint", index_checkpoint)
     if STATIC_DIR.is_dir():
         app.router.add_get("/", index_page)
         app.router.add_static("/static", STATIC_DIR)

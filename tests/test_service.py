@@ -283,3 +283,46 @@ class TestAdminPQTier:
             assert (await resp.json())["results"]
         finally:
             await client.close()
+
+
+class TestCheckpointEndpoint:
+    async def test_save_then_load_roundtrip(self, client, tmp_path):
+        await _ingest(client)
+        d = str(tmp_path / "ckpt")
+        resp = await client.post("/admin/index/checkpoint",
+                                 json={"dir": d, "action": "save"})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["saved"] and data["rows"] >= 2
+
+        # restore into a FRESH service (load requires an empty manager)
+        pipeline = AdvancedRAGPipeline(PipelineConfig())
+        db = DatabasePool(sqlite_path=str(tmp_path / "chat2.db"))
+        app2 = create_app(pipeline=pipeline, db=db)
+        c2 = TestClient(TestServer(app2))
+        await c2.start_server()
+        try:
+            resp = await c2.post("/admin/index/checkpoint",
+                                 json={"dir": d, "action": "load"})
+            assert resp.status == 200
+            assert (await resp.json())["rows"] >= 2
+            resp = await c2.post("/retrieve", json={"query": "hybrid"})
+            assert resp.status == 200
+            assert (await resp.json())["results"]
+        finally:
+            await c2.close()
+
+    async def test_load_into_populated_manager_conflicts(self, client,
+                                                         tmp_path):
+        await _ingest(client)
+        d = str(tmp_path / "ck2")
+        await client.post("/admin/index/checkpoint",
+                          json={"dir": d, "action": "save"})
+        resp = await client.post("/admin/index/checkpoint",
+                                 json={"dir": d, "action": "load"})
+        assert resp.status == 409  # manager not empty
+
+    async def test_missing_dir_rejected(self, client):
+        resp = await client.post("/admin/index/checkpoint",
+                                 json={"action": "save"})
+        assert resp.status == 400
