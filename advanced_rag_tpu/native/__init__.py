@@ -162,16 +162,23 @@ def split_sentences_native(text: str):
     if lib is None or not text:
         return None
     raw = text.encode("utf-8", "ignore")
-    max_sents = len(raw) // 2 + 1
-    starts = np.zeros(max_sents, np.int64)
-    ends = np.zeros(max_sents, np.int64)
-    counts = np.zeros(max_sents, np.int32)
-    n = lib.art_split_sentences(
-        raw, len(raw),
-        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        max_sents)
+    # realistic sentences are tens of bytes; start with a conservative
+    # cap (a len//2 bound would allocate ~10x the text in scratch) and
+    # retry with the worst-case bound only if it fills up
+    max_sents = min(len(raw) // 8 + 16, len(raw) // 2 + 1)
+    while True:
+        starts = np.zeros(max_sents, np.int64)
+        ends = np.zeros(max_sents, np.int64)
+        counts = np.zeros(max_sents, np.int32)
+        n = lib.art_split_sentences(
+            raw, len(raw),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_sents)
+        if n < max_sents or max_sents >= len(raw) // 2 + 1:
+            break
+        max_sents = len(raw) // 2 + 1
     sentences = [raw[starts[i]:ends[i]].decode("utf-8", "ignore")
                  for i in range(n)]
     return sentences, counts[:n].tolist()

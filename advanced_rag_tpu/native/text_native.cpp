@@ -254,6 +254,13 @@ void art_encode_queries(const char* buf, const int64_t* offsets,
   }
 }
 
+static inline bool is_space_py(unsigned char c) {
+  // python re \s on ASCII = [ \t\n\r\f\v] PLUS the file/group/
+  // record/unit separators \x1c-\x1f (unicode whitespace); C isspace
+  // misses the latter, which shows up in converted legacy/PDF text
+  return std::isspace(c) != 0 || (c >= 0x1c && c <= 0x1f);
+}
+
 // Chunker hot loop (pipeline/chunking.py): sentence splitting + per-
 // sentence token counts in ONE pass.  Splitting mirrors diagnostics.py
 // _SENT_RE = r"(?<=[.!?])\s+|\n\n+" exactly:
@@ -271,7 +278,7 @@ int32_t art_split_sentences(const char* text, int64_t len,
   int64_t i = 0;
   while (i < len && n < max_sents) {
     // skip leading whitespace of the piece
-    while (i < len && std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+    while (i < len && is_space_py(static_cast<unsigned char>(text[i]))) ++i;
     if (i >= len) break;
     int64_t start = i;
     int64_t end = i;           // one past the last non-space char seen
@@ -285,7 +292,7 @@ int32_t art_split_sentences(const char* text, int64_t len,
       bool tok_char = is_token_char(c, lowered) || c == '\'';
       if (tok_char && !in_tok) { ++tokens; in_tok = true; }
       if (!tok_char) in_tok = false;
-      if (!std::isspace(c)) { end = i + 1; ++i; continue; }
+      if (!is_space_py(c)) { end = i + 1; ++i; continue; }
       // whitespace: delimiter checks against the PRECEDING char
       unsigned char prev = static_cast<unsigned char>(text[i - 1]);
       bool after_punct = (prev == '.' || prev == '!' || prev == '?');
@@ -298,7 +305,7 @@ int32_t art_split_sentences(const char* text, int64_t len,
         // alone consumes only the newline run (regex alternation)
         if (after_punct) {
           while (i < len &&
-                 std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+                 is_space_py(static_cast<unsigned char>(text[i]))) ++i;
         } else {
           i = j;
         }
@@ -534,7 +541,7 @@ void art_analyze_document(
   bool have_prev = false;
   int64_t i = 0;
   while (i < len) {
-    while (i < len && std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+    while (i < len && is_space_py(static_cast<unsigned char>(text[i]))) ++i;
     if (i >= len) break;
     int64_t end = i;
     cur_set.clear();
@@ -550,7 +557,7 @@ void art_analyze_document(
         th = 1469598103934665603ULL;
         in_tok = false;
       }
-      if (!std::isspace(c)) { end = i + 1; ++i; continue; }
+      if (!is_space_py(c)) { end = i + 1; ++i; continue; }
       unsigned char prev = static_cast<unsigned char>(text[i - 1]);
       bool after_punct = (prev == '.' || prev == '!' || prev == '?');
       int64_t j = i;
@@ -559,7 +566,7 @@ void art_analyze_document(
       if (after_punct || nl >= 2) {
         if (after_punct) {
           while (i < len &&
-                 std::isspace(static_cast<unsigned char>(text[i]))) ++i;
+                 is_space_py(static_cast<unsigned char>(text[i]))) ++i;
         } else {
           i = j;
         }

@@ -87,6 +87,16 @@ def sharded_hybrid_retrieve(
     local_n = n // num_shards
     depth = max(dense_depth, k_cand)
     has_scale = emb_scale is not None   # sq8 codes in emb (flat or ivf)
+    if dense_impl == "ivf" and ivf_parts is None:
+        raise ValueError('dense_impl="ivf" requires ivf_parts '
+                         '(build_sharded_ivf)')
+    if dense_impl == "ivfpq" and ivfpq_idx is None:
+        raise ValueError('dense_impl="ivfpq" requires ivfpq_idx '
+                         '(build_sharded_ivfpq)')
+    # explicit tier flag — NOT inferred from the filtered leaf count,
+    # which would silently mis-bind fields if IVFPartitions ever grows
+    # another optional array
+    ivf_sq8 = ivf_parts is not None and ivf_parts.packed_scale is not None
     if valid is None:
         valid = jnp.ones((n,), jnp.bool_)
 
@@ -108,11 +118,10 @@ def sharded_hybrid_retrieve(
             # per-shard packed float/SQ8 partitions (build_sharded_ivf)
             from ..ops.ivf import IVFPartitions, ivf_topk
 
-            sq8_p = len(pivf) == 7
             lp = IVFPartitions(
                 *(leaf[0] for leaf in pivf[:5]),
-                packed_scale=pivf[5][0] if sq8_p else None,
-                tail_scale=pivf[6][0] if sq8_p else None,
+                packed_scale=pivf[5][0] if ivf_sq8 else None,
+                tail_scale=pivf[6][0] if ivf_sq8 else None,
             )
             d_s, d_i = ivf_topk(lp, q, kk, valid_l, nprobe=nprobe)
             d_s, d_i = pad_depth(d_s, d_i)

@@ -696,17 +696,27 @@ async def index_checkpoint(request: web.Request) -> web.Response:
     mgr = state.pipeline.index_manager
     from ..utils.checkpoint import load_index, save_index
 
+    # The write lock must be taken INSIDE the worker thread: acquiring a
+    # threading.Lock on the event-loop thread and then awaiting would
+    # block the loop whenever another thread holds it (and deadlock
+    # outright if the release depends on a loop callback).
+    def _save():
+        with mgr._write_lock:  # consistent snapshot vs live ingest
+            return save_index(mgr, ckpt_dir)
+
+    def _load():
+        with mgr._write_lock:
+            load_index(mgr, ckpt_dir)
+            return mgr.store.size
+
     try:
         if action == "save":
-            with mgr._write_lock:  # consistent snapshot vs live ingest
-                manifest = await asyncio.to_thread(save_index, mgr, ckpt_dir)
+            manifest = await asyncio.to_thread(_save)
             return web.json_response({"saved": True,
                                       "rows": manifest["size"]})
         if action == "load":
-            with mgr._write_lock:
-                await asyncio.to_thread(load_index, mgr, ckpt_dir)
-            return web.json_response(
-                {"loaded": True, "rows": mgr.store.size})
+            rows = await asyncio.to_thread(_load)
+            return web.json_response({"loaded": True, "rows": rows})
         return _json_error(400, f"unknown action {action!r}",
                            request["request_id"])
     except (ValueError, FileNotFoundError) as exc:
@@ -754,6 +764,22 @@ def create_app(config: Optional[PipelineConfig] = None,
                           client_max_size=16 * 1024 * 1024)
     state = ServiceState(config, pipeline, db)
     app["state"] = state
+
+    # boot-time index restore: when RAG_CHECKPOINT_DIR holds a saved
+    # checkpoint and the manager is empty, load it — rolling restarts
+    # (infra/scripts/deploy_tpu.sh) keep serving the corpus
+    ckpt_dir = os.environ.get("RAG_CHECKPOINT_DIR")
+    if ckpt_dir and (Path(ckpt_dir) / "manifest.json").exists():
+        mgr = state.pipeline.index_manager
+        if mgr.store.size == 0:
+            from ..utils.checkpoint import load_index
+
+            try:
+                load_index(mgr, ckpt_dir)
+                logger.info("restored %d rows from %s",
+                            mgr.store.size, ckpt_dir)
+            except Exception:
+                logger.exception("checkpoint restore failed; starting empty")
 
     # best-effort OTel (reference service.py:298-309)
     with contextlib.suppress(Exception):

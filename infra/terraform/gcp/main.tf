@@ -44,8 +44,10 @@ resource "google_tpu_v2_vm" "cell" {
 
   metadata = {
     # provisioned by infra/scripts/deploy_tpu.sh via startup-script:
-    # installs the wheel, writes the systemd unit, starts the service
+    # installs the wheel (from rag-wheel-uri — never public PyPI),
+    # writes the systemd unit, starts the service
     startup-script = file("${path.module}/startup.sh")
+    rag-wheel-uri  = var.wheel_uri
   }
 
   labels = {

@@ -1,18 +1,37 @@
 #!/usr/bin/env bash
 # TPU VM first-boot provisioning: venv + framework + systemd service.
+# The framework wheel comes from the deploy bucket (metadata
+# rag-wheel-uri, written by deploy_tpu.sh) — never from public PyPI
+# (a name-squatted package would run as root: dependency confusion).
 set -euo pipefail
 apt-get update -y && apt-get install -y python3-venv
 python3 -m venv /opt/rag
 /opt/rag/bin/pip install --upgrade pip
 /opt/rag/bin/pip install "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
-/opt/rag/bin/pip install flax optax aiohttp prometheus_client pyyaml advanced-rag-tpu
+/opt/rag/bin/pip install flax optax aiohttp prometheus_client pyyaml
+
+WHEEL_URI="$(curl -s -H 'Metadata-Flavor: Google' \
+  'http://metadata.google.internal/computeMetadata/v1/instance/attributes/rag-wheel-uri' || true)"
+if [ -n "${WHEEL_URI}" ]; then
+  gsutil cp "${WHEEL_URI}" /tmp/advanced_rag_tpu.whl
+  /opt/rag/bin/pip install /tmp/advanced_rag_tpu.whl
+else
+  echo "rag-wheel-uri metadata missing; service unit not written" >&2
+  exit 1
+fi
+
+mkdir -p /var/lib/rag/checkpoint
 cat > /etc/systemd/system/rag-api.service <<'UNIT'
 [Unit]
 Description=advanced-rag-tpu API
+Wants=network-online.target
 After=network-online.target
 
 [Service]
 Environment=RAG_MAX_CONCURRENCY=64
+# service auto-loads this checkpoint at boot when present (app.py
+# on_startup), so rolling restarts keep serving the corpus
+Environment=RAG_CHECKPOINT_DIR=/var/lib/rag/checkpoint
 ExecStart=/opt/rag/bin/python -m advanced_rag_tpu.service
 Restart=always
 RestartSec=5

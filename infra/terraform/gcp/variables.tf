@@ -33,3 +33,7 @@ variable "api_source_ranges" {
   type    = list(string)
   default = ["10.0.0.0/8"]
 }
+variable "wheel_uri" {
+  type        = string
+  description = "gs:// URI of the advanced_rag_tpu wheel built by deploy_tpu.sh"
+}

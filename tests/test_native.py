@@ -114,6 +114,8 @@ class TestSplitSentencesNative:
         "  leading ws then text. second piece.",
         "don't drop apostrophes. can't count wrong.",
         "newline run\n\n\n\nmany blanks",
+        "ascii separators a.\x1cb split. like\x1d python? whitespace\x1e!",
+        "end.\x1d start again.",
         "",
         "   ",
     ]
