@@ -326,3 +326,37 @@ class TestCheckpointEndpoint:
         resp = await client.post("/admin/index/checkpoint",
                                  json={"action": "save"})
         assert resp.status == 400
+
+
+class TestBootRestore:
+    async def test_create_app_restores_checkpoint_dir(self, client,
+                                                      tmp_path,
+                                                      monkeypatch):
+        await _ingest(client)
+        d = str(tmp_path / "bootck")
+        resp = await client.post("/admin/index/checkpoint",
+                                 json={"dir": d, "action": "save"})
+        assert resp.status == 200
+
+        monkeypatch.setenv("RAG_CHECKPOINT_DIR", d)
+        pipeline = AdvancedRAGPipeline(PipelineConfig())
+        db = DatabasePool(sqlite_path=str(tmp_path / "chat3.db"))
+        app2 = create_app(pipeline=pipeline, db=db)
+        assert app2["state"].pipeline.index_manager.store.size >= 2
+        c2 = TestClient(TestServer(app2))
+        await c2.start_server()
+        try:
+            resp = await c2.post("/retrieve", json={"query": "hybrid"})
+            assert resp.status == 200
+            assert (await resp.json())["results"]
+        finally:
+            await c2.close()
+
+    async def test_missing_checkpoint_dir_starts_empty(self, tmp_path,
+                                                       monkeypatch):
+        monkeypatch.setenv("RAG_CHECKPOINT_DIR",
+                           str(tmp_path / "nonexistent"))
+        pipeline = AdvancedRAGPipeline(PipelineConfig())
+        db = DatabasePool(sqlite_path=str(tmp_path / "chat4.db"))
+        app2 = create_app(pipeline=pipeline, db=db)
+        assert app2["state"].pipeline.index_manager.store.size == 0
