@@ -351,3 +351,41 @@ class TestReferenceAPISurface:
                      "_generate_semantic_embedding"):
             assert hasattr(m, meth), meth
         m.close()
+
+
+class TestEndToEndRelevance:
+    def test_known_relevance_corpus(self):
+        """Full pipeline (rewrite -> hybrid -> rerank -> evaluator) on a
+        corpus with KNOWN topic relevance: topical queries must rank
+        their topic's chunks on top (P@10 >= 0.8, MRR >= 0.9 mean)."""
+        import numpy as np
+
+        from advanced_rag_tpu.config import PipelineConfig
+        from advanced_rag_tpu.pipeline.orchestrator import AdvancedRAGPipeline
+
+        rng = np.random.default_rng(0)
+        topics = {
+            "solar": "photovoltaic panels inverters irradiance grid feed",
+            "bees": "hive queen brood nectar pollen swarm apiary",
+        }
+        docs = []
+        for topic, vocab in topics.items():
+            words = vocab.split()
+            for d in range(10):
+                body = " ".join(rng.choice(words, 20).tolist())
+                docs.append({"doc_id": f"{topic}{d}",
+                             "content": f"{topic} note {d}: {body}."})
+        p = AdvancedRAGPipeline(PipelineConfig())
+        p.ingest_documents(docs)
+        precs, mrrs = [], []
+        for topic, vocab in topics.items():
+            mgr = p.index_manager
+            rel = [cid for cid, row in mgr.store._chunk_row.items()
+                   if mgr.store.doc_ids[row].startswith(topic)]
+            assert rel
+            out = p.retrieve(" ".join(vocab.split()[:4]), top_k=10,
+                             relevant_ids=rel)
+            precs.append(out["metrics"].precision_at_k)
+            mrrs.append(out["metrics"].mrr)
+        assert float(np.mean(precs)) >= 0.8, precs
+        assert float(np.mean(mrrs)) >= 0.9, mrrs
