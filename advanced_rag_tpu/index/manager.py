@@ -744,6 +744,20 @@ class MultiIndexManager:
             }
         return stats
 
+    def reset_state(self) -> None:
+        """Reinitialize store + index families to empty (same configs).
+
+        Used to roll back a partially-applied restore: load_index
+        mutates the store before the dense files stream in, so a
+        mid-load failure would otherwise leave a torn manager whose
+        chunk ids block both retry-loads and re-ingest."""
+        self.store = CorpusStore()
+        self.semantic = DenseIndex(self.semantic.config)
+        if self.sparse is not None:
+            self.sparse = SparseIndex(self.sparse.config)
+        if self.domain is not None:
+            self.domain = DenseIndex(self.domain.config)
+
     def build_semantic(self, *, pq: bool = False,
                        ivf: bool = False) -> Dict[str, Any]:
         """Explicit tier builds under the write lock (the service admin

@@ -692,6 +692,20 @@ async def index_checkpoint(request: web.Request) -> web.Response:
     if not ckpt_dir:
         return _json_error(400, "dir required (or RAG_CHECKPOINT_DIR)",
                            request["request_id"])
+    # Path confinement: the service may run privileged and the API key
+    # is shared across routes — an arbitrary body dir would grant
+    # arbitrary-filesystem write ("save") / read ("load").  Restrict to
+    # RAG_CHECKPOINT_ROOT (or the exact RAG_CHECKPOINT_DIR).
+    root = os.environ.get("RAG_CHECKPOINT_ROOT")
+    fixed = os.environ.get("RAG_CHECKPOINT_DIR")
+    resolved = Path(ckpt_dir).resolve()
+    allowed = (
+        (root and Path(root).resolve() in [resolved, *resolved.parents])
+        or (fixed and resolved == Path(fixed).resolve())
+    )
+    if not allowed:
+        return _json_error(
+            403, "dir outside RAG_CHECKPOINT_ROOT", request["request_id"])
     action = body.get("action", "save")
     mgr = state.pipeline.index_manager
     from ..utils.checkpoint import load_index, save_index
@@ -701,12 +715,24 @@ async def index_checkpoint(request: web.Request) -> web.Response:
     # block the loop whenever another thread holds it (and deadlock
     # outright if the release depends on a loop callback).
     def _save():
-        with mgr._write_lock:  # consistent snapshot vs live ingest
+        with mgr._write_cv:
+            # a lock-only snapshot is NOT consistent: the 3-phase ingest
+            # claims rows (valid, store.size bumped) then releases the
+            # lock to embed — wait until no rows are in flight
+            while mgr._inflight_rows:
+                mgr._write_cv.wait(timeout=60.0)
             return save_index(mgr, ckpt_dir)
 
     def _load():
         with mgr._write_lock:
-            load_index(mgr, ckpt_dir)
+            try:
+                load_index(mgr, ckpt_dir)
+            except Exception:
+                # load_index mutates the store before the dense files
+                # stream in — roll back so the manager is not torn and
+                # a retry is possible
+                mgr.reset_state()
+                raise
             return mgr.store.size
 
     try:
@@ -779,6 +805,7 @@ def create_app(config: Optional[PipelineConfig] = None,
                 logger.info("restored %d rows from %s",
                             mgr.store.size, ckpt_dir)
             except Exception:
+                mgr.reset_state()  # roll back the partial load
                 logger.exception("checkpoint restore failed; starting empty")
 
     # best-effort OTel (reference service.py:298-309)

@@ -14,7 +14,7 @@ NAME="${4:-advanced-rag-tpu}"
 
 REPO_ROOT="$(cd "$(dirname "$0")/../.." && pwd)"
 cd "${REPO_ROOT}"
-python -m pip wheel --no-deps -w dist .
+python3 -m pip wheel --no-deps -w dist .
 WHEEL="$(ls -t dist/advanced_rag_tpu-*.whl | head -1)"
 WHEEL_URI="gs://${BUCKET}/wheels/$(basename "${WHEEL}")"
 gsutil cp "${WHEEL}" "${WHEEL_URI}"

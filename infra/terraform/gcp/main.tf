@@ -25,12 +25,25 @@ resource "google_service_account" "rag" {
   display_name = "advanced-rag-tpu service account"
 }
 
+resource "google_compute_disk" "checkpoint" {
+  count = var.cell_count
+  name  = "${var.name}-ckpt-${count.index}"
+  zone  = var.zone
+  type  = "pd-balanced"
+  size  = var.checkpoint_disk_gb
+}
+
 resource "google_tpu_v2_vm" "cell" {
   count            = var.cell_count
   name             = "${var.name}-${count.index}"
   zone             = var.zone
   runtime_version  = var.runtime_version
   accelerator_type = var.accelerator_type
+
+  data_disks {
+    source_disk = google_compute_disk.checkpoint[count.index].id
+    mode        = "READ_WRITE"
+  }
 
   network_config {
     network            = var.network

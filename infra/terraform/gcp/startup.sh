@@ -10,7 +10,7 @@ python3 -m venv /opt/rag
 /opt/rag/bin/pip install "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
 /opt/rag/bin/pip install flax optax aiohttp prometheus_client pyyaml
 
-WHEEL_URI="$(curl -s -H 'Metadata-Flavor: Google' \
+WHEEL_URI="$(curl -sf -H 'Metadata-Flavor: Google' \
   'http://metadata.google.internal/computeMetadata/v1/instance/attributes/rag-wheel-uri' || true)"
 if [ -n "${WHEEL_URI}" ]; then
   gsutil cp "${WHEEL_URI}" /tmp/advanced_rag_tpu.whl
@@ -20,6 +20,16 @@ else
   exit 1
 fi
 
+# checkpoint dir on the attached PERSISTENT disk (survives VM
+# replacement — the boot disk is ephemeral); format on first use
+DISK=/dev/disk/by-id/google-persistent-disk-1
+if [ -e "${DISK}" ]; then
+  blkid "${DISK}" >/dev/null 2>&1 || mkfs.ext4 -q "${DISK}"
+  mkdir -p /var/lib/rag
+  grep -q /var/lib/rag /etc/fstab || \
+    echo "${DISK} /var/lib/rag ext4 defaults,nofail 0 2" >> /etc/fstab
+  mountpoint -q /var/lib/rag || mount /var/lib/rag
+fi
 mkdir -p /var/lib/rag/checkpoint
 cat > /etc/systemd/system/rag-api.service <<'UNIT'
 [Unit]

@@ -37,3 +37,8 @@ variable "wheel_uri" {
   type        = string
   description = "gs:// URI of the advanced_rag_tpu wheel built by deploy_tpu.sh"
 }
+variable "checkpoint_disk_gb" {
+  type        = number
+  default     = 100
+  description = "Persistent disk for RAG_CHECKPOINT_DIR (survives VM replacement)"
+}

@@ -286,7 +286,9 @@ class TestAdminPQTier:
 
 
 class TestCheckpointEndpoint:
-    async def test_save_then_load_roundtrip(self, client, tmp_path):
+    async def test_save_then_load_roundtrip(self, client, tmp_path,
+                                            monkeypatch):
+        monkeypatch.setenv("RAG_CHECKPOINT_ROOT", str(tmp_path))
         await _ingest(client)
         d = str(tmp_path / "ckpt")
         resp = await client.post("/admin/index/checkpoint",
@@ -313,7 +315,9 @@ class TestCheckpointEndpoint:
             await c2.close()
 
     async def test_load_into_populated_manager_conflicts(self, client,
-                                                         tmp_path):
+                                                         tmp_path,
+                                                         monkeypatch):
+        monkeypatch.setenv("RAG_CHECKPOINT_ROOT", str(tmp_path))
         await _ingest(client)
         d = str(tmp_path / "ck2")
         await client.post("/admin/index/checkpoint",
@@ -327,11 +331,25 @@ class TestCheckpointEndpoint:
                                  json={"action": "save"})
         assert resp.status == 400
 
+    async def test_unconfined_dir_rejected(self, client, tmp_path,
+                                           monkeypatch):
+        """Arbitrary filesystem paths are refused: the shared API key
+        must not grant arbitrary-directory write/read."""
+        monkeypatch.setenv("RAG_CHECKPOINT_ROOT", str(tmp_path))
+        resp = await client.post("/admin/index/checkpoint",
+                                 json={"dir": "/etc/evil", "action": "save"})
+        assert resp.status == 403
+        resp = await client.post(
+            "/admin/index/checkpoint",
+            json={"dir": str(tmp_path) + "/../escape", "action": "save"})
+        assert resp.status == 403
+
 
 class TestBootRestore:
     async def test_create_app_restores_checkpoint_dir(self, client,
                                                       tmp_path,
                                                       monkeypatch):
+        monkeypatch.setenv("RAG_CHECKPOINT_ROOT", str(tmp_path))
         await _ingest(client)
         d = str(tmp_path / "bootck")
         resp = await client.post("/admin/index/checkpoint",
