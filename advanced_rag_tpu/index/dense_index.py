@@ -65,12 +65,12 @@ class DenseIndex:
         self._host = np.zeros((self.capacity, self.dim), dtype=np.float32)
         self._ivf = None  # built lazily by ops/ivf.py when configured
 
-    def _prepare(self, vectors: np.ndarray) -> np.ndarray:
+    def _prepare(self, vectors: np.ndarray, *,
+                 pre_normalized: bool = False) -> np.ndarray:
         v = np.asarray(vectors, dtype=np.float32)
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}] vectors, got {v.shape}")
-        if (self.config.metric == Metric.COSINE
-                and not getattr(self, "_skip_normalize", False)):
+        if self.config.metric == Metric.COSINE and not pre_normalized:
             # store normalized -> search reduces to inner product
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             v = v / np.maximum(norms, 1e-12)
@@ -101,29 +101,40 @@ class DenseIndex:
         else:
             self.emb = jax.device_put(_to_host_dtype(grown, self._dtype))
 
-    def prepare_append(self, start: int, vectors: np.ndarray):
+    def prepare_append(self, start: int, vectors: np.ndarray, *,
+                       pre_normalized: bool = False):
         """Host half of an append (mirror write, capacity growth, padded
         device values) — see CorpusStore.prepare_append for the fused
         protocol.  Returns dev_vals or None when vectors is empty."""
-        v = self._prepare(vectors)
+        v = self._prepare(vectors, pre_normalized=pre_normalized)
         n = v.shape[0]
         if n == 0:
             return None
         self._ensure_capacity(start + next_pow2(n))
         self._host[start : start + n] = v
-        if self._pq is not None:
+        if self._pq is not None or self._ivfpq is not None:
             import ml_dtypes
 
-            from ..ops.pq import pq_encode_device
-
-            # upload bf16 once, encode on device (codes never cross the
-            # host tunnel); pow2-padded rows encode garbage but land
-            # beyond `size` and are overwritten by the next append
+            # upload bf16 once; codes/residuals are computed on device
+            # (they never cross the host tunnel); pow2-padded rows encode
+            # garbage but land beyond `size` and are overwritten by the
+            # next append
             dev_v = jnp.asarray(pad_rows_pow2(v).astype(ml_dtypes.bfloat16))
-            vals = {"emb": pq_encode_device(dev_v, self._pq.codebooks,
-                                            self._pq_rot)}
+            if self._pq is not None:
+                from ..ops.pq import pq_encode_device
+
+                vals = {"emb": pq_encode_device(dev_v, self._pq.codebooks,
+                                                self._pq_rot)}
+            else:
+                # IVF-PQ without flat-PQ codebooks (build_ivfpq was called
+                # directly): `emb` is still the bf16 staging matrix — keep
+                # it current so maintenance rebuilds / exact refines work
+                vals = {"emb": dev_v.astype(self._dtype)}
             if self._ivfpq is not None:
-                # residual-encode into the IVF-PQ tail on device too
+                # residual-encode into the IVF-PQ tail on device too —
+                # this must run whenever _ivfpq exists (NOT only when the
+                # flat-PQ codebooks do), else streamed appends would be
+                # invisible to search until the tail-fraction rebuild
                 from ..ops.ivfpq import ivfpq_append_tail
 
                 rows = jnp.arange(start, start + n, dtype=jnp.int32)
@@ -165,12 +176,14 @@ class DenseIndex:
         if self._sq8:
             self.emb_scale = updated["emb_scale"]
 
-    def append(self, start: int, vectors: np.ndarray) -> None:
+    def append(self, start: int, vectors: np.ndarray, *,
+               pre_normalized: bool = False) -> None:
         """Write vectors at rows [start, start+N) — row ids come from the
         CorpusStore so every index family stays aligned."""
         from .corpus import fused_append
 
-        vals = self.prepare_append(start, vectors)
+        vals = self.prepare_append(start, vectors,
+                                   pre_normalized=pre_normalized)
         if vals is None:
             return
         self.commit_device(
@@ -195,14 +208,10 @@ class DenseIndex:
         when used under MultiIndexManager — use the manager's ingest for
         text corpora; this is the raw-embedding path."""
         start = self.size
-        if pre_normalized and self.config.metric == Metric.COSINE:
-            self._skip_normalize = True
-            try:
-                self.append(start, vectors)
-            finally:
-                self._skip_normalize = False
-        else:
-            self.append(start, vectors)
+        # pre_normalized is threaded through as an explicit parameter
+        # (never instance state): a concurrent append on the same index
+        # must not observe another call's skip-normalize decision
+        self.append(start, vectors, pre_normalized=pre_normalized)
         return start
 
     @property

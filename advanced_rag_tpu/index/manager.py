@@ -45,6 +45,10 @@ logger = logging.getLogger(__name__)
 class MultiIndexManager:
     """Owns the corpus store + index families; exposes search/ingest."""
 
+    #: overall bound on waits for other threads' in-flight rows — raises
+    #: TimeoutError instead of spinning forever on a wedged peer ingest
+    INGEST_WAIT_DEADLINE_S = 300.0
+
     def __init__(
         self,
         config: Optional[PipelineConfig] = None,
@@ -177,30 +181,39 @@ class MultiIndexManager:
         # Phase 1 (locked): claim rows + dedupe.  If any deduped row is
         # still in flight in another thread (claimed but not committed),
         # wait for its commit — read-your-writes for duplicate ingests.
-        with self._write_cv:
-            first_new = self.store.size
-            rows, store_pending = self.store.prepare_append(records)
-            # Only embed rows that are NEW (idempotent re-ingest skips work).
-            new_rows: List[int] = []
-            new_records: List[ChunkRecord] = []
-            seen = set()
-            for row, rec in zip(rows, records):
-                if row >= first_new and row not in seen:
-                    seen.add(row)
-                    new_rows.append(row)
-                    new_records.append(rec)
-            self._inflight_rows.update(new_rows)
-            others = set(rows) - seen
-            while others & self._inflight_rows:
-                self._write_cv.wait(timeout=60.0)
-
-        if not new_rows:
-            report["indexed"] = len(records)
-            report["rows"] = rows
-            report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
-            return report
-
+        # The claim itself happens INSIDE the try so an exception during
+        # either wait loop can never leak claimed rows (a leaked claim
+        # would spin every later duplicate ingest / checkpoint save).
+        new_rows: List[int] = []
+        new_records: List[ChunkRecord] = []
         try:
+            with self._write_cv:
+                first_new = self.store.size
+                rows, store_pending = self.store.prepare_append(records)
+                # Only embed rows that are NEW (idempotent re-ingest
+                # skips work).
+                seen = set()
+                for row, rec in zip(rows, records):
+                    if row >= first_new and row not in seen:
+                        seen.add(row)
+                        new_rows.append(row)
+                        new_records.append(rec)
+                self._inflight_rows.update(new_rows)
+                others = set(rows) - seen
+                deadline = time.monotonic() + self.INGEST_WAIT_DEADLINE_S
+                while others & self._inflight_rows:
+                    self._write_cv.wait(timeout=1.0)
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            "ingest timed out waiting for in-flight "
+                            f"duplicate rows {sorted(others)[:8]}")
+
+            if not new_rows:
+                report["indexed"] = len(records)
+                report["rows"] = rows
+                report["elapsed_ms"] = (time.perf_counter() - t0) * 1000
+                return report
+
             # Phase 2 (UNLOCKED): embedding + sparse encoding — the slow
             # compute — runs concurrently across ingests.  Claimed rows
             # stay device-invalid until the fused commit below, so
@@ -231,9 +244,14 @@ class MultiIndexManager:
             # would wipe them if it committed later.
             mine = set(new_rows)
             with self._write_cv:
+                deadline = time.monotonic() + self.INGEST_WAIT_DEADLINE_S
                 while any(r < start for r in self._inflight_rows
                           if r not in mine):
-                    self._write_cv.wait(timeout=60.0)
+                    self._write_cv.wait(timeout=1.0)
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            "ingest timed out waiting for lower-row "
+                            "in-flight commits before the fused append")
                 from .corpus import fused_append
 
                 arrays: Dict[str, Any] = {}

@@ -45,7 +45,7 @@ from ..config import PipelineConfig
 from ..pipeline import AdvancedRAGPipeline, ExperimentManager
 from ..utils.circuit_breaker import CircuitBreaker, CircuitBreakerConfig
 from ..utils.constants import APIConstants as API
-from ..utils.constants import MetricsConstants, PerformanceConstants as PC
+from ..utils.constants import PerformanceConstants as PC
 from ..utils.db_pool import DatabasePool, initialize_pool
 from ..utils.rate_limit import RateLimiter
 
@@ -54,42 +54,19 @@ logger = logging.getLogger(__name__)
 STATIC_DIR = Path(__file__).parent / "static"
 
 # -- Prometheus metrics (reference service.py:128-132) -----------------------
-try:
-    from prometheus_client import (
-        CONTENT_TYPE_LATEST,
-        Counter,
-        Gauge,
-        Histogram,
-        generate_latest,
-    )
-
-    _PROM = True
-
-    def _metric(cls, name, *args, **kwargs):
-        """Idempotent registration: `python -m advanced_rag_tpu.service.app`
-        executes this module twice (once via the package import in
-        service/__init__.py, once as __main__ by runpy) — re-use the
-        collector the first pass registered instead of crashing."""
-        from prometheus_client import REGISTRY
-
-        try:
-            return cls(name, *args, **kwargs)
-        except ValueError:
-            return REGISTRY._names_to_collectors[name]
-
-    REQUESTS_TOTAL = _metric(Counter, "rag_api_requests_total",
-                             "API requests", ["endpoint", "status"])
-    RETRIEVE_LATENCY = _metric(
-        Histogram, "rag_retrieve_latency_ms", "Retrieve latency (ms)",
-        buckets=MetricsConstants.LATENCY_BUCKETS_MS)
-    ERRORS_TOTAL = _metric(Counter, "rag_errors_total", "Errors",
-                           ["error_type"])
-    ACTIVE_REQUESTS = _metric(Gauge, "rag_active_requests",
-                              "In-flight requests")
-    EMBED_LATENCY = _metric(Histogram, "rag_embedding_latency_seconds",
-                            "Embedding latency (s)")
-except ImportError:  # pragma: no cover - prometheus is baked in
-    _PROM = False
+# Collectors live in service/metrics.py, which executes once per process
+# even when THIS module is executed twice (runpy __main__ + package
+# import) — registration is idempotent with no private-API fallback.
+from .metrics import (  # noqa: E402
+    ACTIVE_REQUESTS,
+    CONTENT_TYPE_LATEST,
+    EMBED_LATENCY,
+    ERRORS_TOTAL,
+    PROM as _PROM,
+    REQUESTS_TOTAL,
+    RETRIEVE_LATENCY,
+    generate_latest,
+)
 
 
 def _json_error(status: int, message: str, request_id: str = "") -> web.Response:

@@ -184,6 +184,14 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
             idx._pq_reencode_all()  # bf16 upload + device-side encode
         ivfpq_meta = meta.get("ivfpq")
         if ivfpq_meta and idx._pq_mode:
+            # searches read m/bits from the RESTORING config
+            # (DenseIndex.search passes bits=config.pq_bits), so the
+            # persisted quantizer geometry must be written back into it —
+            # a checkpoint saved at pq_bits=8 loaded under a default
+            # pq_bits=4 config would otherwise silently ADC-sum only 16
+            # of 256 code values
+            idx.config.pq_m = int(ivfpq_meta["m"])
+            idx.config.pq_bits = int(ivfpq_meta["bits"])
             idx.build_ivfpq(
                 nlist=int(ivfpq_meta["nlist"]),
                 centroids=np.load(root / f"dense_{name}_ivfpq_cent.npy"),

@@ -208,6 +208,66 @@ def test_dense_index_ivfpq_lifecycle(tmp_path):
     assert i2[0, 0] == 800 and i2[1, 0] == 801
 
 
+def test_dense_index_ivfpq_without_flat_pq_sees_appends():
+    """ADVICE r1 (medium): build_ivfpq reached WITHOUT build_pq (public
+    build_ivf() redirects on dtype="pq") left _pq None, and the tail
+    append was nested under `if self._pq is not None` — streamed rows
+    were silently invisible to search until the maintenance rebuild."""
+    from advanced_rag_tpu.config import IndexConfig
+    from advanced_rag_tpu.index.dense_index import DenseIndex
+
+    rng = np.random.default_rng(17)
+    pts = clustered(rng, n=800, d=32, n_clusters=64)
+    idx = DenseIndex(IndexConfig(dim=32, dtype="pq", min_capacity=64))
+    idx.append(0, pts)
+    idx.build_ivf(nlist=32)          # pq mode -> IVF-PQ, _pq stays None
+    assert idx.has_ivfpq and not idx.has_pq
+    idx.config.nprobe = 32
+
+    fresh = rng.standard_normal((8, 32)).astype(np.float32)
+    idx.append(800, fresh)
+    assert idx._ivfpq_fill >= 8
+    _, rows = idx.search(fresh[:2], 3)
+    rows = np.asarray(rows)
+    assert rows[0, 0] == 800 and rows[1, 0] == 801
+
+
+def test_checkpoint_restore_overrides_config_pq_geometry(tmp_path):
+    """ADVICE r1: a checkpoint saved at pq_bits=8 restored under a
+    config with different pq_bits must search with the PERSISTED
+    geometry (config is overwritten on load), not silently ADC-sum a
+    fraction of the code values."""
+    from advanced_rag_tpu.config import PipelineConfig
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.utils.checkpoint import load_index, save_index
+
+    cfg = PipelineConfig()
+    cfg.semantic_dtype = "pq"
+    cfg.semantic_dim = 32
+    mgr = MultiIndexManager(cfg, enable_sparse=False)
+    mgr.semantic.config.pq_bits = 8   # geometry lives on IndexConfig
+    mgr.semantic.config.pq_m = 8
+    recs = [ChunkRecord(chunk_id=f"c{i}", doc_id="d", content=f"text {i}")
+            for i in range(300)]
+    mgr.index_chunks(recs)
+    mgr.semantic.build_pq()
+    mgr.semantic.build_ivfpq(nlist=8)
+    save_index(mgr, tmp_path)
+
+    cfg2 = PipelineConfig()
+    cfg2.semantic_dtype = "pq"
+    cfg2.semantic_dim = 32
+    mgr2 = MultiIndexManager(cfg2, enable_sparse=False)
+    assert mgr2.semantic.config.pq_bits == 4  # mismatched default
+    load_index(mgr2, tmp_path)
+    assert mgr2.semantic.config.pq_bits == 8
+    assert mgr2.semantic.config.pq_m == 8
+    q = mgr2.semantic._host[5][None, :]
+    _, rows = mgr2.semantic.search(q, 3)
+    assert np.asarray(rows)[0, 0] == 5
+
+
 def test_tune_nprobe_ivfpq():
     from advanced_rag_tpu.config import IndexConfig
     from advanced_rag_tpu.index.dense_index import DenseIndex
