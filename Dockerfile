@@ -1,19 +1,23 @@
 # Service image (parity with the reference Dockerfile; CPU JAX by
-# default — mount/point at a TPU runtime for accelerator serving).
+# default — install the [tpu] extra / mount a TPU runtime for
+# accelerator serving). Installs from the canonical manifests:
+# requirements.txt pins the tested combination, pyproject.toml
+# declares the package + entry point.
 FROM python:3.12-slim
 
-RUN apt-get update && apt-get install -y --no-install-recommends g++ \
+RUN apt-get update && apt-get install -y --no-install-recommends g++ curl \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
-RUN pip install --no-cache-dir "jax[cpu]" flax optax aiohttp \
-    prometheus_client pyyaml
+COPY requirements.txt pyproject.toml setup.py README.md ./
+RUN pip install --no-cache-dir -r requirements.txt
 
 COPY advanced_rag_tpu/ advanced_rag_tpu/
 COPY config.template.yaml .
+RUN pip install --no-cache-dir --no-deps .
 
 ENV PORT=8000 HOST=0.0.0.0 JAX_PLATFORMS=cpu
 EXPOSE 8000
 HEALTHCHECK --interval=30s --timeout=5s \
-  CMD python -c "import urllib.request as u; u.urlopen('http://localhost:8000/healthz')"
-CMD ["python", "-m", "advanced_rag_tpu.service.app"]
+  CMD curl -fsS http://localhost:8000/healthz || exit 1
+CMD ["advanced-rag-tpu"]

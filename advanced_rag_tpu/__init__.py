@@ -6,7 +6,7 @@ search/fusion/rerank are jitted programs, and corpus scale comes from
 sharding over a TPU mesh with ICI top-k reduction (see SURVEY.md).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .config import (
     IndexConfig,

@@ -823,6 +823,20 @@ def create_app(config: Optional[PipelineConfig] = None,
 
 
 def main() -> None:  # pragma: no cover - manual entry point
+    import argparse
+
+    from .. import __version__
+
+    parser = argparse.ArgumentParser(
+        prog="advanced-rag-tpu",
+        description="TPU-native RAG API service (aiohttp)")
+    parser.add_argument("--host", default=os.environ.get("HOST", "0.0.0.0"))
+    parser.add_argument("--port", type=int,
+                        default=int(os.environ.get("PORT", 8000)))
+    parser.add_argument("--version", action="version", version=__version__)
+    args = parser.parse_args()
+    os.environ["HOST"], os.environ["PORT"] = args.host, str(args.port)
+
     logging.basicConfig(level=os.environ.get("LOG_LEVEL", "INFO"))
     app = create_app()
 

@@ -8,13 +8,14 @@ apt-get update -y && apt-get install -y python3-venv
 python3 -m venv /opt/rag
 /opt/rag/bin/pip install --upgrade pip
 /opt/rag/bin/pip install "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
-/opt/rag/bin/pip install flax optax aiohttp prometheus_client pyyaml
 
 WHEEL_URI="$(curl -sf -H 'Metadata-Flavor: Google' \
   'http://metadata.google.internal/computeMetadata/v1/instance/attributes/rag-wheel-uri' || true)"
 if [ -n "${WHEEL_URI}" ]; then
   gsutil cp "${WHEEL_URI}" /tmp/advanced_rag_tpu.whl
-  /opt/rag/bin/pip install /tmp/advanced_rag_tpu.whl
+  # deps resolve from the wheel's pyproject metadata (service+models
+  # extras) — the canonical manifest, not an ad-hoc list here
+  /opt/rag/bin/pip install "/tmp/advanced_rag_tpu.whl[service,models]"
 else
   echo "rag-wheel-uri metadata missing; service unit not written" >&2
   exit 1
