@@ -3,6 +3,7 @@ hybrid program."""
 
 from .dense import NEG_INF, cdiv, dense_topk, dense_topk_approx, l2_normalize, merge_topk
 from .fusion import mmr_select, recency_boost, rrf_fuse
+from .e2e import E2EResult, make_retrieve_rerank
 from .hybrid import HybridResult, hybrid_retrieve
 from .ivf import IVFPartitions, auto_nlist, build_ivf, ivf_topk, tune_nprobe
 from .ivfpq import IVFPQIndex, build_ivfpq, ivfpq_append_tail, ivfpq_topk
@@ -42,6 +43,8 @@ __all__ = [
     "HybridResult",
     "IVFPartitions",
     "auto_nlist",
+    "E2EResult",
+    "make_retrieve_rerank",
     "auto_postings_cap",
     "build_ivf",
     "build_postings",

@@ -1,0 +1,152 @@
+"""HNSW recall parity at equal memory — the north-star measurement.
+
+BASELINE.json defines quality as "recall@10 vs HNSW at equal memory".
+The reference never measures it (Milvus HNSW quality is assumed from
+its knobs, indexing.py:150-153).  This script measures it directly:
+
+  1. Build the in-repo clean-room HNSW (baselines/hnsw.py) at the
+     reference's knobs (M=16, efConstruction=200, ef=64).
+  2. Build our device tiers over the SAME corpus: IVF (bf16, SQ8) with
+     nprobe auto-tuned, and IVF-PQ (the >30M-rows/chip tier).
+  3. Score recall@10 against the exact f32 oracle, count bytes/row for
+     each, and report side by side — including a 1536-dim variant (the
+     reference's semantic dim, indexing.py:92).
+
+Corpora: "uniform" (hard for graph+quantizer alike) and "clustered"
+(the regime real embeddings live in).  Writes PARITY_HNSW.json.
+
+Usage: python scripts/bench_hnsw_parity.py [--n 200000] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def make_corpus(kind: str, n: int, d: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if kind == "uniform":
+        v = rng.standard_normal((n, d)).astype(np.float32)
+    else:  # clustered: many tight clusters, the embedding-like regime
+        n_clusters = max(256, n // 500)
+        centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        assign = rng.integers(0, n_clusters, n)
+        v = centers[assign] + 0.15 * rng.standard_normal((n, d)).astype(
+            np.float32)
+    return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+
+
+def exact_oracle(v: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
+    # float32 brute force in blocks (host RAM-friendly)
+    out = np.empty((len(q), k), np.int64)
+    scores = q @ v.T  # [Q, N] — fine at Q<=128
+    out[:] = np.argsort(-scores, axis=1)[:, :k]
+    return out
+
+
+def recall(ids: np.ndarray, oracle: np.ndarray, k: int) -> float:
+    return float(np.mean([
+        len(set(ids[r][ids[r] >= 0].tolist()) & set(oracle[r].tolist())) / k
+        for r in range(len(oracle))]))
+
+
+def run_config(kind: str, n: int, d: int, nq: int, k: int,
+               quick: bool) -> dict:
+    import jax.numpy as jnp
+
+    from advanced_rag_tpu.baselines import HNSWBaseline
+    from advanced_rag_tpu.config import IndexConfig
+    from advanced_rag_tpu.index.dense_index import DenseIndex
+
+    v = make_corpus(kind, n, d, seed=0)
+    rng = np.random.default_rng(1)
+    q = v[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
+        (nq, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    oracle = exact_oracle(v, q, k)
+    out = {"corpus": kind, "n": n, "dim": d, "queries": nq, "k": k,
+           "tiers": {}}
+
+    # -- HNSW baseline (reference knobs) --------------------------------
+    t0 = time.perf_counter()
+    h = HNSWBaseline(v, M=16, ef_construction=200)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, ids = h.search(q, k, ef=64, normalize=False)
+    ms_q = (time.perf_counter() - t0) / nq * 1e3
+    out["tiers"]["hnsw_m16_ef64"] = {
+        "recall_at_10": round(recall(ids, oracle, k), 4),
+        "bytes_per_row": round(h.memory_bytes() / n, 1),
+        "build_s": round(build_s, 1),
+        "cpu_ms_per_query": round(ms_q, 3),
+    }
+    del h
+
+    # -- our tiers ------------------------------------------------------
+    def tier(name: str, dtype: str, ivf: bool, pq: bool = False):
+        cfg = IndexConfig(dim=d, dtype=dtype, min_capacity=1024)
+        idx = DenseIndex(cfg)
+        t0 = time.perf_counter()
+        idx.bulk_load(v, pre_normalized=True)
+        if pq:
+            idx.build_pq()
+            idx.build_ivfpq()
+        elif ivf:
+            idx.build_ivf()
+        if ivf or pq:
+            npb, tuned = idx.tune_nprobe(recall_target=0.95, k=k,
+                                         sample=32 if quick else 64)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, ids = idx.search(q, k)
+        ms_q = (time.perf_counter() - t0) / nq * 1e3
+        entry = {
+            "recall_at_10": round(recall(np.asarray(ids), oracle, k), 4),
+            "bytes_per_row": round(idx.memory_bytes() / n, 1),
+            "build_s": round(build_s, 1),
+            "device_ms_per_query_unbatched": round(ms_q, 3),
+        }
+        if ivf or pq:
+            entry["nprobe"] = int(idx.config.nprobe)
+        out["tiers"][name] = entry
+        del idx
+
+    tier("exact_bf16", "bfloat16", ivf=False)
+    tier("ivf_bf16", "bfloat16", ivf=True)
+    tier("ivf_sq8", "int8", ivf=True)
+    if not quick:
+        tier("ivfpq", "pq", ivf=False, pq=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--nq", type=int, default=100)
+    ap.add_argument("--quick", action="store_true",
+                    help="skip IVF-PQ and shrink tuning samples")
+    args = ap.parse_args()
+
+    results = []
+    configs = [("clustered", args.n, 384), ("uniform", args.n, 384),
+               ("clustered", max(args.n // 4, 20_000), 1536)]
+    for kind, n, d in configs:
+        print(f"== {kind} n={n} d={d} ==", flush=True)
+        r = run_config(kind, n, d, args.nq, 10, args.quick)
+        results.append(r)
+        for tname, t in r["tiers"].items():
+            print(f"  {tname:14s} recall@10={t['recall_at_10']:.3f}  "
+                  f"{t['bytes_per_row']:7.1f} B/row  build {t['build_s']}s",
+                  flush=True)
+    Path("PARITY_HNSW.json").write_text(json.dumps(results, indent=1))
+    print("-> PARITY_HNSW.json")
+
+
+if __name__ == "__main__":
+    main()

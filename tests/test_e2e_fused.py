@@ -1,0 +1,141 @@
+"""ops/e2e.py — the one-dispatch embed->hybrid->rerank program.
+
+Checks the fused program against its staged equivalents: the query
+embedding must match a standalone BiEncoder forward, candidates must
+match a standalone hybrid_retrieve, and the final ids must be the
+cross-encoder's top-k_final over those candidates.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from advanced_rag_tpu.models.encoder import (
+    EncoderConfig,
+    init_bi_encoder,
+    init_cross_encoder,
+)
+from advanced_rag_tpu.models.tokenizer import HashingTokenizer, TokenizerConfig
+from advanced_rag_tpu.ops import hybrid_retrieve, make_retrieve_rerank
+
+CFG = EncoderConfig(vocab_size=1024, hidden_dim=32, num_layers=1,
+                    num_heads=4, mlp_dim=64, max_len=96)
+TOK = HashingTokenizer(TokenizerConfig(vocab_size=1024, max_len=24))
+
+DOCS = [
+    "dense retrieval embeds queries into a vector space",
+    "sparse lexical retrieval uses term weighting",
+    "reciprocal rank fusion merges result lists",
+    "tpus run matrix multiplication on a systolic array",
+    "circuit breakers guard failing dependencies",
+    "checkpoints make index state durable",
+    "product quantization compresses embeddings",
+    "evaluation tracks precision and recall",
+]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bi, p_bi = init_bi_encoder(CFG, out_dim=16, seed=0)
+    ce, p_ce = init_cross_encoder(CFG, seed=1)
+    n, vocab, nnz = len(DOCS), 512, 8
+
+    ids, mask = TOK.encode_batch(DOCS)                     # [N, 24]
+    emb = np.asarray(bi.apply(p_bi, jnp.asarray(ids), jnp.asarray(mask)))
+    doc_tokens = jnp.asarray(ids)                          # token table
+
+    rng = np.random.default_rng(0)
+    doc_idx = rng.integers(4, vocab, (n, nnz)).astype(np.int32)
+    doc_tf = np.ones((n, nnz), np.float32)
+    doc_len = np.full((n,), float(nnz), np.float32)
+    df = np.ones((vocab,), np.int32)
+    return dict(
+        bi=bi, p_bi=p_bi, ce=ce, p_ce=p_ce,
+        emb=jnp.asarray(emb, jnp.bfloat16),
+        doc_tokens=doc_tokens,
+        doc_idx=jnp.asarray(doc_idx), doc_tf=jnp.asarray(doc_tf),
+        doc_len=jnp.asarray(doc_len), df=jnp.asarray(df),
+        n=n, vocab=vocab,
+    )
+
+
+def _query_arrays(texts, vocab):
+    q_ids, q_mask = TOK.encode_batch(texts)
+    rng = np.random.default_rng(1)
+    q_idx = rng.integers(4, vocab, (len(texts), 4)).astype(np.int32)
+    q_tf = np.ones((len(texts), 4), np.float32)
+    return (jnp.asarray(q_ids), jnp.asarray(q_mask),
+            jnp.asarray(q_idx), jnp.asarray(q_tf))
+
+
+def _run(s, program, texts):
+    q_ids, q_mask, q_idx, q_tf = _query_arrays(texts, s["vocab"])
+    valid = jnp.ones((s["n"],), jnp.bool_)
+    weights = jnp.asarray([0.7, 0.3], jnp.float32)
+    return program(
+        s["p_bi"], s["p_ce"], q_ids, q_mask, q_idx, q_tf,
+        s["doc_tokens"], s["emb"], s["doc_idx"], s["doc_tf"],
+        s["doc_len"], s["df"], jnp.float32(s["n"]), valid, weights,
+        jnp.float32(0.8),
+    ), (q_ids, q_mask, q_idx, q_tf)
+
+
+def test_single_dispatch_shapes_and_validity(setup):
+    s = setup
+    program = make_retrieve_rerank(
+        s["bi"], s["ce"], k_cand=8, k_out=8, k_rerank=6, k_final=3,
+        dense_impl="scan", use_mmr=False)
+    res, _ = _run(s, program, ["how does rank fusion work?",
+                               "what runs on a systolic array?"])
+    assert res.ids.shape == (2, 3)
+    assert res.cand_ids.shape == (2, 6)
+    ids = np.asarray(res.ids)
+    cands = np.asarray(res.cand_ids)
+    for q in range(2):
+        valid_ids = [i for i in ids[q] if i >= 0]
+        assert len(set(valid_ids)) == len(valid_ids)
+        assert set(valid_ids) <= set(cands[q].tolist())
+    # cross-encoder scores sorted descending
+    ce = np.asarray(res.ce_scores)
+    assert (np.diff(ce, axis=1) <= 1e-6).all()
+
+
+def test_matches_staged_pipeline(setup):
+    """Fused output == BiEncoder + hybrid_retrieve + CrossEncoder staged."""
+    s = setup
+    program = make_retrieve_rerank(
+        s["bi"], s["ce"], k_cand=8, k_out=8, k_rerank=6, k_final=3,
+        dense_impl="scan", use_mmr=False)
+    res, (q_ids, q_mask, q_idx, q_tf) = _run(
+        s, program, ["sparse lexical term weighting"])
+
+    q_dense = s["bi"].apply(s["p_bi"], q_ids, q_mask)
+    np.testing.assert_allclose(np.asarray(res.q_dense),
+                               np.asarray(q_dense), rtol=2e-2, atol=2e-2)
+    staged = hybrid_retrieve(
+        s["emb"], s["doc_idx"], s["doc_tf"], s["doc_len"], s["df"],
+        jnp.float32(s["n"]), q_dense, q_idx, q_tf,
+        jnp.ones((s["n"],), jnp.bool_),
+        jnp.asarray([0.7, 0.3], jnp.float32), jnp.float32(0.8),
+        k_cand=8, k_out=8, use_mmr=False, dense_impl="scan")
+    np.testing.assert_array_equal(np.asarray(res.cand_ids),
+                                  np.asarray(staged.ids)[:, :6])
+
+
+def test_self_query_lands_in_candidates(setup):
+    """A query that IS a stored document must dense-match itself."""
+    s = setup
+    program = make_retrieve_rerank(
+        s["bi"], s["ce"], k_cand=8, k_out=8, k_rerank=8, k_final=4,
+        dense_impl="scan", use_mmr=False)
+    res, _ = _run(s, program, [DOCS[3]])
+    assert 3 in set(np.asarray(res.cand_ids)[0].tolist())
+
+
+def test_k_validation():
+    bi, ce = object(), object()
+    with pytest.raises(ValueError):
+        make_retrieve_rerank(bi, ce, k_out=8, k_rerank=10)
+    with pytest.raises(ValueError):
+        make_retrieve_rerank(bi, ce, k_rerank=8, k_final=10)

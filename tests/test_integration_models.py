@@ -12,6 +12,9 @@ from advanced_rag_tpu.models.encoder import EncoderConfig
 from advanced_rag_tpu.pipeline import AdvancedRAGPipeline, LearnedRanker
 from advanced_rag_tpu.pipeline.retrieval import HybridRetriever
 
+# heavy compiles / large corpora: nightly + pre-merge (pytest -m slow)
+pytestmark = __import__("pytest").mark.slow
+
 TINY = EncoderConfig(vocab_size=1024, hidden_dim=32, num_layers=2,
                      num_heads=4, mlp_dim=64, max_len=32)
 

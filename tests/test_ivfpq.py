@@ -18,6 +18,9 @@ from advanced_rag_tpu.ops.ivfpq import (
 )
 from advanced_rag_tpu.ops.pq import pq_encode, pq_topk, pq_train
 
+# heavy compiles / large corpora: nightly + pre-merge (pytest -m slow)
+pytestmark = __import__("pytest").mark.slow
+
 
 def clustered(rng, n=6000, d=64, n_clusters=512, noise=0.05):
     """Many tight clusters (more clusters than one 16-entry codebook can

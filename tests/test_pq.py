@@ -14,6 +14,7 @@ import pytest
 from advanced_rag_tpu.config import IndexConfig, PipelineConfig
 from advanced_rag_tpu.ops.dense import dense_topk
 from advanced_rag_tpu.ops.pq import (
+
     auto_pq_m,
     pq_decode,
     pq_encode,
@@ -23,6 +24,9 @@ from advanced_rag_tpu.ops.pq import (
     pq_topk,
     pq_train,
 )
+
+# heavy compiles / large corpora: nightly + pre-merge (pytest -m slow)
+pytestmark = __import__("pytest").mark.slow
 
 
 def corpus(rng, n=4000, d=64, noise=0.8):

@@ -6,6 +6,9 @@ import numpy as np
 from advanced_rag_tpu.index.corpus import ChunkRecord
 from advanced_rag_tpu.index.manager import MultiIndexManager
 
+# heavy compiles / large corpora: nightly + pre-merge (pytest -m slow)
+pytestmark = __import__("pytest").mark.slow
+
 WORDS = ["alpha", "beta", "gamma", "delta", "fox", "zeta", "query", "chip"]
 
 

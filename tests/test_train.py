@@ -7,6 +7,7 @@ import numpy as np
 from advanced_rag_tpu.models.encoder import EncoderConfig, init_bi_encoder
 from advanced_rag_tpu.models.tokenizer import HashingTokenizer, TokenizerConfig
 from advanced_rag_tpu.train import (
+
     TrainConfig,
     build_train_mesh,
     make_optimizer,
@@ -14,6 +15,9 @@ from advanced_rag_tpu.train import (
     param_partition_spec,
     synthetic_pair_batch,
 )
+
+# heavy compiles / large corpora: nightly + pre-merge (pytest -m slow)
+pytestmark = __import__("pytest").mark.slow
 
 TINY = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=2, num_heads=4,
                      mlp_dim=64, max_len=16)
