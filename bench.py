@@ -44,8 +44,16 @@ def _queries(rng: np.random.Generator, batch: int) -> list[str]:
 
 
 def main() -> None:
+    # persistent compile cache: the e2e program compiles once per batch
+    # shape (~4 min each at 1M on the tunneled chip); repeat bench runs
+    # (and the driver's round-end run) hit the cache and start in seconds
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from advanced_rag_tpu.models.encoder import (
         EncoderConfig, init_bi_encoder, init_cross_encoder)
@@ -69,11 +77,23 @@ def main() -> None:
     def stage_corpus(n_rows: int, dim: int, seed: int, cap: int):
         key = jax.random.PRNGKey(seed)
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-        emb = jax.random.normal(k1, (n_rows, dim), jnp.bfloat16)
-        emb = (emb / jnp.linalg.norm(emb.astype(jnp.float32), axis=1,
-                                     keepdims=True)).astype(jnp.bfloat16)
-        codes, scale = sq8_quantize(emb)
-        del emb
+
+        # SQ8 codes built in row chunks: a single normal+normalize at
+        # 10M x 384 peaks at 2 x 7.7 GB of transient HBM (observed
+        # RESOURCE_EXHAUSTED); chunking bounds the transient to ~1 GB
+        @jax.jit
+        def _chunk_codes(ck):
+            e = jax.random.normal(ck, (2_500_000 if n_rows >= 2_500_000
+                                       else n_rows, dim), jnp.float32)
+            e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+            return sq8_quantize(e)
+
+        chunk = 2_500_000 if n_rows >= 2_500_000 else n_rows
+        parts = [_chunk_codes(ck)
+                 for ck in jax.random.split(k1, -(-n_rows // chunk))]
+        codes = jnp.concatenate([p[0] for p in parts], axis=0)[:n_rows]
+        scale = jnp.concatenate([p[1] for p in parts], axis=0)[:n_rows]
+        del parts
         post_rows = jax.random.randint(k2, (vocab, cap), 0, n_rows,
                                        jnp.int32)
         post_tf = (1.0 + jax.random.uniform(k3, (vocab, cap))).astype(

@@ -131,7 +131,14 @@ def main() -> None:
     ap.add_argument("--nq", type=int, default=100)
     ap.add_argument("--quick", action="store_true",
                     help="skip IVF-PQ and shrink tuning samples")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend (recall numbers are "
+                         "backend-independent; per-query ms is not)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     results = []
     configs = [("clustered", args.n, 384), ("uniform", args.n, 384),
