@@ -517,9 +517,17 @@ class DenseIndex:
             from ..ops.dense import merge_topk, NEG_INF
             import jax.numpy as _jnp
 
-            s, i = ivf_topk(self._ivf, q, k, mask,
-                            nprobe=min(self.config.nprobe,
-                                       self._ivf.centroids.shape[0]))
+            npb = min(self.config.nprobe, self._ivf.centroids.shape[0])
+            if jax.default_backend() == "tpu":
+                # slab-streaming kernel: probed partitions DMA into
+                # VMEM once instead of the XLA path's materialized
+                # [Q, nprobe, cap, D] gather (3x HBM traffic)
+                from ..ops.pallas_ivf import ivf_topk_pallas_batch
+
+                s, i = ivf_topk_pallas_batch(self._ivf, q, k, mask,
+                                             nprobe=npb)
+            else:
+                s, i = ivf_topk(self._ivf, q, k, mask, nprobe=npb)
             tail = self.size - self._ivf_size
             if tail > 0:
                 # exact scan over the appended segment, ids offset back

@@ -8,8 +8,10 @@ the BlockSpec index_map selects partition ``probes[i]`` per grid step
 and Mosaic's pipeline DMAs each slab into VMEM exactly once, overlapped
 with the matmul of the previous slab.
 
-Single-query kernel (the IVF latency path); batches fall back to the
-XLA path upstream.
+``ivf_topk_pallas`` is the single-query latency kernel;
+``ivf_topk_pallas_batch`` extends it to query batches with a
+(Q, nprobe) grid — each query's probed slabs stream once, so batches
+no longer fall back to the 3x-traffic XLA gather path (VERDICT r1 #4).
 """
 
 from __future__ import annotations
@@ -103,4 +105,113 @@ def ivf_topk_pallas(
     return top_s[0], top_i[0]
 
 
-__all__ = ["ivf_topk_pallas"]
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_topk_pallas_batch(
+    parts: IVFPartitions,
+    queries: jnp.ndarray,                # [Q, D] f32
+    k: int,
+    valid: Optional[jnp.ndarray] = None,
+    *,
+    nprobe: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched slab kernel -> (scores [Q, k], rows [Q, k]).
+
+    Grid (Q, nprobe): step (qi, i) streams partition ``probes[qi, i]``
+    into VMEM and scores it against query qi.  Per-step compute is a
+    [1, D] x [D, cap] matvec — bandwidth-bound, so the MXU
+    underutilization is irrelevant; the win over the XLA path is that
+    no [Q, nprobe, cap, D] gather is ever materialized in HBM.
+    """
+    nlist, cap, d = parts.packed_emb.shape
+    nprobe = min(nprobe, nlist)
+    q = queries.astype(jnp.float32)
+    nq = q.shape[0]
+
+    c_scores = jnp.dot(q, parts.centroids.T,
+                       preferred_element_type=jnp.float32)  # [Q, nlist]
+    _, probes = lax.top_k(c_scores, nprobe)                 # [Q, nprobe]
+    probes = probes.astype(jnp.int32)
+
+    sq8 = parts.packed_scale is not None
+    if sq8:
+        # quantize the query exactly like the XLA path (int8 x int8,
+        # rescale by q_scale * row_scale) so ranks are bit-identical;
+        # integer-valued f32 dot is exact (D * 127^2 << 2^24)
+        from .quant import sq8_quantize
+
+        q_codes, q_scale = sq8_quantize(q)
+        q_in = q_codes.astype(jnp.float32)
+    else:
+        q_in = q
+    in_specs = [
+        pl.BlockSpec((1, d), lambda qi, i, probes: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cap, d),
+                     lambda qi, i, probes: (probes[qi, i], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q_in, parts.packed_emb]
+    if sq8:
+        in_specs.append(
+            pl.BlockSpec((1, cap), lambda qi, i, probes: (probes[qi, i], 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(parts.packed_scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nq, nprobe),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, cap),
+                               lambda qi, i, probes: (qi, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(probes_ref, q_ref, emb_ref, *rest):
+        del probes_ref
+        e = emb_ref[0]                               # [cap, D]
+        s = jnp.dot(q_ref[:], e.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        if sq8:
+            scale_ref, out_ref = rest
+            out_ref[0] = s * scale_ref[:]            # per-row dequant
+        else:
+            (out_ref,) = rest
+            out_ref[0] = s
+
+    scores = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq, nprobe, cap), jnp.float32),
+        interpret=_interpret(),
+    )(probes, *operands)                             # [Q, nprobe, cap]
+    if sq8:
+        scores = scores * q_scale[:, None, None]
+
+    rows = parts.packed_rows[probes]                 # [Q, nprobe, cap]
+    ok = rows >= 0
+    if valid is not None:
+        ok = jnp.logical_and(ok, valid[jnp.clip(rows, 0)])
+    flat_s = jnp.where(ok, scores, NEG_INF).reshape(nq, -1)
+    flat_r = jnp.where(ok, rows, -1).reshape(nq, -1)
+    top_s, sel = lax.top_k(flat_s, k)
+    top_i = jnp.where(top_s <= NEG_INF, -1,
+                      jnp.take_along_axis(flat_r, sel, axis=1))
+
+    # exact tail merge (overflow rows), identical to the XLA path
+    ts = jnp.dot(q_in, parts.tail_emb.T.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)  # [Q, T]
+    if sq8:
+        ts = ts * (q_scale[:, None] * parts.tail_scale[None, :])
+    t_ok = parts.tail_rows >= 0
+    if valid is not None:
+        t_ok = jnp.logical_and(t_ok, valid[jnp.clip(parts.tail_rows, 0)])
+    ts = jnp.where(t_ok[None, :], ts, NEG_INF)
+    kk = min(k, parts.tail_emb.shape[0])
+    tail_s, tsel = lax.top_k(ts, kk)
+    tail_i = jnp.where(tail_s <= NEG_INF, -1, parts.tail_rows[tsel])
+    top_s, top_i = merge_topk(top_s, top_i, tail_s, tail_i, k)
+    top_i = jnp.where(top_s <= NEG_INF, -1, top_i)
+    return top_s, top_i
+
+
+__all__ = ["ivf_topk_pallas", "ivf_topk_pallas_batch"]

@@ -40,59 +40,52 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bm25_kernel(scal_ref, cnt_ref, q_idx_ref, q_w_ref, idx_ref, tf_ref,
-                 len_ref, mask_ref, out_ref):
+def _bm25_kernel(scal_ref, q_idx_ref, q_w_ref, idx_ref, tf_ref, len_ref,
+                 mask_ref, out_ref):
     """One corpus block vs all queries.  scal = [k1, b, avg_len].
 
-    Term-slot-major compute (BACKLOG r1 #1): the [bs, P] block is
-    transposed ONCE to [P, bs] so every VPU op runs with the 2048-row
-    block on the 128-lane axis — the [bs, 64] orientation pads 64 -> 128
-    lanes and wastes half of every tile (measured 29 ms at Q=8/1M vs
-    15.4 XLA).  Query term ids/weights live in SMEM, compacted by the
-    caller so active terms come first; the per-query term loop is a
-    DYNAMIC fori_loop bounded by the real term count, so padded slots
-    cost nothing (typical queries fill ~half the padded T).
-    Accumulation stays functional (vector registers) — a VMEM scratch
-    accumulator serializes on read-modify-write round trips.
+    Term-slot-major layout (BACKLOG r1 #1): blocks arrive PRE-TRANSPOSED
+    as [P, bs], so every VPU op runs with the 2048-row block axis on the
+    128 lanes — the [bs, 64] orientation padded 64 -> 128 lanes and
+    wasted half of every tile (measured 29 ms at Q=8/1M vs 15.4 XLA).
+    The transpose happens OUTSIDE the kernel (stored/one-shot XLA
+    relayout): in-kernel relayouts and dynamic trip-count loops both
+    hung the Mosaic pipeline on this toolchain, so the kernel body
+    keeps the proven static-unroll structure.
     """
     k1 = scal_ref[0]
     b = scal_ref[1]
     avg_len = scal_ref[2]
-    idx = idx_ref[:].T                      # [P, bs] relayout, once
-    tf = tf_ref[:].astype(jnp.float32).T    # [P, bs]
-    dlen = len_ref[:].astype(jnp.float32).T  # [1, bs]
+    idx = idx_ref[:]                        # [P, bs] i32 (pre-transposed)
+    tf = tf_ref[:].astype(jnp.float32)      # [P, bs]
+    dlen = len_ref[:].astype(jnp.float32)   # [1, bs]
 
     denom = tf + k1 * (1.0 - b + b * dlen / jnp.maximum(avg_len, 1.0))
     tfw = tf * (k1 + 1.0) / jnp.maximum(denom, 1e-6)
     tfw = jnp.where(idx >= 0, tfw, 0.0)     # [P, bs]
 
-    num_q = out_ref.shape[0]
-    for q in range(num_q):                  # static unroll over queries
-
-        def body(t, m, q=q):
-            wt = q_w_ref[q, t]
+    num_q, t_terms = q_idx_ref.shape
+    for q in range(num_q):                  # static unroll
+        m = jnp.zeros_like(tfw)
+        for t in range(t_terms):            # static unroll, VMEM-resident
             qt = q_idx_ref[q, t]
-            return m + wt * (idx == qt).astype(jnp.float32)
+            wt = q_w_ref[q, t]
+            m = m + wt * (idx == qt).astype(jnp.float32)
+        out_ref[q, :] = jnp.sum(tfw * m, axis=0) + mask_ref[0, :]
 
-        m = lax.fori_loop(0, cnt_ref[q], body, jnp.zeros_like(tfw))
-        out_ref[q, :] = jnp.sum(tfw * m, axis=0) + mask_ref[:, 0]
 
-
-def _ip_kernel(scal_ref, cnt_ref, q_idx_ref, q_w_ref, idx_ref, tf_ref,
-               len_ref, mask_ref, out_ref):
+def _ip_kernel(scal_ref, q_idx_ref, q_w_ref, idx_ref, tf_ref, len_ref,
+               mask_ref, out_ref):
     """Plain inner-product variant (reference hashed-count scoring)."""
     del scal_ref, len_ref
-    idx = idx_ref[:].T                      # [P, bs]
-    tfw = jnp.where(idx >= 0, tf_ref[:].astype(jnp.float32).T, 0.0)
-    num_q = out_ref.shape[0]
+    idx = idx_ref[:]                        # [P, bs] (pre-transposed)
+    tfw = jnp.where(idx >= 0, tf_ref[:].astype(jnp.float32), 0.0)
+    num_q, t_terms = q_idx_ref.shape
     for q in range(num_q):
-
-        def body(t, m, q=q):
-            return m + q_w_ref[q, t] * (
-                idx == q_idx_ref[q, t]).astype(jnp.float32)
-
-        m = lax.fori_loop(0, cnt_ref[q], body, jnp.zeros_like(tfw))
-        out_ref[q, :] = jnp.sum(tfw * m, axis=0) + mask_ref[:, 0]
+        m = jnp.zeros_like(tfw)
+        for t in range(t_terms):
+            m = m + q_w_ref[q, t] * (idx == q_idx_ref[q, t]).astype(jnp.float32)
+        out_ref[q, :] = jnp.sum(tfw * m, axis=0) + mask_ref[0, :]
 
 
 @functools.partial(
@@ -110,6 +103,8 @@ def sparse_topk_pallas(
     k: int,
     valid: Optional[jnp.ndarray] = None,
     avg_len: Optional[jnp.ndarray] = None,
+    doc_idx_t: Optional[jnp.ndarray] = None,   # [P, N] stored T-layout
+    doc_tf_t: Optional[jnp.ndarray] = None,    # [P, N]
     *,
     scoring: str = "bm25",
     k1: float = 1.2,
@@ -141,37 +136,44 @@ def sparse_topk_pallas(
     nb = cdiv(n, bs)
     padded = nb * bs
     if padded != n:
-        doc_idx = jnp.pad(doc_idx, ((0, padded - n), (0, 0)), constant_values=-1)
-        doc_tf = jnp.pad(doc_tf, ((0, padded - n), (0, 0)))
         doc_len = jnp.pad(doc_len, (0, padded - n))
         v = jnp.pad(v, (0, padded - n))
+        if doc_idx_t is not None:
+            doc_idx_t = jnp.pad(doc_idx_t, ((0, 0), (0, padded - n)),
+                                constant_values=-1)
+            doc_tf_t = jnp.pad(doc_tf_t, ((0, 0), (0, padded - n)))
+        else:
+            doc_idx = jnp.pad(doc_idx, ((0, padded - n), (0, 0)),
+                              constant_values=-1)
+            doc_tf = jnp.pad(doc_tf, ((0, padded - n), (0, 0)))
 
     num_q = q_idx.shape[0]
     # additive validity mask: 0 for live rows, NEG_INF for masked/pad
-    mask_add = jnp.where(v, 0.0, NEG_INF).astype(jnp.float32)[:, None]
+    mask_add = jnp.where(v, 0.0, NEG_INF).astype(jnp.float32)[None, :]
     scal = jnp.asarray([k1, b, 0.0], jnp.float32).at[2].set(
         avg_len.astype(jnp.float32))
 
-    # compact active terms to the front so the kernel's dynamic term
-    # loop is bounded by the REAL term count, not the padded T
-    order = jnp.argsort((q_w == 0.0).astype(jnp.int32), axis=1,
-                        stable=True)
-    q_idx_c = jnp.take_along_axis(q_idx, order, axis=1)
-    q_w_c = jnp.take_along_axis(q_w, order, axis=1)
-    q_cnt = jnp.sum((q_w_c != 0.0).astype(jnp.int32), axis=1)
+    # term-slot-major relayout [N, P] -> [P, N]: one XLA transpose per
+    # call (cheap at the <postings-threshold corpus sizes this rung
+    # serves; SparseIndex passes stored T-layout mirrors at steady state)
+    if doc_idx_t is None:
+        doc_idx_t = doc_idx.T
+    if doc_tf_t is None:
+        doc_tf_t = doc_tf.T
 
     scores = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),               # scal [3]
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # cnt [Q]
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # q_idx
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # q_w
-            pl.BlockSpec((bs, p), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, p), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_q, q_idx.shape[1]),
+                         lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_q, q_idx.shape[1]),
+                         lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, bs), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, bs), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((num_q, bs), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
@@ -182,8 +184,8 @@ def sparse_topk_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(scal, q_cnt, q_idx_c, q_w_c, doc_idx, doc_tf,
-      doc_len.astype(jnp.float32)[:, None], mask_add)
+    )(scal, q_idx, q_w, doc_idx_t, doc_tf_t,
+      doc_len.astype(jnp.float32)[None, :], mask_add)
 
     if reduce == "approx" and not _interpret():
         top_s, top_i = lax.approx_max_k(scores, k, recall_target=0.99)
