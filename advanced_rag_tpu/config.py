@@ -158,6 +158,11 @@ class PipelineConfig:
     semantic_dim: int = IndexConstants.SEMANTIC_DIM
     domain_dim: int = IndexConstants.DOMAIN_DIM
     sparse_vocab_size: int = IndexConstants.SPARSE_VOCAB_SIZE
+    # ONE-DISPATCH retrieve+rerank (ops/e2e.py): keep a device-resident
+    # token table next to the index so the cross-encoder gathers its
+    # candidates on device.  Costs 4*fused_token_len B/row of HBM.
+    fused_rerank: bool = False
+    fused_token_len: int = 48
     retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

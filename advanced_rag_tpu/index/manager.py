@@ -93,6 +93,19 @@ class MultiIndexManager:
                 IndexConfig(index_type=IndexType.DOMAIN,
                             dim=self.domain_embedder.dim, metric=Metric.COSINE)
             )
+        # Fused-rerank token table (config.fused_rerank): the text
+        # column in HBM, enabling the one-dispatch retrieve+rerank
+        # program (ops/e2e.py) via fused_retrieve_batch_sync.
+        self.token_table = None
+        if self.config.fused_rerank:
+            from ..models.tokenizer import HashingTokenizer, TokenizerConfig
+            from .token_table import TokenTable
+
+            tok = getattr(self.embedder, "tokenizer", None) or \
+                HashingTokenizer(TokenizerConfig())
+            self.token_table = TokenTable(
+                tok, max_len=self.config.fused_token_len)
+        self._e2e_programs: Dict[Any, Any] = {}
         self._semantic_cache = semantic_cache_ or semantic_cache
         self._domain_cache = domain_cache_ or domain_cache
         self._closed = False
@@ -274,6 +287,10 @@ class MultiIndexManager:
                 if demb is not None:
                     dom_vals = self.domain.prepare_append(start, demb)
                     collect("d:", self.domain.device_arrays(), dom_vals)
+                if self.token_table is not None:
+                    tok_vals = self.token_table.prepare_append(start, texts)
+                    collect("t:", self.token_table.device_arrays(),
+                            tok_vals)
 
                 updated = fused_append(arrays, jnp.int32(start), vals)
 
@@ -288,6 +305,8 @@ class MultiIndexManager:
                     self.sparse.commit_device(split("s:"))
                 if demb is not None:
                     self.domain.commit_device(split("d:"))
+                if self.token_table is not None:
+                    self.token_table.commit_device(split("t:"))
         finally:
             with self._write_cv:
                 self._inflight_rows.difference_update(new_rows)
@@ -646,6 +665,129 @@ class MultiIndexManager:
             out.append(hits)
         return out
 
+    # -- one-dispatch retrieve + rerank (ops/e2e.py) ---------------------------
+
+    def fused_retrieve_batch_sync(
+        self,
+        queries: Sequence[str],
+        k_final: int = 5,
+        filters: Optional[Dict[str, Any]] = None,
+        *,
+        reranker: Any = None,
+        k_rerank: int = 16,
+        dense_weight: float = 0.7,
+        sparse_weight: float = 0.3,
+        use_mmr: bool = True,
+        mmr_lambda: float = 0.8,
+    ) -> List[List[Dict[str, Any]]]:
+        """Embed -> hybrid search -> cross-encoder rerank in ONE device
+        dispatch (requires ``config.fused_rerank``; the corpus token
+        table feeds the reranker via a device gather).  One device->host
+        copy per call — on a tunneled chip that is one RTT instead of
+        three (the reference pays four process hops, SURVEY.md §3.2).
+
+        Constraints (the serving fast path): a flax embedder
+        (NeuralEmbedder) + CrossEncoderReranker; bf16/f32/SQ8 dense
+        tiers (IVF/PQ corpora use hybrid_search_batch_sync + host
+        rerank); no domain family.
+        """
+        from ..models.cross_encoder import CrossEncoderReranker
+        from ..ops.e2e import make_retrieve_rerank
+
+        if self.token_table is None:
+            raise IndexingError(
+                "fused_retrieve requires PipelineConfig.fused_rerank=True")
+        if not hasattr(self.embedder, "model"):
+            raise IndexingError(
+                "fused_retrieve requires a flax embedder (NeuralEmbedder)")
+        if self.semantic.has_ivf or self.semantic._pq_mode:
+            raise IndexingError(
+                "fused_retrieve supports the bf16/f32/SQ8 tiers; use "
+                "hybrid_search_batch_sync on partitioned/PQ corpora")
+        if self._closed:
+            raise IndexingError("index manager is closed")
+        if not queries:
+            return []
+        if self.store.n_valid() == 0:
+            return [[] for _ in queries]
+        reranker = reranker or CrossEncoderReranker()
+        nq = len(queries)
+        qb = self._query_bucket(nq)
+        k_out = min(-(-max(k_rerank, k_final) // 8) * 8,
+                    self.config.retrieval.max_top_k)
+        k_rerank = min(k_rerank, k_out)
+        mask = self._row_mask(filters)
+
+        dense_impl = "sq8" if self.semantic._sq8 else (
+            "approx" if (jax.default_backend() == "tpu"
+                         and self.semantic.capacity <= 4_194_304) else "scan")
+        sparse_on = self.sparse is not None
+        post_kw: Dict[str, Any] = {}
+        sparse_impl = "xla"
+        if sparse_on and self.sparse.has_postings:
+            sparse_impl = "postings"
+            post_kw = {"post_rows": self.sparse.post_rows,
+                       "post_tf": self.sparse.post_tf}
+        if self.semantic._sq8:
+            post_kw["emb_scale"] = self.semantic.emb_scale
+
+        key = (qb, k_out, k_rerank, k_final, dense_impl, sparse_impl,
+               use_mmr, id(reranker))
+        program = self._e2e_programs.get(key)
+        if program is None:
+            program = make_retrieve_rerank(
+                self.embedder.model, reranker.model,
+                k_cand=2 * k_out, k_out=k_out, k_rerank=k_rerank,
+                k_final=k_final, dense_impl=dense_impl,
+                sparse_impl=sparse_impl, use_mmr=use_mmr,
+                pad_id=self.token_table.tokenizer.config.pad_id,
+                sep_id=self.token_table.tokenizer.config.sep_id,
+            )
+            self._e2e_programs[key] = program
+
+        tok = self.embedder.tokenizer
+        texts = list(queries) + [""] * (qb - nq)
+        q_ids, q_mask = tok.encode_batch(texts)
+        if sparse_on:
+            q_idx, q_tf = self.sparse.encode_query(texts)
+            sp = self.sparse
+            sparse_args = (sp.doc_idx, sp.doc_tf, sp.doc_len, sp.df,
+                           jnp.float32(max(sp.n_docs, 1)))
+        else:
+            n_cap = self.semantic.capacity
+            q_idx = np.full((qb, 1), -1, np.int32)
+            q_tf = np.zeros((qb, 1), np.float32)
+            sparse_args = (
+                jnp.full((n_cap, 1), -1, jnp.int32),
+                jnp.zeros((n_cap, 1), jnp.float32),
+                jnp.zeros((n_cap,), jnp.float32),
+                jnp.zeros((8,), jnp.int32),
+                jnp.float32(1.0),
+            )
+
+        res = program(
+            self.embedder.params, reranker.params,
+            jnp.asarray(q_ids), jnp.asarray(q_mask),
+            jnp.asarray(q_idx), jnp.asarray(q_tf),
+            self.token_table.tokens,
+            self.semantic.emb, *sparse_args, mask,
+            jnp.asarray([dense_weight, sparse_weight], jnp.float32),
+            jnp.float32(mmr_lambda), **post_kw,
+        )
+        ids, ce_scores, fused = jax.device_get(
+            (res.ids, res.ce_scores, res.fused_scores))
+        out: List[List[Dict[str, Any]]] = []
+        for qi in range(nq):
+            hits: List[Dict[str, Any]] = []
+            for row, ce, fs in zip(ids[qi].tolist(), ce_scores[qi].tolist(),
+                                   fused[qi].tolist()):
+                if row < 0:
+                    continue
+                hits.append(self.store.hit(
+                    int(row), float(fs), method="fused_rerank",
+                    rerank_score=float(ce)))
+            out.append(hits)
+        return out
 
     def _refuse_exact(
         self,

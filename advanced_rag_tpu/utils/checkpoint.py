@@ -230,6 +230,11 @@ def load_index(manager: "MultiIndexManager", path: str | Path) -> Dict[str, Any]
         sp.df = jnp.asarray(np.minimum(sp._df, 2**31 - 1).astype(np.int32))
         sp.size = size
         sp.n_docs = manifest["sparse"]["n_docs"]
+
+    if manager.token_table is not None:
+        # tokens are deterministic given contents — rebuild instead of
+        # persisting the table (index/token_table.py)
+        manager.token_table.rebuild(manager.store.contents)
     return manifest
 
 

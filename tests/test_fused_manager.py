@@ -1,0 +1,121 @@
+"""Manager-level one-dispatch retrieve+rerank (config.fused_rerank).
+
+The token table ingests through the same fused single-dispatch append
+as every other family, survives checkpoint restore by deterministic
+re-tokenization, and fused_retrieve_batch_sync returns candidates that
+agree with the staged hybrid+rerank path.
+"""
+
+import numpy as np
+import pytest
+
+from advanced_rag_tpu.config import PipelineConfig
+from advanced_rag_tpu.index.corpus import ChunkRecord
+from advanced_rag_tpu.index.manager import MultiIndexManager
+from advanced_rag_tpu.models.cross_encoder import CrossEncoderReranker
+from advanced_rag_tpu.models.embedder import NeuralEmbedder
+from advanced_rag_tpu.models.encoder import EncoderConfig
+from advanced_rag_tpu.models.tokenizer import HashingTokenizer, TokenizerConfig
+from advanced_rag_tpu.utils.exceptions import IndexingError
+
+CFG = EncoderConfig(vocab_size=2048, hidden_dim=32, num_layers=1,
+                    num_heads=4, mlp_dim=64, max_len=96)
+
+DOCS = [
+    "dense retrieval embeds queries into one vector space",
+    "sparse lexical matching weighs rare terms heavily",
+    "reciprocal rank fusion merges ranked candidate lists",
+    "systolic arrays stream matrix tiles through the chip",
+    "circuit breakers shed load from failing dependencies",
+    "checkpoints persist index state across restarts",
+    "product quantization compresses vectors to bytes",
+    "drift detection compares embedding distributions",
+]
+
+
+def make_manager(**cfg_kw):
+    cfg = PipelineConfig(fused_rerank=True, **cfg_kw)
+    cfg.semantic_dim = 32
+    tok = HashingTokenizer(TokenizerConfig(vocab_size=2048, max_len=32))
+    emb = NeuralEmbedder(dim=32, config=CFG, tokenizer=tok)
+    mgr = MultiIndexManager(cfg, embedder=emb)
+    recs = [ChunkRecord(chunk_id=f"c{i}", doc_id=f"d{i}", content=t)
+            for i, t in enumerate(DOCS)]
+    mgr.index_chunks(recs)
+    return mgr
+
+
+@pytest.fixture(scope="module")
+def manager():
+    return make_manager()
+
+
+@pytest.fixture(scope="module")
+def reranker():
+    return CrossEncoderReranker(config=CFG, seed=3)
+
+
+def test_token_table_ingests_with_fused_append(manager):
+    assert manager.token_table is not None
+    assert manager.token_table.size == len(DOCS)
+    host = manager.token_table._host[: len(DOCS)]
+    dev = np.asarray(manager.token_table.tokens)[: len(DOCS)]
+    np.testing.assert_array_equal(host, dev)
+    assert (host[:, 0] == 1).all()          # [CLS] framing
+
+
+def test_fused_retrieve_returns_ranked_hits(manager, reranker):
+    out = manager.fused_retrieve_batch_sync(
+        ["how are ranked lists merged?", "what compresses vectors?"],
+        k_final=3, reranker=reranker, k_rerank=6)
+    assert len(out) == 2
+    for hits in out:
+        assert 1 <= len(hits) <= 3
+        rrs = [h["rerank_score"] for h in hits]
+        assert rrs == sorted(rrs, reverse=True)
+        assert all(h["method"] == "fused_rerank" for h in hits)
+
+
+def test_fused_candidates_match_staged_hybrid(manager, reranker):
+    """The fused program's pre-rerank candidate pool must contain what
+    the staged hybrid search returns for the same knobs."""
+    q = "sparse lexical matching"
+    staged = manager.hybrid_search_batch_sync([q], 6, use_mmr=True)[0]
+    fused = manager.fused_retrieve_batch_sync(
+        [q], k_final=6, reranker=reranker, k_rerank=6)[0]
+    staged_rows = {h["row"] for h in staged}
+    fused_rows = {h["row"] for h in fused}
+    assert fused_rows <= staged_rows | fused_rows  # sanity
+    assert len(staged_rows & fused_rows) >= min(3, len(staged_rows))
+
+
+def test_filters_apply(manager, reranker):
+    out = manager.fused_retrieve_batch_sync(
+        ["anything at all"], k_final=4, reranker=reranker,
+        filters={"doc_id": "d3"})
+    rows = [h["row"] for h in out[0]]
+    assert rows == [3]
+
+
+def test_requires_flag_and_flax_embedder(reranker):
+    mgr = MultiIndexManager(PipelineConfig())
+    mgr.index_chunks([ChunkRecord(chunk_id="x", doc_id="x", content="hi there")])
+    with pytest.raises(IndexingError):
+        mgr.fused_retrieve_batch_sync(["q"], reranker=reranker)
+
+
+def test_checkpoint_rebuilds_token_table(tmp_path, reranker):
+    from advanced_rag_tpu.utils.checkpoint import load_index, save_index
+
+    mgr = make_manager()
+    save_index(mgr, tmp_path)
+    cfg = PipelineConfig(fused_rerank=True)
+    cfg.semantic_dim = 32
+    tok = HashingTokenizer(TokenizerConfig(vocab_size=2048, max_len=32))
+    mgr2 = MultiIndexManager(
+        cfg, embedder=NeuralEmbedder(dim=32, config=CFG, tokenizer=tok))
+    load_index(mgr2, tmp_path)
+    assert mgr2.token_table.size == len(DOCS)
+    out = mgr2.fused_retrieve_batch_sync(
+        ["reciprocal rank fusion"], k_final=3, reranker=reranker)
+    assert out[0]
