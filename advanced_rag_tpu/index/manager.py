@@ -66,6 +66,12 @@ class MultiIndexManager:
         # Default embedder: deterministic hashing projection — the
         # meaningful analogue of the reference's random placeholder
         # (indexing.py:594-597). Swap in NeuralEmbedder for real models.
+        # fused_rerank needs a flax encoder inside the one-dispatch
+        # program, so it defaults to the neural bi-encoder instead.
+        if embedder is None and self.config.fused_rerank:
+            from ..models.embedder import NeuralEmbedder
+
+            embedder = NeuralEmbedder(dim=self.config.semantic_dim)
         self.embedder = embedder or HashingEmbedder(dim=self.config.semantic_dim)
         if self.embedder.dim != self.config.semantic_dim:
             self.config.semantic_dim = self.embedder.dim
@@ -679,6 +685,7 @@ class MultiIndexManager:
         sparse_weight: float = 0.3,
         use_mmr: bool = True,
         mmr_lambda: float = 0.8,
+        q_max_len: int = 32,
     ) -> List[List[Dict[str, Any]]]:
         """Embed -> hybrid search -> cross-encoder rerank in ONE device
         dispatch (requires ``config.fused_rerank``; the corpus token
@@ -747,7 +754,16 @@ class MultiIndexManager:
 
         tok = self.embedder.tokenizer
         texts = list(queries) + [""] * (qb - nq)
-        q_ids, q_mask = tok.encode_batch(texts)
+        # pair sequence = [CLS] q [SEP] doc [SEP]; it must fit the
+        # cross-encoder trunk's position table
+        pair_len = q_max_len + self.token_table.max_len + 1
+        ce_max = reranker.model.config.max_len
+        if pair_len > ce_max:
+            raise IndexingError(
+                f"fused pair length {pair_len} (q {q_max_len} + doc "
+                f"{self.token_table.max_len} + 1) exceeds the reranker "
+                f"max_len {ce_max}")
+        q_ids, q_mask = tok.encode_batch(texts, q_max_len)
         if sparse_on:
             q_idx, q_tf = self.sparse.encode_query(texts)
             sp = self.sparse

@@ -107,6 +107,19 @@ class AdvancedRAGPipeline:
         self._sla_met = 0
         self._sla_total = 0
 
+    def _use_fused_path(self) -> bool:
+        """One-dispatch retrieve+rerank is used when configured AND all
+        its pieces are live: a token table, a flax embedder, and a flax
+        cross-encoder reranker on the retriever (bf16/f32/SQ8 tiers)."""
+        return (self.config.fused_rerank
+                and self.config.enable_reranking
+                and self.index_manager.token_table is not None
+                and hasattr(self.index_manager.embedder, "model")
+                and self.retriever.reranker is not None
+                and hasattr(self.retriever.reranker, "model")
+                and not self.index_manager.semantic.has_ivf
+                and not self.index_manager.semantic._pq_mode)
+
     # -- telemetry ---------------------------------------------------------------
 
     def _record(self, stage: PipelineStage, t0: float) -> None:
@@ -225,15 +238,28 @@ class AdvancedRAGPipeline:
                      if self.config.enable_query_rewriting else query)
         self._record(PipelineStage.QUERY_REWRITE, t0)
 
-        t0 = time.perf_counter()
-        hits = self.retriever.retrieve_sync(rewritten, top_k, filters)
-        self._record(PipelineStage.RETRIEVAL, t0)
-
-        if self.config.enable_reranking and hits:
+        if self._use_fused_path():
+            # one-dispatch retrieve+rerank (ops/e2e.py): embed, hybrid
+            # search, and the cross-encoder run as a single device
+            # program with one host round trip — retrieval + reranking
+            # stages collapse into one timed record each side
             t0 = time.perf_counter()
-            hits = self.retriever.rerank_sync(rewritten, hits,
-                                              self.config.rerank_top_k)
+            hits = self.index_manager.fused_retrieve_batch_sync(
+                [rewritten], self.config.rerank_top_k, filters,
+                reranker=self.retriever.reranker,
+                k_rerank=min(top_k, 16))[0]
+            self._record(PipelineStage.RETRIEVAL, t0)
             self._record(PipelineStage.RERANKING, t0)
+        else:
+            t0 = time.perf_counter()
+            hits = self.retriever.retrieve_sync(rewritten, top_k, filters)
+            self._record(PipelineStage.RETRIEVAL, t0)
+
+            if self.config.enable_reranking and hits:
+                t0 = time.perf_counter()
+                hits = self.retriever.rerank_sync(rewritten, hits,
+                                                  self.config.rerank_top_k)
+                self._record(PipelineStage.RERANKING, t0)
 
         t0 = time.perf_counter()
         latency_ms = (time.perf_counter() - start) * 1e3

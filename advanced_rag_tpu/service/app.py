@@ -134,6 +134,10 @@ class ServiceState:
         cfg.retrieval.use_mmr = cfg.enable_mmr
         cfg.retrieval.adaptive_weights = flag("ENABLE_ADAPTIVE_WEIGHTS",
                                               cfg.retrieval.adaptive_weights)
+        # RAG_FUSED_E2E=1: one-dispatch retrieve+rerank (ops/e2e.py) —
+        # neural bi-encoder + device token table + in-program
+        # cross-encoder (the reranker is wired in _wire_rerankers)
+        cfg.fused_rerank = flag("RAG_FUSED_E2E", cfg.fused_rerank)
         return cfg
 
     def _wire_rerankers(self) -> None:
@@ -141,6 +145,11 @@ class ServiceState:
         learned | passthrough."""
         kind = os.environ.get("RAG_RERANKER", "").lower()
         retriever = self.pipeline.retriever
+        if (self.config.fused_rerank and not kind
+                and retriever.reranker is None):
+            # the fused path scores pairs in-program; it needs the flax
+            # cross-encoder even when RAG_RERANKER was not set
+            kind = "cross_encoder"
         if kind == "cross_encoder" and retriever.reranker is None:
             from ..models.cross_encoder import CrossEncoderReranker
 

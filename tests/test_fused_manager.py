@@ -119,3 +119,23 @@ def test_checkpoint_rebuilds_token_table(tmp_path, reranker):
     out = mgr2.fused_retrieve_batch_sync(
         ["reciprocal rank fusion"], k_final=3, reranker=reranker)
     assert out[0]
+
+
+def test_pipeline_uses_fused_path(reranker):
+    """AdvancedRAGPipeline routes retrieve through the one-dispatch
+    program when configured, and falls back otherwise."""
+    from advanced_rag_tpu.pipeline import AdvancedRAGPipeline
+
+    mgr = make_manager()
+    pipe = AdvancedRAGPipeline(mgr.config, index_manager=mgr)
+    pipe.retriever.reranker = reranker
+    assert pipe._use_fused_path()
+    out = pipe.retrieve("how are ranked lists merged?", top_k=5)
+    assert out["results"]
+    assert out["results"][0].metadata["method"] == "fused_rerank"
+
+    # no reranker -> classic staged path
+    pipe.retriever.reranker = None
+    assert not pipe._use_fused_path()
+    out2 = pipe.retrieve("how are ranked lists merged?", top_k=5)
+    assert out2["results"]
