@@ -1,0 +1,105 @@
+"""On-chip Pallas-vs-XLA comparison for the IVF and sparse kernels.
+
+Run LAST in the device queue: the sparse kernel family previously hung
+the Mosaic pipeline (in-kernel relayout / dynamic loops — both removed),
+and a compile hang wedges the shared dev chip for ~1h.
+
+Usage: python scripts/bench_pallas_kernels.py [--skip-sparse]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-sparse", action="store_true")
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--rounds", type=int, default=10)
+    args = ap.parse_args()
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    res: dict = {"n": args.n}
+
+    def amortized(fn):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.rounds):
+            out = fn()
+        jax.block_until_ready(out)
+        return round((time.perf_counter() - t0) / args.rounds * 1e3, 2)
+
+    # ---- batched IVF: XLA gather path vs Pallas slab streaming --------
+    from advanced_rag_tpu.ops.ivf import build_ivf, ivf_topk
+    from advanced_rag_tpu.ops.pallas_ivf import ivf_topk_pallas_batch
+
+    rng = np.random.default_rng(0)
+    n_ivf = min(args.n, 1_000_000)
+    x = rng.standard_normal((n_ivf, 384)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    for dtype in ("bfloat16", "int8"):
+        t0 = time.perf_counter()
+        parts = build_ivf(x, nlist=1024, kmeans_iters=6, seed=0,
+                          dtype=dtype, train_sample=131072)
+        build_s = time.perf_counter() - t0
+        for Q in (1, 8):
+            q = jnp.asarray(x[rng.integers(0, n_ivf, Q)])
+            xla = amortized(lambda: ivf_topk(parts, q, 20, nprobe=64)[1])
+            pal = amortized(lambda: ivf_topk_pallas_batch(
+                parts, q, 20, nprobe=64)[1])
+            res[f"ivf_{dtype}_q{Q}"] = {
+                "xla_ms": xla, "pallas_ms": pal,
+                "speedup": round(xla / pal, 2)}
+        res[f"ivf_{dtype}_build_s"] = round(build_s, 1)
+        del parts
+    del x
+
+    # ---- sparse compare kernel: T-layout Pallas vs XLA ----------------
+    if not args.skip_sparse:
+        from advanced_rag_tpu.ops.sparse import sparse_topk
+        from advanced_rag_tpu.ops.pallas_sparse import sparse_topk_pallas
+
+        key = jax.random.PRNGKey(0)
+        n, p, vocab, T = args.n, 64, 16384, 32
+        k1, k2, k3 = jax.random.split(key, 3)
+        doc_idx = jax.random.randint(k1, (n, p), 0, vocab, jnp.int32)
+        doc_tf = (1 + jax.random.uniform(k2, (n, p))).astype(jnp.float32)
+        doc_len = jnp.full((n,), 1.5 * p, jnp.float32)
+        df = jax.random.randint(k3, (vocab,), 1, n // 10, jnp.int32)
+        valid = jnp.ones((n,), jnp.bool_)
+        # steady-state T-layout mirrors (what SparseIndex would store)
+        doc_idx_t = jnp.asarray(np.ascontiguousarray(
+            np.asarray(doc_idx).T))
+        doc_tf_t = jnp.asarray(np.ascontiguousarray(np.asarray(doc_tf).T))
+        for Q in (1, 2, 4, 8):
+            q_idx = jnp.asarray(
+                rng.integers(0, vocab, (Q, T)).astype(np.int32))
+            q_idx = q_idx.at[:, T // 2:].set(-1)
+            q_tf = jnp.ones((Q, T), jnp.float32)
+            xla = amortized(lambda: sparse_topk(
+                doc_idx, doc_tf, doc_len, df, jnp.float32(n),
+                q_idx, q_tf, 40, valid)[1])
+            pal = amortized(lambda: sparse_topk_pallas(
+                doc_idx, doc_tf, doc_len, df, jnp.float32(n),
+                q_idx, q_tf, 40, valid, None, doc_idx_t, doc_tf_t)[1])
+            res[f"sparse_q{Q}"] = {"xla_ms": xla, "pallas_ms": pal,
+                                   "speedup": round(xla / pal, 2)}
+
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
