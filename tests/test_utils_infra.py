@@ -154,3 +154,102 @@ class TestRateLimiter:
         assert rl.allow("a")
         assert rl.allow("b")
         assert not rl.allow("a")
+
+
+class TestDBPoolEdges:
+    def test_postgres_without_psycopg2_raises(self, monkeypatch):
+        import builtins
+        import pytest as _pytest
+
+        from advanced_rag_tpu.utils.db_pool import DatabasePool
+
+        real_import = builtins.__import__
+
+        def fake_import(name, *a, **k):
+            if name.startswith("psycopg2"):
+                raise ImportError("no psycopg2 in this environment")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", fake_import)
+        with _pytest.raises(Exception) as exc:
+            DatabasePool(database_url="postgresql://u:p@h/db")
+        assert "psycopg2" in str(exc.value)
+
+    def test_module_singleton_lifecycle(self, tmp_path):
+        from advanced_rag_tpu.utils import db_pool as dp
+
+        pool = dp.initialize_pool("", str(tmp_path / "x.db"))
+        assert dp.get_pool() is pool
+        with pool.get_connection() as conn:
+            conn.execute("CREATE TABLE t (a INT)")
+        stats = pool.get_stats()
+        assert stats["backend"] == "sqlite"
+        dp.close_pool()
+
+    def test_close_is_idempotent(self, tmp_path):
+        from advanced_rag_tpu.utils.db_pool import DatabasePool
+
+        p = DatabasePool(sqlite_path=str(tmp_path / "y.db"))
+        with p.get_connection() as conn:
+            conn.execute("SELECT 1")
+        p.close()
+        p.close()
+
+
+class TestEmbeddingCacheAsync:
+    async def test_async_get_put_roundtrip(self):
+        import numpy as np
+
+        from advanced_rag_tpu.utils.cache import EmbeddingCache
+
+        c = EmbeddingCache(capacity=4, ttl_seconds=60)
+        assert await c.get("missing") is None
+        await c.put("hello", np.ones(3, np.float32))
+        got = await c.get("hello")
+        assert got is not None and got.shape == (3,)
+
+    async def test_async_get_or_compute_sync_and_async_fns(self):
+        import numpy as np
+
+        from advanced_rag_tpu.utils.cache import EmbeddingCache
+
+        c = EmbeddingCache(capacity=4, ttl_seconds=60)
+
+        def sync_fn(_text):
+            return np.full(2, 7.0, np.float32)
+
+        v1 = await c.get_or_compute("a", sync_fn)
+        assert v1[0] == 7.0
+
+        async def async_fn(_text):
+            return np.full(2, 9.0, np.float32)
+
+        v2 = await c.get_or_compute("b", async_fn)
+        assert v2[0] == 9.0
+        # cached: compute fn must not be called again
+        v3 = await c.get_or_compute(
+            "b", lambda _t: (_ for _ in ()).throw(AssertionError))
+        assert v3[0] == 9.0
+
+    def test_ttl_eviction_and_capacity(self, monkeypatch):
+        import time as _time
+
+        import numpy as np
+
+        from advanced_rag_tpu.utils.cache import EmbeddingCache
+
+        c = EmbeddingCache(capacity=2, ttl_seconds=0.01)
+        c.put_sync("x", np.zeros(1, np.float32))
+        _time.sleep(0.03)
+        assert c.get_sync("x") is None          # TTL expired
+        c.put_sync("a", np.zeros(1, np.float32))
+        c.put_sync("b", np.zeros(1, np.float32))
+        c.put_sync("c", np.zeros(1, np.float32))  # FIFO evicts oldest
+        stats = c.get_stats()
+        assert stats.size <= 2
+
+    def test_family_singletons(self):
+        from advanced_rag_tpu.utils.cache import get_cache
+
+        assert get_cache("semantic") is get_cache("semantic")
+        assert get_cache("semantic") is not get_cache("domain")
