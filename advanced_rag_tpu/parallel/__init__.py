@@ -14,6 +14,11 @@ from .multihost import (
     hierarchical_merge_topk,
     pod_dense_topk,
 )
+from .sharded_e2e import (
+    make_sharded_retrieve_rerank,
+    sharded_ce_scores,
+    sharded_token_gather,
+)
 from .sharded_hybrid import sharded_hybrid_retrieve
 from .sharded_ivf import (
     build_sharded_ivf,
@@ -42,6 +47,9 @@ __all__ = [
     "build_sharded_ivfpq",
     "sharded_dense_topk",
     "sharded_hybrid_retrieve",
+    "make_sharded_retrieve_rerank",
+    "sharded_ce_scores",
+    "sharded_token_gather",
     "sharded_ivf_topk",
     "sharded_ivfpq_topk",
     "sharded_sparse_topk",
