@@ -49,6 +49,12 @@ async def run(args) -> None:
     # lift the ingest/retrieve token buckets: this test measures the
     # engine, not the limiter (limits stay on in production)
     os.environ["RAG_MAX_CONCURRENCY"] = str(max(64, args.clients))
+    # ramp safety: cold compiles exceed the strict 300 ms budget, which
+    # would trip the breaker and 503 the whole run.  The endpoint SLO
+    # is still REPORTED (p95/p99 vs 300 ms); it just doesn't gate the
+    # harness.  Production keeps the strict budget + breaker.
+    os.environ.setdefault("RAG_RETRIEVE_TIMEOUT_MS", "2000")
+    os.environ.setdefault("RAG_CB_FAILURES", "1000000")
     app = create_app()
     for limiter in app["state"].limiters.values():
         limiter.rate = 10**9
@@ -70,19 +76,20 @@ async def run(args) -> None:
         ingest_s = time.perf_counter() - t0
 
         # warm every pow2 query-bucket shape the micro-batcher can form
-        # under load (each (batch, k) signature compiles once)
-        for burst in (1, 2, 4, 8, 8):
+        # under load (each (batch, k) signature compiles once); repeat
+        # the top burst so coalescing actually reaches the big buckets
+        for burst in (1, 2, 4, 8, 16, 32, 32, 32):
             await asyncio.gather(*[
                 s.post(f"{base}/retrieve",
                        json={"query": f"warm up shape {i}", "top_k": 5})
-                for i in range(burst)])
+                for i in range(min(burst, args.clients))])
 
         lat: list = []
-        errors = 0
+        errors = degraded = 0
         stop_at = time.perf_counter() + args.duration
 
         async def client(cid: int) -> int:
-            nonlocal errors
+            nonlocal errors, degraded
             done = 0
             crng = np.random.default_rng(cid)
             while time.perf_counter() < stop_at:
@@ -95,6 +102,12 @@ async def run(args) -> None:
                     if r.status != 200 or "results" not in body:
                         errors += 1
                         await asyncio.sleep(0.05)   # no hot error loop
+                        continue
+                    if not body["results"]:
+                        # contract degrade-to-empty under the strict
+                        # internal 300 ms budget — not an error, but
+                        # not a served result either
+                        degraded += 1
                         continue
                 except Exception:
                     errors += 1
@@ -121,6 +134,7 @@ async def run(args) -> None:
             "duration_s": round(elapsed, 1),
             "requests": total,
             "errors": errors,
+            "degraded_to_empty": degraded,
             "p50_ms": round(float(np.percentile(lat, 50)), 1) if lat else None,
             "p95_ms": round(float(np.percentile(lat, 95)), 1) if lat else None,
             "p99_ms": round(float(np.percentile(lat, 99)), 1) if lat else None,
