@@ -117,10 +117,11 @@ def dense_topk(
     nblocks = cdiv(n, bsz)
     padded = nblocks * bsz
 
+    # NO pad copy of emb: at 10M x 384 a jnp.pad of the corpus costs a
+    # full HBM read+write (~19 ms) per call.  The ragged tail is handled
+    # by CLAMPING the last block's start to n - bsz (overlapping the
+    # previous block) and masking the already-seen rows via ids >= start.
     v = valid.astype(jnp.bool_) if valid is not None else jnp.ones((n,), jnp.bool_)
-    if padded != n:
-        emb = jnp.pad(emb, ((0, padded - n), (0, 0)))
-        v = jnp.pad(v, (0, padded - n))
 
     num_q = q.shape[0]
     init_s = jnp.full((num_q, k), NEG_INF, dtype=jnp.float32)
@@ -130,11 +131,13 @@ def dense_topk(
     def body(carry, blk):
         top_s, top_i = carry
         start = blk * bsz
-        e_blk = lax.dynamic_slice(emb, (start, 0), (bsz, d))
-        v_blk = lax.dynamic_slice(v, (start,), (bsz,))
+        sc = jnp.minimum(start, n - bsz)       # last block overlaps back
+        e_blk = lax.dynamic_slice(emb, (sc, 0), (bsz, d))
+        v_blk = lax.dynamic_slice(v, (sc,), (bsz,))
         s = _block_scores(e_blk, q, metric)                    # [Q, B]
-        ids = blk_iota + start                                 # [1, B]
-        keep = jnp.logical_and(v_blk[None, :], ids < n)
+        ids = blk_iota + sc                                    # [1, B]
+        # ids >= start drops rows the previous block already scored
+        keep = jnp.logical_and(v_blk[None, :], ids >= start)
         s = jnp.where(keep, s, NEG_INF)
         blk_ids = jnp.where(keep, ids, -1)
         blk_ids = jnp.broadcast_to(blk_ids, s.shape).astype(jnp.int32)

@@ -104,12 +104,9 @@ def dense_topk_sq8(
 
     bsz = min(block_size, n)
     nblocks = cdiv(n, bsz)
-    padded = nblocks * bsz
+    # No pad copy of the corpus (full HBM read+write per call at scale):
+    # the ragged tail clamps its start back and masks re-scored rows.
     v = valid.astype(jnp.bool_) if valid is not None else jnp.ones((n,), jnp.bool_)
-    if padded != n:
-        codes = jnp.pad(codes, ((0, padded - n), (0, 0)))
-        scale = jnp.pad(scale, (0, padded - n))
-        v = jnp.pad(v, (0, padded - n))
 
     num_q = q.shape[0]
     init_s = jnp.full((num_q, k), NEG_INF, dtype=jnp.float32)
@@ -119,12 +116,13 @@ def dense_topk_sq8(
     def body(carry, blk):
         top_s, top_i = carry
         start = blk * bsz
-        c_blk = lax.dynamic_slice(codes, (start, 0), (bsz, d))
-        s_blk = lax.dynamic_slice(scale, (start,), (bsz,))
-        v_blk = lax.dynamic_slice(v, (start,), (bsz,))
+        sc = jnp.minimum(start, n - bsz)       # last block overlaps back
+        c_blk = lax.dynamic_slice(codes, (sc, 0), (bsz, d))
+        s_blk = lax.dynamic_slice(scale, (sc,), (bsz,))
+        v_blk = lax.dynamic_slice(v, (sc,), (bsz,))
         s = sq8_block_scores(c_blk, s_blk, q_codes, q_scale)    # [Q, B]
-        ids = blk_iota + start
-        keep = jnp.logical_and(v_blk[None, :], ids < n)
+        ids = blk_iota + sc
+        keep = jnp.logical_and(v_blk[None, :], ids >= start)
         s = jnp.where(keep, s, NEG_INF)
         blk_ids = jnp.where(keep, ids, -1)
         blk_ids = jnp.broadcast_to(blk_ids, s.shape).astype(jnp.int32)

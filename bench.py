@@ -107,7 +107,10 @@ def main() -> None:
         # postings path never touches doc_idx/doc_tf — tiny dummies
         dummy_idx = jnp.zeros((n_rows, 1), jnp.int32)
         dummy_tf = jnp.zeros((n_rows, 1), jnp.float32)
-        jax.block_until_ready(codes)
+        # literal fetch of the LAST-dispatched array: block_until_ready
+        # under-syncs on this backend, and in-order execution means this
+        # fetch completing implies the whole staging queue ran
+        jax.device_get((codes[:1, :1], dummy_tf[:1]))
         return dict(codes=codes, scale=scale, post_rows=post_rows,
                     post_tf=post_tf, doc_tokens=doc_tokens, df=df,
                     doc_len=doc_len, valid=valid, dummy_idx=dummy_idx,
@@ -187,12 +190,24 @@ def main() -> None:
     p99 = float(np.percentile(lat, 99))
     extra["p99_ms"] = round(p99, 2)
 
+    # NOTE on synchronization: on this tunneled backend
+    # jax.block_until_ready can resolve before the chip has executed
+    # (utils/timing.py docstring) — every timed region below ends in a
+    # literal fetch (device_get) or uses the chained-dependence helper.
+    from advanced_rag_tpu.utils.timing import chained_ms, zero_scalar_of
+
+    def perturb(args, eps):
+        # fold a zero scalar (data-dependent on the previous call) into
+        # the query token ids so repeated calls form a device chain
+        q_ids, q_mask, q_idx, q_tf = args
+        return (q_ids + eps.astype(jnp.int32), q_mask, q_idx, q_tf)
+
     # -- throughput: blocking at BENCH_BATCH + pipelined batch curve ----
     tput = []
     for _ in range(max(iters // 3, 5)):
         args = encode_queries(_queries(rng, q_batch))
         t0 = time.perf_counter()
-        jax.block_until_ready(run(corpus, args).ids)
+        fetch(run(corpus, args))        # blocking = results on host
         tput.append(q_batch / (time.perf_counter() - t0))
     extra[f"qps_batch{q_batch}"] = round(float(np.median(tput)), 1)
 
@@ -200,36 +215,30 @@ def main() -> None:
     for b in (1, q_batch, 16, 32):
         rounds = 10
         batches = [encode_queries(_queries(rng, b)) for _ in range(rounds)]
-        jax.block_until_ready(run(corpus, batches[0]).ids)
-        t0 = time.perf_counter()
-        results = [run(corpus, bt) for bt in batches]
-        jax.block_until_ready([r.ids for r in results])
-        curve[str(b)] = round(rounds * b / (time.perf_counter() - t0), 1)
+        ms = chained_ms(
+            lambda i, eps: run(corpus, perturb(batches[i], eps)).ids,
+            rounds=rounds)
+        curve[str(b)] = round(b / (ms / 1e3), 1)
     extra["qps_pipelined_by_batch"] = curve
 
-    # -- stage breakdown (amortized over 10 dispatches) -----------------
+    # -- stage breakdown (amortized, chained) ---------------------------
     def amortized_ms(fn, rounds: int = 10) -> float:
-        outs = fn()
-        jax.block_until_ready(outs)
-        t0 = time.perf_counter()
-        for _ in range(rounds):
-            outs = fn()
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / rounds * 1e3
+        """fn(eps) -> array; eps folded in by the caller."""
+        return chained_ms(lambda i, eps: fn(eps), rounds=rounds)
 
     q_ids, q_mask, q_idx, q_tf = encode_queries(_queries(rng, q_batch))
     bi_jit = jax.jit(bi.apply)
-    extra["stage_embed_ms_b8"] = round(
-        amortized_ms(lambda: bi_jit(p_bi, q_ids, q_mask)), 2)
+    extra["stage_embed_ms_b8"] = round(amortized_ms(
+        lambda eps: bi_jit(p_bi, q_ids + eps.astype(jnp.int32), q_mask)), 2)
 
     from advanced_rag_tpu.ops import hybrid_retrieve
     q_dense = bi_jit(p_bi, q_ids, q_mask)
 
-    def hybrid_only():
+    def hybrid_only(eps):
         return hybrid_retrieve(
             corpus["codes"], corpus["dummy_idx"], corpus["dummy_tf"],
             corpus["doc_len"], corpus["df"], jnp.float32(corpus["n"]),
-            q_dense, q_idx, q_tf, corpus["valid"], weights,
+            q_dense + eps, q_idx, q_tf, corpus["valid"], weights,
             jnp.float32(0.8), post_rows=corpus["post_rows"],
             post_tf=corpus["post_tf"], emb_scale=corpus["scale"],
             k_cand=40, k_out=24, dense_impl="sq8",
@@ -238,9 +247,9 @@ def main() -> None:
 
     # dense scan HBM bandwidth fraction (VERDICT r1 #3)
     from advanced_rag_tpu.ops.quant import dense_topk_sq8_approx
-    dt_ms = amortized_ms(lambda: dense_topk_sq8_approx(
-        corpus["codes"], corpus["scale"], q_dense, 40, corpus["valid"],
-        metric="ip", normalize_queries=False)[1])
+    dt_ms = amortized_ms(lambda eps: dense_topk_sq8_approx(
+        corpus["codes"], corpus["scale"], q_dense + eps, 40,
+        corpus["valid"], metric="ip", normalize_queries=False)[1])
     bytes_scanned = corpus["n"] * (d + 4)     # int8 codes + f32 scale
     gbs = bytes_scanned / (dt_ms / 1e3) / 1e9
     extra["dense_sq8_ms_b8"] = round(dt_ms, 2)
@@ -255,8 +264,8 @@ def main() -> None:
         q1536 = jax.random.normal(jax.random.PRNGKey(10), (q_batch, 1536),
                                   jnp.float32)
         v = corpus["valid"]
-        ms1536 = amortized_ms(lambda: dense_topk(
-            emb1536, q1536, 40, v, metric="ip",
+        ms1536 = amortized_ms(lambda eps: dense_topk(
+            emb1536, q1536 + eps, 40, v, metric="ip",
             normalize_queries=False)[1], rounds=5)
         gbs1536 = n * 1536 * 2 / (ms1536 / 1e3) / 1e9
         extra["dense_1536_bf16_ms_b8"] = round(ms1536, 2)

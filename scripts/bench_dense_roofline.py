@@ -42,53 +42,44 @@ def main() -> None:
         dense_topk_pallas, dense_topk_sq8_pallas)
     from advanced_rag_tpu.ops.quant import dense_topk_sq8, sq8_quantize
 
+    import functools
+
     n, d, q_n = args.n, args.d, args.q
 
-    # chunked device staging (one-shot normal+normalize OOMs at 10M)
-    chunk = min(2_500_000, n)
-    parts = []
-    key = jax.random.PRNGKey(0)
+    # Phased staging: the bf16 corpus (7.7 GB at 10M) and the SQ8 codes
+    # (3.9 GB) never coexist with concat transients.  A preallocated
+    # buffer is filled in place via donated dynamic_update_slice, so
+    # peak = buffer + one chunk.
+    chunk = min(1_250_000, n)
+    n_pad = -(-n // chunk) * chunk
 
-    @jax.jit
-    def gen(ck):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill_bf16(buf, ck, i):
         e = jax.random.normal(ck, (chunk, d), jnp.float32)
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
-        return e.astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(
+            buf, e.astype(jnp.bfloat16), (i, jnp.int32(0)))
 
     t0 = time.perf_counter()
-    for ck in jax.random.split(key, -(-n // chunk)):
-        parts.append(gen(ck))
-    emb = jnp.concatenate(parts, axis=0)[:n]
-    del parts
-    codes, scale = sq8_quantize(emb.astype(jnp.float32)) \
-        if n <= 2_500_000 else (None, None)
-    if codes is None:
-        # quantize in chunks to bound transients
-        cparts, sparts = [], []
-        for i in range(0, n, chunk):
-            c, s = sq8_quantize(
-                jax.lax.dynamic_slice_in_dim(emb, i, min(chunk, n - i), 0)
-                .astype(jnp.float32))
-            cparts.append(c)
-            sparts.append(s)
-        codes = jnp.concatenate(cparts, axis=0)
-        scale = jnp.concatenate(sparts, axis=0)
-        del cparts, sparts
-    jax.block_until_ready((emb, codes))
+    emb = jnp.zeros((n_pad, d), jnp.bfloat16)
+    for j, ck in enumerate(jax.random.split(jax.random.PRNGKey(0),
+                                            n_pad // chunk)):
+        emb = fill_bf16(emb, ck, jnp.int32(j * chunk))
+    jax.device_get(emb[:1, :1])  # literal fetch = real sync
     stage_s = time.perf_counter() - t0
 
     q = jax.random.normal(jax.random.PRNGKey(9), (q_n, d), jnp.float32)
     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-    valid = jnp.ones((n,), jnp.bool_)
+    valid = (jnp.arange(n_pad) < n)
+
+    # chained timing: block_until_ready under-syncs on the tunneled
+    # backend (utils/timing.py) — fold a zero scalar from the previous
+    # output into the queries and fetch once at the end
+    from advanced_rag_tpu.utils.timing import chained_ms
 
     def amortized(fn):
-        out = fn()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.rounds):
-            out = fn()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / args.rounds * 1e3
+        return chained_ms(lambda i, eps: fn(q + eps), rounds=args.rounds)
+
 
     res = {"n": n, "d": d, "q": q_n, "stage_s": round(stage_s, 1)}
 
@@ -97,20 +88,36 @@ def main() -> None:
         res[name] = {"ms": round(ms, 2), "gbs": round(gbs, 0),
                      "hbm_fraction": round(gbs / HBM_PEAK_GBS, 3)}
 
-    bf_bytes = n * d * 2
-    record("xla_bf16", amortized(lambda: dense_topk(
-        emb, q, args.k, valid, metric="ip", normalize_queries=False,
+    bf_bytes = n_pad * d * 2
+    record("xla_bf16", amortized(lambda qq: dense_topk(
+        emb, qq, args.k, valid, metric="ip", normalize_queries=False,
         block_size=65536)[1]), bf_bytes)
-    record("pallas_bf16", amortized(lambda: dense_topk_pallas(
-        emb, q, args.k, valid, metric="ip", normalize_queries=False,
+    record("pallas_bf16", amortized(lambda qq: dense_topk_pallas(
+        emb, qq, args.k, valid, metric="ip", normalize_queries=False,
         block_size=args.block)[1]), bf_bytes)
 
-    sq_bytes = n * (d + 4)
-    record("xla_sq8", amortized(lambda: dense_topk_sq8(
-        codes, scale, q, args.k, valid, metric="ip",
+    # Quantize chunked into a donated int8 buffer, then release bf16.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fill_sq8(cbuf, sbuf, part, i):
+        c, s = sq8_quantize(part.astype(jnp.float32))
+        return (jax.lax.dynamic_update_slice(cbuf, c, (i, jnp.int32(0))),
+                jax.lax.dynamic_update_slice(sbuf, s, (i,)))
+
+    codes = jnp.zeros((n_pad, d), jnp.int8)
+    scale = jnp.zeros((n_pad,), jnp.float32)
+    for i in range(0, n_pad, chunk):
+        codes, scale = fill_sq8(
+            codes, scale,
+            jax.lax.dynamic_slice_in_dim(emb, i, chunk, 0), jnp.int32(i))
+    jax.device_get(codes[:1, :1])
+    del emb
+
+    sq_bytes = n_pad * (d + 4)
+    record("xla_sq8", amortized(lambda qq: dense_topk_sq8(
+        codes, scale, qq, args.k, valid, metric="ip",
         normalize_queries=False)[1]), sq_bytes)
-    record("pallas_sq8", amortized(lambda: dense_topk_sq8_pallas(
-        codes, scale, q, args.k, valid, metric="ip",
+    record("pallas_sq8", amortized(lambda qq: dense_topk_sq8_pallas(
+        codes, scale, qq, args.k, valid, metric="ip",
         normalize_queries=False, block_size=args.block)[1]), sq_bytes)
 
     print(json.dumps(res))
