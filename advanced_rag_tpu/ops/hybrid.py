@@ -166,10 +166,21 @@ def hybrid_retrieve(
             m=pq_m, bits=pq_bits, impl=pq_impl,
         )
     elif dense_impl == "sq8":
-        # approx_max_k over materialized [Q, N] scores wherever that
-        # fits (mirrors the bf16 "approx" ladder rung); blocked exact
-        # scan beyond
-        if emb.shape[0] <= 4_194_304:
+        import jax as _jax
+
+        # approx_max_k over the fused int8 matmul is the fastest rung at
+        # every measured size — 732 GB/s at 1M, 740 GB/s (90% of the
+        # v5e's HBM peak) at 10M under true device timing (scanned_ms);
+        # the Pallas streaming kernel is within 10% and the blocked
+        # exact scan runs at ~242 GB/s.  (An earlier round wired Pallas
+        # here from chained-dispatch timings that hid a ~4.5 ms/call
+        # tunnel floor — see utils/timing.py.)  The score transient is
+        # [Q, N] f32; cap it at ~4 GB on TPU (CPU keeps the small cap),
+        # falling back to the memory-bounded blocked scan beyond.
+        q_n = max(int(q_dense.shape[0]), 1)
+        cap_rows = ((4_000_000_000 // (4 * q_n))
+                    if _jax.default_backend() == "tpu" else 4_194_304)
+        if emb.shape[0] <= cap_rows:
             from .quant import dense_topk_sq8_approx
 
             d_s, d_i = dense_topk_sq8_approx(

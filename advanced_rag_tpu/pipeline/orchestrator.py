@@ -333,6 +333,17 @@ class AdvancedRAGPipeline:
             "results": merged[: (top_k or self.config.top_k)],
         }
 
+    def warm_up(self, top_k: Optional[int] = None) -> None:
+        """Compile every retrieval program shape (all micro-batch
+        buckets) before taking traffic — see HybridRetriever.warm_up.
+        Warms both k-buckets the serving path can hit: the retrieve
+        ``top_k`` and the rerank depth."""
+        if self.index_manager.store.size == 0:
+            return
+        ks = {top_k or self.config.top_k, self.config.rerank_top_k}
+        for k in sorted(ks):
+            self.retriever.warm_up(k)
+
     # -- drift & report ---------------------------------------------------------------------
 
     def detect_drift(self, queries: Optional[Sequence[str]] = None) -> DriftReport:

@@ -102,12 +102,19 @@ class HybridRetriever:
         self.learned_ranker = learned_ranker
         self.reranker = reranker
         self.weight_adapter = weight_adapter
+        # 2x the batch width: micro-batch FOLLOWERS block inside their
+        # executor slot while the leader runs the fused dispatch, so one
+        # batch consumes micro_batch_size workers — the second batch's
+        # worth of slots lets the next wave coalesce while the current
+        # one is on the device (queue wait is budgeted; see retrieve_sync)
         self._executor = concurrent.futures.ThreadPoolExecutor(
-            max_workers=max(4, self.config.micro_batch_size),
+            max_workers=max(8, 2 * self.config.micro_batch_size),
             thread_name_prefix="retrieve",
         )
         self.last_profile: Optional[str] = None
         self._warm_keys: set = set()
+        #: (k-bucket, mmr) -> {pow2 batch buckets that have compiled}
+        self._warm_buckets: Dict[tuple, set] = {}
         from .batcher import MicroBatcher
 
         self._batcher = MicroBatcher(
@@ -143,7 +150,7 @@ class HybridRetriever:
         (reference retrieval.py:215-247)."""
         budget = timeout_s if timeout_s is not None else self.config.timeout_seconds
         key = self._program_key(query, top_k)
-        if key not in self._warm_keys:
+        if not self.is_warm(query, top_k):
             budget = max(budget, self.COLD_BUDGET_S)
         future = self._executor.submit(self._retrieve_inner, query, top_k, filters)
         try:
@@ -171,10 +178,35 @@ class HybridRetriever:
         )
 
     def is_warm(self, query: str, top_k: Optional[int] = None) -> bool:
-        """Has the fused program this query maps to been compiled yet?
-        (Callers gating strict latency budgets should check per QUERY —
-        each profile class compiles its own program signature.)"""
-        return self._program_key(query, top_k) in self._warm_keys
+        """Has EVERY program shape this query can hit been compiled yet?
+
+        A query's device program is keyed by (k-bucket, mmr) AND the
+        micro-batch bucket it lands in (pow2 up to micro_batch_size) —
+        the bucket depends on concurrent arrivals, so the strict latency
+        budget is safe only once every bucket for this key has run.
+        Before that, a burst can route a request into an uncompiled
+        bucket and an XLA compile (seconds) would eat the 300 ms budget
+        and degrade the whole wave to empty (observed under load test).
+        """
+        key = self._program_key(query, top_k)
+        if key not in self._warm_keys:
+            return False
+        if self._batcher is None:
+            return True
+        top = self._pow2(self.config.micro_batch_size)
+        buckets = self._warm_buckets.get(key, set())
+        need = 1
+        while need <= top:
+            if need not in buckets:
+                return False
+            need *= 2
+        return True
+
+    @staticmethod
+    def _pow2(n: int) -> int:
+        """Smallest power of two >= n (the manager pads query batches to
+        this bucket, so it is the unit of compiled program shapes)."""
+        return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
     def _program_key(self, query: str, top_k: Optional[int]) -> tuple:
         """Static signature of the fused program a query will hit: each
@@ -230,7 +262,42 @@ class HybridRetriever:
 
     def _run_batch(self, queries: List[str], k: int, **knobs: Any):
         """MicroBatcher callback -> per-query hit lists."""
-        return self.index_manager.hybrid_search_batch_sync(queries, k, **knobs)
+        out = self.index_manager.hybrid_search_batch_sync(queries, k, **knobs)
+        # record the compiled (key, batch-bucket) pair for is_warm
+        bucket = min(self._pow2(len(queries)),
+                     self._pow2(self.config.micro_batch_size))
+        ck = (-(-min(k, self.config.max_top_k) // 8) * 8,
+              bool(knobs.get("use_mmr", True)))
+        self._warm_buckets.setdefault(ck, set()).add(bucket)
+        return out
+
+    def warm_up(self, top_k: Optional[int] = None,
+                query: str = "warm up") -> None:
+        """Deterministically compile every program shape ``query``'s
+        profile can hit: each pow2 micro-batch bucket up to
+        ``micro_batch_size``.  Deployments call this at boot (or after
+        an index rebuild) so the strict latency budget is in force from
+        the first real request; without it the shapes compile lazily
+        under traffic with the cold budget."""
+        cls, profile = self.profile_for(query)
+        k = min(top_k or profile.top_k, self.config.max_top_k)
+        knobs = dict(
+            filters=None,
+            dense_weight=profile.dense_weight,
+            sparse_weight=profile.sparse_weight,
+            domain_weight=self.config.domain_weight,
+            rrf_k=self.config.rrf_k,
+            use_mmr=profile.use_mmr and self.config.use_mmr,
+            mmr_lambda=profile.mmr_lambda,
+            over_retrieve=profile.over_retrieve,
+        )
+        bucket, top = 1, self._pow2(self.config.micro_batch_size)
+        while bucket <= top:
+            self._run_batch([query] * min(bucket,
+                                          self.config.micro_batch_size),
+                            k, **knobs)
+            bucket *= 2
+        self._warm_keys.add(self._program_key(query, top_k))
 
     # -- rerank (reference retrieval.py:518-563) ------------------------------------
 

@@ -794,6 +794,17 @@ def create_app(config: Optional[PipelineConfig] = None,
                 mgr.reset_state()  # roll back the partial load
                 logger.exception("checkpoint restore failed; starting empty")
 
+    # RAG_WARMUP=1: compile every retrieval program shape (all pow2
+    # micro-batch buckets) before taking traffic, so the strict latency
+    # budget is in force from the first request after a rolling restart
+    if os.environ.get("RAG_WARMUP", "0") == "1" \
+            and state.pipeline.index_manager.store.size > 0:
+        try:
+            state.pipeline.warm_up()
+            logger.info("retrieval programs warmed")
+        except Exception:
+            logger.exception("warm-up failed; shapes will compile lazily")
+
     # best-effort OTel (reference service.py:298-309)
     with contextlib.suppress(Exception):
         from opentelemetry import trace

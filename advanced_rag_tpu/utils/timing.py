@@ -31,18 +31,23 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["zero_scalar_of", "chained_ms", "fetch_ms"]
+__all__ = ["zero_scalar_of", "chained_ms", "fetch_ms", "scanned_ms"]
 
 
 def zero_scalar_of(out: Any) -> jnp.ndarray:
     """A f32 scalar that is always 0.0 but data-depends on ``out``.
 
     Uses the first leaf of the pytree; cheap (one element) regardless of
-    output size.
+    output size.  The zero is built as ``min(|v|, 0)`` — not ``v * 0``,
+    which XLA constant-folds to 0.0 under jit, severing the data chain
+    and letting the whole timed body dead-code-eliminate (observed: a
+    scan of 50 kernel calls "ran" in 0 ms).  ``min(|v|, 0)`` is always
+    0.0 for non-NaN v but cannot be folded without knowing v.
     """
     leaves = jax.tree_util.tree_leaves(out)
     x = jnp.ravel(leaves[0])[:1]
-    return x.astype(jnp.float32).sum() * 0.0
+    v = x.astype(jnp.float32).sum()
+    return jnp.minimum(jnp.abs(v), 0.0)
 
 
 def chained_ms(
@@ -68,6 +73,61 @@ def chained_ms(
         eps = zero_scalar_of(out)
     assert float(eps) == 0.0  # the one synchronizing fetch
     return (time.perf_counter() - t0) / rounds * 1e3
+
+
+def scanned_ms(
+    fn: Callable[..., Any],
+    rounds: int = 20,
+    operands: tuple = (),
+) -> float:
+    """True per-call DEVICE ms of ``fn(eps)``: the whole round chain runs
+    inside ONE jitted program.
+
+    ``chained_ms`` dispatches each round from the host; on the tunneled
+    backend every dispatch costs ~1.5 ms and each round issues several
+    (the kernel + the eps ops), a ~4.5 ms/call additive floor — measured:
+    a trivial jitted elementwise op "takes" 4.5 ms under ``chained_ms``.
+    Here a ``lax.scan`` of length ``rounds`` folds the data-dependent eps
+    chain on device (XLA cannot elide iterations: each call's input
+    depends on the previous output), so per-call host cost is zero.  Two
+    lengths (rounds and 1) are timed and differenced, cancelling the
+    final-fetch round trip and any fixed program overhead.
+
+    Use for kernel/stage microbenchmarks; serving latency (which really
+    does pay the dispatch + fetch path) belongs to ``fetch_ms``.
+
+    Large arrays MUST be passed via ``operands`` (``fn(eps, *operands)``)
+    — not closed over: jit closures become HLO constants, and on a
+    remote-compile backend the whole corpus would ship inside the
+    compile request (observed: HTTP 413 at 1M rows).
+    """
+    from jax import lax
+
+    def make(length: int):
+        @jax.jit
+        def run(eps0, *ops):
+            def body(eps, _):
+                return zero_scalar_of(fn(eps, *ops)), None
+            eps, _ = lax.scan(body, eps0, None, length=length)
+            return eps
+        return run
+
+    run_n, run_1 = make(rounds), make(1)
+    zero = jnp.float32(0.0)
+    float(run_n(zero, *operands)), float(run_1(zero, *operands))
+
+    def best(run) -> float:
+        # min over repeats: the fetch round-trip carries several ms of
+        # tunnel jitter, which the length-difference would otherwise
+        # turn into noise comparable to a sub-ms kernel
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            assert float(run(zero, *operands)) == 0.0
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    return max(best(run_n) - best(run_1), 0.0) / (rounds - 1) * 1e3
 
 
 def fetch_ms(call: Callable[[], Any], small: Callable[[Any], Any] = None) -> float:

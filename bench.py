@@ -75,6 +75,10 @@ def main() -> None:
 
     # -- device-side corpus staging (no host pass, no tunnel upload) ----
     def stage_corpus(n_rows: int, dim: int, seed: int, cap: int):
+        # rows allocated at 16384-aligned capacity with a validity mask,
+        # mirroring CorpusStore's padded capacities: the Pallas scans
+        # then always find a lane-aligned divisor block (no pad copy)
+        n_alloc = -(-n_rows // 16384) * 16384
         key = jax.random.PRNGKey(seed)
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
@@ -90,23 +94,23 @@ def main() -> None:
 
         chunk = 2_500_000 if n_rows >= 2_500_000 else n_rows
         parts = [_chunk_codes(ck)
-                 for ck in jax.random.split(k1, -(-n_rows // chunk))]
-        codes = jnp.concatenate([p[0] for p in parts], axis=0)[:n_rows]
-        scale = jnp.concatenate([p[1] for p in parts], axis=0)[:n_rows]
+                 for ck in jax.random.split(k1, -(-n_alloc // chunk))]
+        codes = jnp.concatenate([p[0] for p in parts], axis=0)[:n_alloc]
+        scale = jnp.concatenate([p[1] for p in parts], axis=0)[:n_alloc]
         del parts
         post_rows = jax.random.randint(k2, (vocab, cap), 0, n_rows,
                                        jnp.int32)
         post_tf = (1.0 + jax.random.uniform(k3, (vocab, cap))).astype(
             jnp.bfloat16)
-        doc_tokens = jax.random.randint(k4, (n_rows, ld), 8, 32768,
+        doc_tokens = jax.random.randint(k4, (n_alloc, ld), 8, 32768,
                                         jnp.int32).astype(jnp.uint16)
         df = jax.random.randint(k5, (vocab,), 1, max(n_rows // 10, 2),
                                 jnp.int32)
-        doc_len = jnp.full((n_rows,), 1.5 * nnz, jnp.float32)
-        valid = jnp.ones((n_rows,), jnp.bool_)
+        doc_len = jnp.full((n_alloc,), 1.5 * nnz, jnp.float32)
+        valid = jnp.arange(n_alloc) < n_rows
         # postings path never touches doc_idx/doc_tf — tiny dummies
-        dummy_idx = jnp.zeros((n_rows, 1), jnp.int32)
-        dummy_tf = jnp.zeros((n_rows, 1), jnp.float32)
+        dummy_idx = jnp.zeros((n_alloc, 1), jnp.int32)
+        dummy_tf = jnp.zeros((n_alloc, 1), jnp.float32)
         # literal fetch of the LAST-dispatched array: block_until_ready
         # under-syncs on this backend, and in-order execution means this
         # fetch completing implies the whole staging queue ran
@@ -194,7 +198,7 @@ def main() -> None:
     # jax.block_until_ready can resolve before the chip has executed
     # (utils/timing.py docstring) — every timed region below ends in a
     # literal fetch (device_get) or uses the chained-dependence helper.
-    from advanced_rag_tpu.utils.timing import chained_ms, zero_scalar_of
+    from advanced_rag_tpu.utils.timing import chained_ms
 
     def perturb(args, eps):
         # fold a zero scalar (data-dependent on the previous call) into
@@ -221,36 +225,51 @@ def main() -> None:
         curve[str(b)] = round(b / (ms / 1e3), 1)
     extra["qps_pipelined_by_batch"] = curve
 
-    # -- stage breakdown (amortized, chained) ---------------------------
-    def amortized_ms(fn, rounds: int = 10) -> float:
-        """fn(eps) -> array; eps folded in by the caller."""
-        return chained_ms(lambda i, eps: fn(eps), rounds=rounds)
+    # -- stage breakdown (true device time: lax.scan-chained) -----------
+    # scanned_ms runs the whole round chain inside ONE program, so the
+    # ~4.5 ms/call host-dispatch floor of the tunnel does not pollute
+    # kernel numbers (utils/timing.py); big arrays go via operands.
+    from advanced_rag_tpu.utils.timing import scanned_ms
 
     q_ids, q_mask, q_idx, q_tf = encode_queries(_queries(rng, q_batch))
     bi_jit = jax.jit(bi.apply)
-    extra["stage_embed_ms_b8"] = round(amortized_ms(
-        lambda eps: bi_jit(p_bi, q_ids + eps.astype(jnp.int32), q_mask)), 2)
+    extra["stage_embed_ms_b8"] = round(scanned_ms(
+        lambda eps, p, ids, mask: bi_jit(p, ids + eps.astype(jnp.int32),
+                                         mask),
+        rounds=20, operands=(p_bi, q_ids, q_mask)), 2)
 
     from advanced_rag_tpu.ops import hybrid_retrieve
     q_dense = bi_jit(p_bi, q_ids, q_mask)
+    hybrid_ops = (corpus["codes"], corpus["dummy_idx"], corpus["dummy_tf"],
+                  corpus["doc_len"], corpus["df"], corpus["valid"],
+                  corpus["post_rows"], corpus["post_tf"], corpus["scale"],
+                  q_dense, q_idx, q_tf)
 
-    def hybrid_only(eps):
+    def hybrid_only(eps, codes, didx, dtf, dlen, df_, v, prow, ptf, sc,
+                    qd, qi, qt):
         return hybrid_retrieve(
-            corpus["codes"], corpus["dummy_idx"], corpus["dummy_tf"],
-            corpus["doc_len"], corpus["df"], jnp.float32(corpus["n"]),
-            q_dense + eps, q_idx, q_tf, corpus["valid"], weights,
-            jnp.float32(0.8), post_rows=corpus["post_rows"],
-            post_tf=corpus["post_tf"], emb_scale=corpus["scale"],
+            codes, didx, dtf, dlen, df_, jnp.float32(corpus["n"]),
+            qd + eps, qi, qt, v, weights, jnp.float32(0.8),
+            post_rows=prow, post_tf=ptf, emb_scale=sc,
             k_cand=40, k_out=24, dense_impl="sq8",
             sparse_impl="postings", use_mmr=True).ids
-    extra["stage_hybrid_ms_b8"] = round(amortized_ms(hybrid_only), 2)
+    extra["stage_hybrid_ms_b8"] = round(scanned_ms(
+        hybrid_only, rounds=20, operands=hybrid_ops), 2)
 
-    # dense scan HBM bandwidth fraction (VERDICT r1 #3)
+    # dense scan HBM bandwidth fraction (VERDICT r1 #3) — measures the
+    # impl the product hybrid path picks (XLA fused approx_max_k; the
+    # Pallas comparison lives in scripts/bench_dense_roofline.py)
     from advanced_rag_tpu.ops.quant import dense_topk_sq8_approx
-    dt_ms = amortized_ms(lambda eps: dense_topk_sq8_approx(
-        corpus["codes"], corpus["scale"], q_dense + eps, 40,
-        corpus["valid"], metric="ip", normalize_queries=False)[1])
-    bytes_scanned = corpus["n"] * (d + 4)     # int8 codes + f32 scale
+    dt_ms = scanned_ms(
+        lambda eps, c, s, v, qd: dense_topk_sq8_approx(
+            c, s, qd + eps, 40, v, metric="ip",
+            normalize_queries=False)[1],
+        rounds=50,
+        operands=(corpus["codes"], corpus["scale"], corpus["valid"],
+                  q_dense))
+    # the scan streams the padded allocation (16384-aligned capacity)
+    n_scanned = -(-corpus["n"] // 16384) * 16384
+    bytes_scanned = n_scanned * (d + 4)       # int8 codes + f32 scale
     gbs = bytes_scanned / (dt_ms / 1e3) / 1e9
     extra["dense_sq8_ms_b8"] = round(dt_ms, 2)
     extra["dense_sq8_gbs"] = round(gbs, 0)
@@ -258,16 +277,27 @@ def main() -> None:
 
     # -- 1536-dim variant (reference semantic dim, indexing.py:92) ------
     if run_1536:
-        from advanced_rag_tpu.ops.dense import dense_topk
-        key = jax.random.PRNGKey(9)
-        emb1536 = jax.random.normal(key, (n, 1536), jnp.bfloat16)
+        import functools as _ft
+
+        from advanced_rag_tpu.ops.dense import dense_topk_approx
+        n_alloc = -(-n // 16384) * 16384
+        chunk1536 = n_alloc // 4
+
+        @_ft.partial(jax.jit, donate_argnums=(0,))
+        def _fill1536(buf, ck, i):
+            e = jax.random.normal(ck, (chunk1536, 1536), jnp.bfloat16)
+            return jax.lax.dynamic_update_slice(buf, e, (i, jnp.int32(0)))
+
+        emb1536 = jnp.zeros((n_alloc, 1536), jnp.bfloat16)
+        for j, ck in enumerate(jax.random.split(jax.random.PRNGKey(9), 4)):
+            emb1536 = _fill1536(emb1536, ck, jnp.int32(j * chunk1536))
         q1536 = jax.random.normal(jax.random.PRNGKey(10), (q_batch, 1536),
                                   jnp.float32)
-        v = corpus["valid"]
-        ms1536 = amortized_ms(lambda eps: dense_topk(
-            emb1536, q1536 + eps, 40, v, metric="ip",
-            normalize_queries=False)[1], rounds=5)
-        gbs1536 = n * 1536 * 2 / (ms1536 / 1e3) / 1e9
+        ms1536 = scanned_ms(
+            lambda eps, e, v, qq: dense_topk_approx(
+                e, qq + eps, 40, v, metric="ip")[1],
+            rounds=20, operands=(emb1536, corpus["valid"], q1536))
+        gbs1536 = n_alloc * 1536 * 2 / (ms1536 / 1e3) / 1e9
         extra["dense_1536_bf16_ms_b8"] = round(ms1536, 2)
         extra["dense_1536_gbs"] = round(gbs1536, 0)
         del emb1536, q1536

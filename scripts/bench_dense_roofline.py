@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("--d", type=int, default=384)
     ap.add_argument("--q", type=int, default=8)
     ap.add_argument("--k", type=int, default=40)
-    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--rounds", type=int, default=50)
     ap.add_argument("--block", type=int, default=8192)
     args = ap.parse_args()
 
@@ -72,14 +72,11 @@ def main() -> None:
     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
     valid = (jnp.arange(n_pad) < n)
 
-    # chained timing: block_until_ready under-syncs on the tunneled
-    # backend (utils/timing.py) — fold a zero scalar from the previous
-    # output into the queries and fetch once at the end
-    from advanced_rag_tpu.utils.timing import chained_ms
-
-    def amortized(fn):
-        return chained_ms(lambda i, eps: fn(q + eps), rounds=args.rounds)
-
+    # true device timing: the whole round chain runs inside ONE jitted
+    # program (utils/timing.py scanned_ms) — chained host dispatches
+    # carry a ~4.5 ms/call tunnel floor that at 1M rows exceeds the
+    # kernel itself (measured; a trivial op "took" 4.5 ms)
+    from advanced_rag_tpu.utils.timing import scanned_ms
 
     res = {"n": n, "d": d, "q": q_n, "stage_s": round(stage_s, 1)}
 
@@ -88,13 +85,23 @@ def main() -> None:
         res[name] = {"ms": round(ms, 2), "gbs": round(gbs, 0),
                      "hbm_fraction": round(gbs / HBM_PEAK_GBS, 3)}
 
+    from advanced_rag_tpu.ops.dense import dense_topk_approx
+
     bf_bytes = n_pad * d * 2
-    record("xla_bf16", amortized(lambda qq: dense_topk(
-        emb, qq, args.k, valid, metric="ip", normalize_queries=False,
-        block_size=65536)[1]), bf_bytes)
-    record("pallas_bf16", amortized(lambda qq: dense_topk_pallas(
-        emb, qq, args.k, valid, metric="ip", normalize_queries=False,
-        block_size=args.block)[1]), bf_bytes)
+    record("xla_bf16_blocked", scanned_ms(
+        lambda eps, e, v, qq: dense_topk(
+            e, qq + eps, args.k, v, metric="ip", normalize_queries=False,
+            block_size=65536)[1],
+        rounds=args.rounds, operands=(emb, valid, q)), bf_bytes)
+    record("xla_bf16_approx", scanned_ms(
+        lambda eps, e, v, qq: dense_topk_approx(
+            e, qq + eps, args.k, v, metric="ip")[1],
+        rounds=args.rounds, operands=(emb, valid, q)), bf_bytes)
+    record("pallas_bf16", scanned_ms(
+        lambda eps, e, v, qq: dense_topk_pallas(
+            e, qq + eps, args.k, v, metric="ip", normalize_queries=False,
+            block_size=args.block)[1],
+        rounds=args.rounds, operands=(emb, valid, q)), bf_bytes)
 
     # Quantize chunked into a donated int8 buffer, then release bf16.
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -112,13 +119,24 @@ def main() -> None:
     jax.device_get(codes[:1, :1])
     del emb
 
+    from advanced_rag_tpu.ops.quant import dense_topk_sq8_approx
+
     sq_bytes = n_pad * (d + 4)
-    record("xla_sq8", amortized(lambda qq: dense_topk_sq8(
-        codes, scale, qq, args.k, valid, metric="ip",
-        normalize_queries=False)[1]), sq_bytes)
-    record("pallas_sq8", amortized(lambda qq: dense_topk_sq8_pallas(
-        codes, scale, qq, args.k, valid, metric="ip",
-        normalize_queries=False, block_size=args.block)[1]), sq_bytes)
+    record("xla_sq8_blocked", scanned_ms(
+        lambda eps, c, s, v, qq: dense_topk_sq8(
+            c, s, qq + eps, args.k, v, metric="ip",
+            normalize_queries=False)[1],
+        rounds=args.rounds, operands=(codes, scale, valid, q)), sq_bytes)
+    record("xla_sq8_approx", scanned_ms(
+        lambda eps, c, s, v, qq: dense_topk_sq8_approx(
+            c, s, qq + eps, args.k, v, metric="ip",
+            normalize_queries=False)[1],
+        rounds=args.rounds, operands=(codes, scale, valid, q)), sq_bytes)
+    record("pallas_sq8", scanned_ms(
+        lambda eps, c, s, v, qq: dense_topk_sq8_pallas(
+            c, s, qq + eps, args.k, v, metric="ip",
+            normalize_queries=False, block_size=args.block)[1],
+        rounds=args.rounds, operands=(codes, scale, valid, q)), sq_bytes)
 
     print(json.dumps(res))
 

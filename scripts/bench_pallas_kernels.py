@@ -33,14 +33,14 @@ def main() -> None:
 
     res: dict = {"n": args.n}
 
+    # chained-dependence timing: block_until_ready can resolve before
+    # execution on the relay backend (utils/timing.py)
+    from advanced_rag_tpu.utils.timing import chained_ms
+
     def amortized(fn):
-        out = fn()
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.rounds):
-            out = fn()
-        jax.block_until_ready(out)
-        return round((time.perf_counter() - t0) / args.rounds * 1e3, 2)
+        """fn(eps) -> array; eps folds the previous output in."""
+        return round(chained_ms(lambda i, eps: fn(eps),
+                                rounds=args.rounds), 2)
 
     # ---- batched IVF: XLA gather path vs Pallas slab streaming --------
     from advanced_rag_tpu.ops.ivf import build_ivf, ivf_topk
@@ -57,9 +57,10 @@ def main() -> None:
         build_s = time.perf_counter() - t0
         for Q in (1, 8):
             q = jnp.asarray(x[rng.integers(0, n_ivf, Q)])
-            xla = amortized(lambda: ivf_topk(parts, q, 20, nprobe=64)[1])
-            pal = amortized(lambda: ivf_topk_pallas_batch(
-                parts, q, 20, nprobe=64)[1])
+            xla = amortized(lambda eps: ivf_topk(
+                parts, q + eps, 20, nprobe=64)[1])
+            pal = amortized(lambda eps: ivf_topk_pallas_batch(
+                parts, q + eps, 20, nprobe=64)[1])
             res[f"ivf_{dtype}_q{Q}"] = {
                 "xla_ms": xla, "pallas_ms": pal,
                 "speedup": round(xla / pal, 2)}
@@ -89,12 +90,13 @@ def main() -> None:
                 rng.integers(0, vocab, (Q, T)).astype(np.int32))
             q_idx = q_idx.at[:, T // 2:].set(-1)
             q_tf = jnp.ones((Q, T), jnp.float32)
-            xla = amortized(lambda: sparse_topk(
+            xla = amortized(lambda eps: sparse_topk(
                 doc_idx, doc_tf, doc_len, df, jnp.float32(n),
-                q_idx, q_tf, 40, valid)[1])
-            pal = amortized(lambda: sparse_topk_pallas(
+                q_idx, q_tf + eps, 40, valid)[1])
+            pal = amortized(lambda eps: sparse_topk_pallas(
                 doc_idx, doc_tf, doc_len, df, jnp.float32(n),
-                q_idx, q_tf, 40, valid, None, doc_idx_t, doc_tf_t)[1])
+                q_idx, q_tf + eps, 40, valid, None, doc_idx_t,
+                doc_tf_t)[1])
             res[f"sparse_q{Q}"] = {"xla_ms": xla, "pallas_ms": pal,
                                    "speedup": round(xla / pal, 2)}
 

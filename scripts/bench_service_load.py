@@ -106,8 +106,12 @@ async def run(args) -> None:
                     if not body["results"]:
                         # contract degrade-to-empty under the strict
                         # internal 300 ms budget — not an error, but
-                        # not a served result either
+                        # not a served result either.  Back off so the
+                        # retry doesn't hot-loop the saturated engine
+                        # (closed-loop clients spinning on degrades is a
+                        # self-sustaining collapse).
                         degraded += 1
+                        await asyncio.sleep(0.02)
                         continue
                 except Exception:
                     errors += 1

@@ -298,6 +298,24 @@ class TestPipelineEndToEnd:
         rep = pipe.detect_drift(["tpu matmul", "hybrid fusion"])
         assert 0 <= rep.magnitude <= 1
 
+    def test_warm_up_compiles_all_batch_buckets(self, pipe):
+        """warm_up must cover every pow2 micro-batch bucket a burst can
+        route a query into — is_warm gates the strict latency budget."""
+        r = pipe.retriever
+        r._warm_keys.clear()
+        r._warm_buckets.clear()
+        q = "how does hybrid retrieval fuse dense and sparse?"
+        assert not r.is_warm(q)
+        pipe.warm_up()
+        assert r.is_warm("warm up", pipe.config.top_k)
+        key = r._program_key("warm up", pipe.config.top_k)
+        top = r._pow2(r.config.micro_batch_size)
+        want, need = set(), 1
+        while need <= top:
+            want.add(need)
+            need *= 2
+        assert want <= r._warm_buckets[key]
+
     def test_forget_document(self):
         p = AdvancedRAGPipeline()
         p.ingest_documents(DOCS)

@@ -253,3 +253,49 @@ class TestEmbeddingCacheAsync:
 
         assert get_cache("semantic") is get_cache("semantic")
         assert get_cache("semantic") is not get_cache("domain")
+
+
+class TestDeviceTiming:
+    """utils/timing.py — the honest-measurement layer under the bench."""
+
+    def test_zero_scalar_is_fold_proof(self):
+        """The zero must survive jit: `v * 0.0` constant-folds to 0.0,
+        severing the data chain and letting XLA dead-code-eliminate the
+        timed body (observed: 50 kernel calls 'ran' in 0 ms)."""
+        import jax
+        import jax.numpy as jnp
+
+        from advanced_rag_tpu.utils.timing import zero_scalar_of
+
+        @jax.jit
+        def f(x):
+            return zero_scalar_of(x * 2.0)
+
+        hlo = jax.jit(f).lower(jnp.ones((4,))).compile().as_text()
+        assert float(f(jnp.ones((4,)))) == 0.0
+        # the compiled program must still depend on the input
+        assert "parameter(0)" in hlo or "Arg_0" in hlo
+
+    def test_scanned_ms_runs_and_is_nonnegative(self):
+        import jax.numpy as jnp
+
+        from advanced_rag_tpu.utils.timing import scanned_ms
+
+        x = jnp.ones((8, 64), jnp.float32)
+        ms = scanned_ms(lambda eps, xx: (xx + eps) * 1.5, rounds=5,
+                        operands=(x,))
+        assert ms >= 0.0
+
+    def test_scanned_ms_scales_with_work(self):
+        """A 128x-bigger matmul must not time at ~0 (DCE canary)."""
+        import jax.numpy as jnp
+
+        from advanced_rag_tpu.utils.timing import scanned_ms
+
+        small = jnp.ones((16, 16), jnp.float32)
+        big = jnp.ones((512, 512), jnp.float32)
+        ms_small = scanned_ms(
+            lambda eps, a: (a + eps) @ a.T, rounds=20, operands=(small,))
+        ms_big = scanned_ms(
+            lambda eps, a: (a + eps) @ a.T, rounds=20, operands=(big,))
+        assert ms_big > ms_small
