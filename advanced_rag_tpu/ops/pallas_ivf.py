@@ -34,11 +34,17 @@ def _interpret() -> bool:
 
 
 def _slab_kernel(probes_ref, q_ref, emb_ref, out_ref):
-    """One probed partition vs one query -> [1, cap] scores."""
+    """One probed partition vs one query -> [1, cap] scores.
+
+    Mosaic requires each block's LAST TWO dims to be (8,128)-divisible
+    or equal to the array dims — hence the singleton axis in the output
+    ([nprobe, 1, cap] blocked (1, 1, cap)): a (1, cap) block over
+    [nprobe, cap] is illegal for nprobe > 1.
+    """
     del probes_ref  # consumed by the index_map
     e = emb_ref[0]                               # [cap, D] storage dtype
     q = q_ref[:]                                 # [1, D] f32
-    out_ref[:] = jnp.dot(q, e.astype(jnp.float32).T,
+    out_ref[0] = jnp.dot(q, e.astype(jnp.float32).T,
                          preferred_element_type=jnp.float32)
 
 
@@ -70,15 +76,15 @@ def ivf_topk_pallas(
             pl.BlockSpec((1, cap, d), lambda i, probes: (probes[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, cap), lambda i, probes: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, cap), lambda i, probes: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     scores = pl.pallas_call(
         _slab_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nprobe, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nprobe, 1, cap), jnp.float32),
         interpret=_interpret(),
-    )(probe, q, parts.packed_emb)                # [nprobe, cap]
+    )(probe, q, parts.packed_emb)[:, 0, :]       # [nprobe, cap]
 
     rows = parts.packed_rows[probe]              # [nprobe, cap] (tiny gather)
     ok = rows >= 0
@@ -143,47 +149,53 @@ def ivf_topk_pallas_batch(
         q_in = q_codes.astype(jnp.float32)
     else:
         q_in = q
+    # Mosaic block-shape rule: each block's LAST TWO dims must be
+    # (8,128)-divisible or equal to the array's — so every per-step
+    # slice is shaped with a leading singleton pair ([X, 1, width]
+    # blocked (1, 1, width)); see _slab_kernel docstring.
+    q3 = q_in[:, None, :]                            # [Q, 1, D]
     in_specs = [
-        pl.BlockSpec((1, d), lambda qi, i, probes: (qi, 0),
+        pl.BlockSpec((1, 1, d), lambda qi, i, probes: (qi, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cap, d),
                      lambda qi, i, probes: (probes[qi, i], 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [q_in, parts.packed_emb]
+    operands = [q3, parts.packed_emb]
     if sq8:
         in_specs.append(
-            pl.BlockSpec((1, cap), lambda qi, i, probes: (probes[qi, i], 0),
+            pl.BlockSpec((1, 1, cap),
+                         lambda qi, i, probes: (probes[qi, i], 0, 0),
                          memory_space=pltpu.VMEM))
-        operands.append(parts.packed_scale)
+        operands.append(parts.packed_scale[:, None, :])  # [nlist, 1, cap]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nq, nprobe),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, cap),
-                               lambda qi, i, probes: (qi, i, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, cap),
+                               lambda qi, i, probes: (qi, i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     def kernel(probes_ref, q_ref, emb_ref, *rest):
         del probes_ref
         e = emb_ref[0]                               # [cap, D]
-        s = jnp.dot(q_ref[:], e.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32)
+        s = jnp.dot(q_ref[0], e.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)   # [1, cap]
         if sq8:
             scale_ref, out_ref = rest
-            out_ref[0] = s * scale_ref[:]            # per-row dequant
+            out_ref[0, 0] = s * scale_ref[0]         # per-row dequant
         else:
             (out_ref,) = rest
-            out_ref[0] = s
+            out_ref[0, 0] = s
 
     scores = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nq, nprobe, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq, nprobe, 1, cap), jnp.float32),
         interpret=_interpret(),
-    )(probes, *operands)                             # [Q, nprobe, cap]
+    )(probes, *operands)[:, :, 0, :]                 # [Q, nprobe, cap]
     if sq8:
         scores = scores * q_scale[:, None, None]
 

@@ -33,14 +33,16 @@ def main() -> None:
 
     res: dict = {"n": args.n}
 
-    # chained-dependence timing: block_until_ready can resolve before
-    # execution on the relay backend (utils/timing.py)
-    from advanced_rag_tpu.utils.timing import chained_ms
+    # device-true timing: the round chain runs inside one jitted
+    # program (utils/timing.py scanned_ms) — per-call host dispatch
+    # carries a ~4.5 ms floor on the tunneled backend, which at these
+    # sizes exceeds the kernels themselves
+    from advanced_rag_tpu.utils.timing import scanned_ms
 
-    def amortized(fn):
-        """fn(eps) -> array; eps folds the previous output in."""
-        return round(chained_ms(lambda i, eps: fn(eps),
-                                rounds=args.rounds), 2)
+    def amortized(fn, operands):
+        """fn(eps, *operands) -> array."""
+        return round(scanned_ms(fn, rounds=args.rounds,
+                                operands=operands), 2)
 
     # ---- batched IVF: XLA gather path vs Pallas slab streaming --------
     from advanced_rag_tpu.ops.ivf import build_ivf, ivf_topk
@@ -57,10 +59,10 @@ def main() -> None:
         build_s = time.perf_counter() - t0
         for Q in (1, 8):
             q = jnp.asarray(x[rng.integers(0, n_ivf, Q)])
-            xla = amortized(lambda eps: ivf_topk(
-                parts, q + eps, 20, nprobe=64)[1])
-            pal = amortized(lambda eps: ivf_topk_pallas_batch(
-                parts, q + eps, 20, nprobe=64)[1])
+            xla = amortized(lambda eps, p, qq: ivf_topk(
+                p, qq + eps, 20, nprobe=64)[1], (parts, q))
+            pal = amortized(lambda eps, p, qq: ivf_topk_pallas_batch(
+                p, qq + eps, 20, nprobe=64)[1], (parts, q))
             res[f"ivf_{dtype}_q{Q}"] = {
                 "xla_ms": xla, "pallas_ms": pal,
                 "speedup": round(xla / pal, 2)}
@@ -90,13 +92,18 @@ def main() -> None:
                 rng.integers(0, vocab, (Q, T)).astype(np.int32))
             q_idx = q_idx.at[:, T // 2:].set(-1)
             q_tf = jnp.ones((Q, T), jnp.float32)
-            xla = amortized(lambda eps: sparse_topk(
-                doc_idx, doc_tf, doc_len, df, jnp.float32(n),
-                q_idx, q_tf + eps, 40, valid)[1])
-            pal = amortized(lambda eps: sparse_topk_pallas(
-                doc_idx, doc_tf, doc_len, df, jnp.float32(n),
-                q_idx, q_tf + eps, 40, valid, None, doc_idx_t,
-                doc_tf_t)[1])
+            xla = amortized(
+                lambda eps, di, dt, dl, dff, qi, qt, v: sparse_topk(
+                    di, dt, dl, dff, jnp.float32(n),
+                    qi, qt + eps, 40, v)[1],
+                (doc_idx, doc_tf, doc_len, df, q_idx, q_tf, valid))
+            pal = amortized(
+                lambda eps, di, dt, dl, dff, qi, qt, v, dit, dtt:
+                    sparse_topk_pallas(
+                        di, dt, dl, dff, jnp.float32(n),
+                        qi, qt + eps, 40, v, None, dit, dtt)[1],
+                (doc_idx, doc_tf, doc_len, df, q_idx, q_tf, valid,
+                 doc_idx_t, doc_tf_t))
             res[f"sparse_q{Q}"] = {"xla_ms": xla, "pallas_ms": pal,
                                    "speedup": round(xla / pal, 2)}
 
