@@ -372,9 +372,11 @@ class DenseIndex:
 
     def _tune_nprobe_ivfpq(self, q: np.ndarray, recall_target: float,
                            k: int) -> Tuple[int, float]:
-        """Doubling sweep for the IVF-PQ tier.  The oracle is full-probe
-        deep candidates exactly re-scored from the f32 mirror — near-
-        exact top-k without a float scan (the codes ARE the storage).
+        """Doubling sweep for the IVF-PQ tier.  The oracle is the exact
+        f32 top-k brute-forced from the host mirror (cheap: [Q, size]
+        host matmul; a full-probe device ADC pass was tried first but
+        its vmapped [Q, nlist, cap, m] masked-sum transient OOMs HBM at
+        ~100k rows x 1536 dims).
 
         Recall is measured at the tier's OPERATING POINT — does the
         refine-depth candidate set at this nprobe contain the true
@@ -389,8 +391,8 @@ class DenseIndex:
         qj = jnp.asarray(q, jnp.float32)
         refine = int(self.config.refine_factor) or 32
         depth = int(min(max(k * max(refine, 1), k), self.size, 1024))
-        _, cand = ivfpq_topk(idx, qj, depth, nprobe=nlist, m=m, bits=bits)
-        _, oracle = self._refine_exact(qj, cand, k)
+        host_scores = np.asarray(q, np.float32) @ self._host[:self.size].T
+        oracle = np.argsort(-host_scores, axis=1, kind="stable")[:, :k]
         oracle_sets = [set(r[r >= 0].tolist()) for r in np.asarray(oracle)]
 
         def recall_at(npb: int) -> float:

@@ -16,7 +16,7 @@ Tiers compared at identical corpus/queries:
     BM25 + RRF (the "real model" path)
 
 Usage: python scripts/bench_quality_real.py [--cpu] [--max-docs 8000]
-       [--train-steps 300] [--no-train]
+       [--train-steps 2000] [--no-train]
 Writes QUALITY_REAL.json and prints a summary table.
 """
 
@@ -36,9 +36,16 @@ PACKAGES = ["numpy", "scipy", "jax", "flax", "optax", "aiohttp",
 
 
 def harvest_docstrings(max_docs: int, min_chars: int = 300) -> list:
-    """(doc_id, summary, body) triples from installed-package APIs."""
+    """(doc_id, summary, body) triples from installed-package APIs.
+
+    Walks submodules recursively (``pkgutil.walk_packages``) — the
+    shallow top-level scan found only ~400 usable passages, starving
+    the contrastive trainer; the deep walk finds thousands."""
+    import contextlib
     import importlib
+    import io
     import pkgutil
+    import warnings
 
     seen_text: set = set()
     out: list = []
@@ -66,14 +73,25 @@ def harvest_docstrings(max_docs: int, min_chars: int = 300) -> list:
         visit(pkg, pkg_name)
         mods = [pkg]
         if hasattr(pkg, "__path__"):
-            for info in pkgutil.iter_modules(pkg.__path__):
-                if info.name.startswith("_") or len(out) >= max_docs:
-                    break
-                try:
-                    mods.append(importlib.import_module(
-                        f"{pkg_name}.{info.name}"))
-                except Exception:
-                    continue
+            # deep walk; imports of heavy/broken submodules are skipped,
+            # their stdout/stderr chatter suppressed
+            with warnings.catch_warnings(), \
+                    contextlib.redirect_stdout(io.StringIO()), \
+                    contextlib.redirect_stderr(io.StringIO()):
+                warnings.simplefilter("ignore")
+                for info in pkgutil.walk_packages(
+                        pkg.__path__, prefix=f"{pkg_name}.",
+                        onerror=lambda _: None):
+                    base = info.name.rsplit(".", 1)[-1]
+                    if base.startswith("_") or ".tests" in info.name \
+                            or ".test_" in info.name:
+                        continue
+                    if len(out) >= max_docs:
+                        break
+                    try:
+                        mods.append(importlib.import_module(info.name))
+                    except BaseException:  # some submodules sys.exit()
+                        continue
         for mod in mods:
             for name in dir(mod):
                 if name.startswith("_") or len(out) >= max_docs:
@@ -113,7 +131,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--max-docs", type=int, default=8000)
-    ap.add_argument("--train-steps", type=int, default=300)
+    ap.add_argument("--train-steps", type=int, default=2000)
     ap.add_argument("--no-train", action="store_true")
     ap.add_argument("--queries", type=int, default=256)
     args = ap.parse_args()
@@ -187,12 +205,16 @@ def main() -> None:
         from advanced_rag_tpu.train import (
             TrainConfig, build_train_mesh, make_optimizer, make_train_step)
 
-        enc_cfg = EncoderConfig(vocab_size=16384, hidden_dim=128,
+        # 64-token doc truncation starved the encoder of the body text
+        # (queries are the bodies' SUMMARY lines — the distinguishing
+        # content sits deep in the body); 128 tokens + a 32k hash vocab
+        # (fewer collisions) measurably lift dense recall
+        enc_cfg = EncoderConfig(vocab_size=32768, hidden_dim=128,
                                 num_layers=4, num_heads=4, mlp_dim=512,
-                                max_len=64)
-        tok = HashingTokenizer(TokenizerConfig(vocab_size=16384,
-                                               max_len=64))
-        tcfg = TrainConfig(learning_rate=3e-4, warmup_steps=20,
+                                max_len=128)
+        tok = HashingTokenizer(TokenizerConfig(vocab_size=32768,
+                                               max_len=128))
+        tcfg = TrainConfig(learning_rate=5e-4, warmup_steps=50,
                            total_steps=args.train_steps)
         mesh = build_train_mesh(1, tcfg)
         model, params = init_bi_encoder(enc_cfg, out_dim=256, seed=0)
@@ -204,24 +226,26 @@ def main() -> None:
         print(f"training bi-encoder: {args.train_steps} steps over "
               f"{len(train_pool)} pairs", flush=True)
 
+        # pre-tokenize the whole pool ONCE (the per-step Python tokenize
+        # loop was the wall-clock bottleneck, not the TPU)
+        pq_ids, pq_mask = tok.encode_batch([p[0] for p in train_pool], 128)
+        pd_ids, pd_mask = tok.encode_batch([p[1] for p in train_pool], 128)
+
         def pair_batch(sel):
-            q_ids, q_mask = tok.encode_batch(
-                [train_pool[j][0] for j in sel], 64)
-            d_ids, d_mask = tok.encode_batch(
-                [train_pool[j][1] for j in sel], 64)
-            return {"q_ids": jnp.asarray(q_ids),
-                    "q_mask": jnp.asarray(q_mask),
-                    "d_ids": jnp.asarray(d_ids),
-                    "d_mask": jnp.asarray(d_mask)}
+            return {"q_ids": jnp.asarray(pq_ids[sel]),
+                    "q_mask": jnp.asarray(pq_mask[sel]),
+                    "d_ids": jnp.asarray(pd_ids[sel]),
+                    "d_mask": jnp.asarray(pd_mask[sel])}
 
         t0 = time.perf_counter()
-        bsz = 64
+        bsz = min(128, len(train_pool))
         for s in range(args.train_steps):
             sel = rng.integers(0, len(train_pool), bsz)
             params, opt_state, metrics = step(params, opt_state,
                                               pair_batch(sel))
-            if s % 50 == 0:
-                print(f"  step {s}: loss {float(metrics['loss']):.3f}",
+            if s % 100 == 0:
+                print(f"  step {s}: loss {float(metrics['loss']):.3f} "
+                      f"acc {float(metrics.get('accuracy', 0.0)):.2f}",
                       flush=True)
         results["train_s"] = round(time.perf_counter() - t0, 1)
         results["final_loss"] = round(float(metrics["loss"]), 4)

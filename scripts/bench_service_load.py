@@ -75,14 +75,18 @@ async def run(args) -> None:
             assert r.status == 200, await r.text()
         ingest_s = time.perf_counter() - t0
 
-        # warm every pow2 query-bucket shape the micro-batcher can form
-        # under load (each (batch, k) signature compiles once); repeat
-        # the top burst so coalescing actually reaches the big buckets
-        for burst in (1, 2, 4, 8, 16, 32, 32, 32):
-            await asyncio.gather(*[
-                s.post(f"{base}/retrieve",
-                       json={"query": f"warm up shape {i}", "top_k": 5})
-                for i in range(min(burst, args.clients))])
+        # deterministic warmup: compile every (k-bucket x pow2
+        # micro-batch bucket) program shape for the k the clients use.
+        # (HTTP-burst "warming" was tried first: continuous batching
+        # coalesces arbitrary sizes, so bursts leave buckets unformed
+        # and they compile seconds-long mid-run — measured p95 8.6 s.)
+        r = await s.post(f"{base}/admin/warmup", json={"top_k": [5]})
+        print("warmup:", await r.json(), flush=True)
+        # touch the HTTP path end-to-end once per client
+        await asyncio.gather(*[
+            s.post(f"{base}/retrieve",
+                   json={"query": f"warm up {i}", "top_k": 5})
+            for i in range(args.clients)])
 
         lat: list = []
         errors = degraded = 0
@@ -126,6 +130,9 @@ async def run(args) -> None:
             *[client(i) for i in range(args.clients)])
         elapsed = time.perf_counter() - t0
 
+        # stage breakdown + micro-batch coalescing from the live service
+        perf = await (await s.get(f"{base}/perf")).json()
+
     await runner.cleanup()
     total = int(sum(counts))
     out = {
@@ -145,6 +152,9 @@ async def run(args) -> None:
             "endpoint_slo_ms": 300.0,
             "docs": args.docs,
             "ingest_s": round(ingest_s, 1),
+            "stages_p50_ms": {k: round(v["p50"], 1)
+                              for k, v in perf["stages_ms"].items()},
+            "micro_batcher": perf.get("micro_batcher"),
         },
     }
     print(json.dumps(out))

@@ -23,13 +23,16 @@ class TestMicroBatcher:
             time.sleep(0.01)
             return [q.upper() for q in queries]
 
-        mb = MicroBatcher(batch_fn, max_batch=8, max_wait_s=0.05)
+        # one dispatcher: whatever queues during an in-flight dispatch
+        # MUST coalesce into the next grab (continuous batching)
+        mb = MicroBatcher(batch_fn, max_batch=8, max_inflight=1)
         with concurrent.futures.ThreadPoolExecutor(8) as pool:
             futs = [pool.submit(mb.submit, "key", f"q{i}") for i in range(8)]
             results = [f.result() for f in futs]
         assert sorted(results) == [f"Q{i}" for i in range(8)]
-        assert len(calls) <= 3  # mostly coalesced (scheduling-dependent)
+        assert len(calls) <= 4  # mostly coalesced (scheduling-dependent)
         assert mb.stats["max_seen"] >= 4
+        mb.close()
 
     def test_distinct_keys_do_not_mix(self):
         def batch_fn(queries, **kw):
