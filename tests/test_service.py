@@ -243,6 +243,22 @@ class TestAdminEndpoints:
         stats = await (await client.get("/admin/index/stats")).json()
         assert stats["semantic"]["ivf"] is True
 
+    async def test_admin_warmup(self, client):
+        """POST /admin/warmup compiles every profile-signature x batch
+        bucket so is_warm holds for arbitrary profile queries after."""
+        await _ingest(client)
+        retriever = client.app["state"].pipeline.retriever
+        retriever._warm_keys.clear()
+        retriever._warm_buckets.clear()
+        resp = await client.post("/admin/warmup", json={"top_k": [5]})
+        assert resp.status == 200
+        data = await resp.json()
+        assert data["warmed_top_k"] == [5]
+        assert retriever.is_warm("how does fusion work", 5)
+        # mmr-off profiles (troubleshooting) share k=5 but are a
+        # distinct compiled signature — must also be warm
+        assert retriever.is_warm("error: connection failed", 5)
+
     async def test_maintain_requires_auth_when_key_set(self, client):
         state = client.app["state"]
         state.api_key = "secret"
