@@ -160,7 +160,12 @@ def build_ivf(
         assign.append(np.asarray(_assign_block(xb, cj, c_chunk, nlist)))
     a = np.concatenate(assign)
 
+    # round capacity to the VPU sublane multiple: unaligned [.., cap, D]
+    # blocks compile noticeably slower in Mosaic (an early unaligned
+    # cap=625 HUNG the kernel compile on the 2025 toolchain), and the
+    # XLA gather path tiles better aligned too
     cap = max(8, int(np.ceil(capacity_factor * n / nlist)))
+    cap = -(-cap // 8) * 8
     packed_rows = np.full((nlist, cap), -1, np.int32)
     # vectorized packing: sort rows by cluster, position-within-cluster
     # via searchsorted (no Python loop — matters at 10M rows on 1 core)

@@ -140,8 +140,14 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     print("harvesting docstrings...", flush=True)
     docs = harvest_docstrings(args.max_docs)
