@@ -21,6 +21,7 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-sparse", action="store_true")
+    ap.add_argument("--skip-ivf", action="store_true")
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--rounds", type=int, default=10)
     args = ap.parse_args()
@@ -52,7 +53,7 @@ def main() -> None:
     n_ivf = min(args.n, 1_000_000)
     x = rng.standard_normal((n_ivf, 384)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    for dtype in ("bfloat16", "int8"):
+    for dtype in () if args.skip_ivf else ("bfloat16", "int8"):
         t0 = time.perf_counter()
         parts = build_ivf(x, nlist=1024, kmeans_iters=6, seed=0,
                           dtype=dtype, train_sample=131072)
