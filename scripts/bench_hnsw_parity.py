@@ -74,19 +74,28 @@ def run_config(kind: str, n: int, d: int, nq: int, k: int,
            "tiers": {}}
 
     # -- HNSW baseline (reference knobs) --------------------------------
-    t0 = time.perf_counter()
-    h = HNSWBaseline(v, M=16, ef_construction=200)
-    build_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _, ids = h.search(q, k, ef=64, normalize=False)
-    ms_q = (time.perf_counter() - t0) / nq * 1e3
-    out["tiers"]["hnsw_m16_ef64"] = {
-        "recall_at_10": round(recall(ids, oracle, k), 4),
-        "bytes_per_row": round(h.memory_bytes() / n, 1),
-        "build_s": round(build_s, 1),
-        "cpu_ms_per_query": round(ms_q, 3),
-    }
-    del h
+    # cached per (kind, n, d, nq): a 100k build is ~30 min of
+    # single-core CPU, too costly to redo after a tunnel drop kills the
+    # device tiers mid-run (corpus/queries are seeded => deterministic)
+    cache = Path(f"/tmp/hnsw_tier_{kind}_{n}_{d}_{nq}.json")
+    if cache.exists():
+        out["tiers"]["hnsw_m16_ef64"] = json.loads(cache.read_text())
+        print("  (hnsw tier from cache)", flush=True)
+    else:
+        t0 = time.perf_counter()
+        h = HNSWBaseline(v, M=16, ef_construction=200)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, ids = h.search(q, k, ef=64, normalize=False)
+        ms_q = (time.perf_counter() - t0) / nq * 1e3
+        out["tiers"]["hnsw_m16_ef64"] = {
+            "recall_at_10": round(recall(ids, oracle, k), 4),
+            "bytes_per_row": round(h.memory_bytes() / n, 1),
+            "build_s": round(build_s, 1),
+            "cpu_ms_per_query": round(ms_q, 3),
+        }
+        del h
+        cache.write_text(json.dumps(out["tiers"]["hnsw_m16_ef64"]))
 
     # -- our tiers ------------------------------------------------------
     def tier(name: str, dtype: str, ivf: bool, pq: bool = False):
@@ -135,9 +144,14 @@ def main() -> None:
                     help="force the CPU jax backend (recall numbers are "
                          "backend-independent; per-query ms is not)")
     args = ap.parse_args()
-    if args.cpu:
-        import jax
+    import os
 
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     results = []
@@ -151,7 +165,9 @@ def main() -> None:
             print(f"  {tname:14s} recall@10={t['recall_at_10']:.3f}  "
                   f"{t['bytes_per_row']:7.1f} B/row  build {t['build_s']}s",
                   flush=True)
-    Path("PARITY_HNSW.json").write_text(json.dumps(results, indent=1))
+        # checkpoint after every config: an HNSW build is ~30 min of
+        # single-core CPU, and a tunnel drop mid-run must not lose it
+        Path("PARITY_HNSW.json").write_text(json.dumps(results, indent=1))
     print("-> PARITY_HNSW.json")
 
 
