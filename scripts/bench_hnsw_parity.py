@@ -154,10 +154,24 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # resume: configs already in PARITY_HNSW.json are kept as-is (a
+    # prior run's 30-min HNSW builds / hour-long CPU-fallback tiers
+    # must survive tunnel drops and timeouts)
+    out_path = Path("PARITY_HNSW.json")
     results = []
+    if out_path.exists():
+        try:
+            results = json.loads(out_path.read_text())
+        except Exception:
+            results = []
+    done = {(r["corpus"], r["n"], r["dim"]) for r in results}
     configs = [("clustered", args.n, 384), ("uniform", args.n, 384),
                ("clustered", max(args.n // 4, 20_000), 1536)]
     for kind, n, d in configs:
+        if (kind, n, d) in done:
+            print(f"== {kind} n={n} d={d} == (resumed from json)",
+                  flush=True)
+            continue
         print(f"== {kind} n={n} d={d} ==", flush=True)
         r = run_config(kind, n, d, args.nq, 10, args.quick)
         results.append(r)
@@ -167,7 +181,7 @@ def main() -> None:
                   flush=True)
         # checkpoint after every config: an HNSW build is ~30 min of
         # single-core CPU, and a tunnel drop mid-run must not lose it
-        Path("PARITY_HNSW.json").write_text(json.dumps(results, indent=1))
+        out_path.write_text(json.dumps(results, indent=1))
     print("-> PARITY_HNSW.json")
 
 
