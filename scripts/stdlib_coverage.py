@@ -22,7 +22,10 @@ import sys
 from collections import defaultdict
 from pathlib import Path
 
-PKG_ROOT = Path(__file__).resolve().parent.parent / "advanced_rag_tpu"
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+PKG_ROOT = REPO_ROOT / "advanced_rag_tpu"
 TOOL_ID = sys.monitoring.PROFILER_ID
 
 _executed: dict[str, set[int]] = defaultdict(set)
@@ -83,11 +86,14 @@ def main() -> int:
         hit = _executed.get(str(path), set()) & universe
         tot_exec += len(hit)
         tot_all += len(universe)
-        report[str(path.relative_to(PKG_ROOT.parent))] = {
+        entry = {
             "executed": len(hit),
             "executable": len(universe),
             "pct": round(100.0 * len(hit) / len(universe), 1),
         }
+        if os.environ.get("COVERAGE_MISSING"):
+            entry["missing"] = sorted(universe - hit)
+        report[str(path.relative_to(PKG_ROOT.parent))] = entry
     total = round(100.0 * tot_exec / max(tot_all, 1), 1)
     out = {"files": report, "total_pct": total,
            "note": "stdlib sys.monitoring measurement; underestimates "
