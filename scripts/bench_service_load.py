@@ -17,6 +17,12 @@ Prints one JSON line.
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_repo = str(_Path(__file__).resolve().parent.parent)
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import argparse
 import asyncio
 import json
