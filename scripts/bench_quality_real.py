@@ -275,6 +275,32 @@ def main() -> None:
         print("trained_dense_only:",
               results["tiers"]["trained_dense_only"], flush=True)
 
+        # ---- adaptive fusion weights (dev/test split) ----------------
+        # The fixed dense-heavy default (0.7/0.3) under-weights BM25 on
+        # this lexical-leaning corpus; the framework's adaptive-weights
+        # hook (reference retrieval.py:308-320) exists exactly for this.
+        # Honest protocol: pick weights on a dev half, report the test
+        # half — weights are never tuned on the reported queries.
+        dev_q, dev_t = queries[0::2], truth[0::2]
+        test_q, test_t = queries[1::2], truth[1::2]
+        sweep = [(0.7, 0.3), (0.5, 0.5), (0.3, 0.7), (0.2, 0.8),
+                 (0.1, 0.9), (0.0, 1.0)]
+        dev_scores = {}
+        for w in sweep:
+            dev_scores[w] = evaluate(searcher(mgr2, weights=w),
+                                     dev_q, dev_t)["recall_at_10"]
+            print(f"  dev sweep {w}: R@10 {dev_scores[w]}", flush=True)
+        best = max(dev_scores, key=dev_scores.get)
+        adapted = evaluate(searcher(mgr2, weights=best), test_q, test_t)
+        adapted["weights"] = list(best)
+        results["tiers"]["trained_hybrid_adapted"] = adapted
+        # head-to-head on the SAME test half
+        results["tiers"]["bm25_test_half"] = evaluate(
+            searcher(mgr2, weights=(0.0, 1.0)), test_q, test_t)
+        print("trained_hybrid_adapted:", adapted, flush=True)
+        print("bm25_test_half:", results["tiers"]["bm25_test_half"],
+              flush=True)
+
     Path("QUALITY_REAL.json").write_text(json.dumps(results, indent=1))
     print("-> QUALITY_REAL.json")
 
