@@ -449,8 +449,11 @@ async def retrieve(request: web.Request) -> web.Response:
 
 
 async def feedback(request: web.Request) -> web.Response:
-    """Reference service.py:451-472: persist thumbs + update rankers."""
+    """Reference service.py:451-472: persist thumbs + update rankers
+    (auth-guarded there via _auth_or_401 at :454)."""
     state: ServiceState = request.app["state"]
+    if not _auth_ok(state, request):
+        return _json_error(401, "invalid API key", request["request_id"])
     body = await request.json()
     positive = bool(body.get("positive", True))
     with state.db.get_connection() as conn:
