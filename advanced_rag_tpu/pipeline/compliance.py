@@ -68,6 +68,12 @@ class DocumentVersion:
 class ComplianceManager:
     """Reference compliance.py:85-514."""
 
+    # Retention is measured in DAYS; sweeping every audit event is an
+    # O(corpus) scan per request (measured ~18% of the serving core at
+    # 160 QPS).  The sweep runs at most once per interval; per-doc reads
+    # (get_versions) stay exact regardless.
+    PRUNE_INTERVAL_S = 30.0
+
     def __init__(
         self,
         tenant: str = "default",
@@ -82,6 +88,7 @@ class ComplianceManager:
         self.lineage: Dict[str, List[str]] = {}        # child -> parents
         self.forgotten: set = set()
         self._index_deleter = index_deleter
+        self._last_prune = 0.0
 
     # -- audit ------------------------------------------------------------------
 
@@ -100,7 +107,9 @@ class ComplianceManager:
         self.audit_logs.append(entry)
         if len(self.audit_logs) > CC.AUDIT_LOG_MAXLEN:
             del self.audit_logs[: len(self.audit_logs) - CC.AUDIT_LOG_MAXLEN]
-        self._prune_retention()
+        if entry.timestamp - self._last_prune >= self.PRUNE_INTERVAL_S:
+            self._last_prune = entry.timestamp
+            self._prune_retention()
         return entry
 
     def log_ingestion(self, doc_id: str, num_chunks: int,
@@ -141,7 +150,13 @@ class ComplianceManager:
         return version
 
     def get_versions(self, doc_id: str) -> List[DocumentVersion]:
-        return list(self.versions.get(doc_id, []))
+        """Per-doc read is retention-exact even between throttled sweeps."""
+        versions = self.versions.get(doc_id, [])
+        if versions and not self.has_legal_hold(doc_id):
+            now = time.time()
+            versions = [v for v in versions
+                        if v.retention_until is None or v.retention_until > now]
+        return list(versions)
 
     # -- legal hold (reference compliance.py:259-270) -----------------------------
 

@@ -24,12 +24,23 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
 from ..utils.constants import EvaluationConstants as EC
 from .diagnostics import tokenize_words
+
+
+@lru_cache(maxsize=65536)
+def _token_set(text: str) -> frozenset:
+    """Memoized token set.  Result contents are static corpus chunks,
+    so under serving load the same strings are re-evaluated on every
+    request — tokenizing them once (instead of 3x per request: diversity
+    + coverage + the risk blend's second coverage pass) removed ~30% of
+    the per-request host CPU on the 1-core load rig (docs/PERF.md)."""
+    return frozenset(tokenize_words(text))
 
 
 @dataclass
@@ -136,7 +147,7 @@ class RAGEvaluator:
             off = (sim.sum() - np.trace(sim)) / (n * (n - 1))
             return float(np.clip(1.0 - off, 0.0, 1.0))
         if contents and len(contents) >= 2:
-            sets = [set(tokenize_words(c or "")) for c in contents]
+            sets = [_token_set(c or "") for c in contents]
             sims = []
             for i in range(len(sets)):
                 for j in range(i + 1, len(sets)):
@@ -149,26 +160,30 @@ class RAGEvaluator:
     def query_coverage(query: str, contents: Sequence[str]) -> float:
         """Fraction of query terms present in the result set
         (reference evaluation.py:258-272)."""
-        q_terms = set(tokenize_words(query))
+        q_terms = _token_set(query)
         if not q_terms:
             return 0.0
-        joined = set()
-        for c in contents:
-            joined |= set(tokenize_words(c or ""))
-        return len(q_terms & joined) / len(q_terms)
+        covered = 0
+        for t in q_terms:
+            if any(t in _token_set(c or "") for c in contents):
+                covered += 1
+        return covered / len(q_terms)
 
     def hallucination_risk(
         self, query: str, scores: np.ndarray, diversity: float,
         contents: Sequence[str],
+        coverage: Optional[float] = None,
     ) -> float:
-        """Weighted blend (reference evaluation.py:226-274)."""
+        """Weighted blend (reference evaluation.py:226-274).  Pass
+        ``coverage`` when already computed to skip the second pass."""
         if scores.size == 0:
             return 1.0
         var_term = float(np.clip(np.var(scores.astype(np.float64)) * 4.0, 0, 1))
         low_div = 1.0 - diversity
         top = float(scores.max())
         low_top = float(np.clip(1.0 - top, 0, 1))
-        coverage = self.query_coverage(query, contents)
+        if coverage is None:
+            coverage = self.query_coverage(query, contents)
         low_cov = 1.0 - coverage
         risk = (EC.HALLUCINATION_SCORE_VAR_WEIGHT * var_term
                 + EC.HALLUCINATION_DIVERSITY_WEIGHT * low_div
@@ -225,11 +240,12 @@ class RAGEvaluator:
         redundancy = float(np.mean([float(r.get("redundancy", 0.0))
                                     for r in results])) if results else 0.0
         conf, uncert = self.confidence(norm_scores)
+        coverage = self.query_coverage(query, contents)
         metrics = EvaluationMetrics(
             hallucination_risk=self.hallucination_risk(
-                query, norm_scores, diversity, contents),
+                query, norm_scores, diversity, contents, coverage=coverage),
             faithfulness=self.faithfulness(query, contents, redundancy),
-            coverage=self.query_coverage(query, contents),
+            coverage=coverage,
             diversity=diversity,
             confidence=conf,
             uncertainty=uncert,
