@@ -306,6 +306,30 @@ class TestComplianceEdges:
         cm.log_ingestion("other", 1)               # triggers pruning
         assert cm.get_versions("gone") == []
 
+    def test_retention_sweep_is_throttled(self):
+        # The full-store sweep runs at most once per PRUNE_INTERVAL_S
+        # (it was measured at ~18% of the serving core when it ran on
+        # every audit event).  After the first event's sweep, further
+        # events within the interval must NOT trigger another pass.
+        cm = ComplianceManager(retention_days=0)
+        cm.log_ingestion("warm", 1)                # first event sweeps
+        first_sweep = cm._last_prune
+        cm.create_version("gone", "old content")   # expires immediately
+        time.sleep(0.02)
+        cm.log_ingestion("other", 1)               # inside the interval
+        assert cm._last_prune == first_sweep       # no second sweep
+        assert "gone" in cm.versions               # store not yet swept
+
+    def test_get_versions_exact_between_sweeps(self):
+        # Per-doc reads must never expose expired versions, even while
+        # the throttled sweep hasn't physically removed them yet.
+        cm = ComplianceManager(retention_days=0)
+        cm.log_ingestion("warm", 1)                # consume the first sweep
+        cm.create_version("gone", "old content")
+        time.sleep(0.02)
+        assert "gone" in cm.versions               # still in the store...
+        assert cm.get_versions("gone") == []       # ...but never readable
+
     def test_legal_hold_exempts_from_retention(self):
         # the hold must exist BEFORE the version: create_version's own
         # audit event already prunes, and retention_days=0 expires
