@@ -108,9 +108,15 @@ class ComplianceManager:
         if len(self.audit_logs) > CC.AUDIT_LOG_MAXLEN:
             del self.audit_logs[: len(self.audit_logs) - CC.AUDIT_LOG_MAXLEN]
         if entry.timestamp - self._last_prune >= self.PRUNE_INTERVAL_S:
-            self._last_prune = entry.timestamp
-            self._prune_retention()
+            self._sweep_now()
         return entry
+
+    def _sweep_now(self) -> None:
+        """Run the retention sweep immediately and reset the throttle.
+        Rare whole-store readers (reports, integrity checks) call this
+        so they never observe versions expired between throttled sweeps."""
+        self._last_prune = time.time()
+        self._prune_retention()
 
     def log_ingestion(self, doc_id: str, num_chunks: int,
                       user: Optional[str] = None,
@@ -241,6 +247,7 @@ class ComplianceManager:
 
     def generate_compliance_report(self) -> Dict[str, Any]:
         """Reference compliance.py:402-442."""
+        self._sweep_now()   # report counts must be retention-exact
         by_type: Dict[str, int] = {}
         for entry in self.audit_logs:
             by_type[entry.event_type.value] = by_type.get(entry.event_type.value, 0) + 1
@@ -259,7 +266,7 @@ class ComplianceManager:
 
     def verify_data_integrity(self, doc_id: str, content: str) -> bool:
         """Latest version hash matches content (reference compliance.py:444-455)."""
-        versions = self.versions.get(doc_id)
+        versions = self.get_versions(doc_id)   # retention-exact view
         if not versions:
             return False
         expected = hashlib.sha256(content.encode("utf-8")).hexdigest()

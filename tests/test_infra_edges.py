@@ -330,6 +330,20 @@ class TestComplianceEdges:
         assert "gone" in cm.versions               # still in the store...
         assert cm.get_versions("gone") == []       # ...but never readable
 
+    def test_report_and_integrity_exact_between_sweeps(self):
+        # Whole-store readers force a sweep so report counts and
+        # integrity checks never include versions expired since the
+        # last throttled pass.
+        cm = ComplianceManager(retention_days=0)
+        cm.log_ingestion("warm", 1)                # consume the first sweep
+        cm.create_version("gone", "old content")
+        time.sleep(0.02)
+        assert "gone" in cm.versions
+        report = cm.generate_compliance_report()
+        assert report["documents_versioned"] == 0
+        assert report["total_versions"] == 0
+        assert not cm.verify_data_integrity("gone", "old content")
+
     def test_legal_hold_exempts_from_retention(self):
         # the hold must exist BEFORE the version: create_version's own
         # audit event already prunes, and retention_days=0 expires
