@@ -112,6 +112,7 @@ class MultiIndexManager:
             self.token_table = TokenTable(
                 tok, max_len=self.config.fused_token_len)
         self._e2e_programs: Dict[Any, Any] = {}
+        self._default_reranker: Any = None
         self._semantic_cache = semantic_cache_ or semantic_cache
         self._domain_cache = domain_cache_ or domain_cache
         self._closed = False
@@ -717,7 +718,15 @@ class MultiIndexManager:
             return []
         if self.store.n_valid() == 0:
             return [[] for _ in queries]
-        reranker = reranker or CrossEncoderReranker()
+        if reranker is None:
+            # One lazily-built default, NOT a fresh instance per call:
+            # the program cache keys on the reranker's identity (its
+            # model architecture is baked into the jitted e2e program),
+            # so a per-call instance would recompile every call and
+            # grow _e2e_programs without bound.
+            if self._default_reranker is None:
+                self._default_reranker = CrossEncoderReranker()
+            reranker = self._default_reranker
         nq = len(queries)
         qb = self._query_bucket(nq)
         k_out = min(-(-max(k_rerank, k_final) // 8) * 8,
