@@ -19,6 +19,16 @@ p50 452 ms; see scripts/bench_service_load.py).
 
 Requests only coalesce when their ENTIRE knob set (k, weights, mmr,
 filters) matches, so semantics are identical to unbatched execution.
+
+Known bound: the dispatcher always drains the LONGEST queue, so under
+sustained saturation (inflight never reaching 0) a minority knob-set's
+batch-of-1 can wait behind a majority key that keeps refilling; the
+retrieval budget (300 ms degrade-to-empty) caps that wait. Service
+traffic is knob-homogeneous per profile, so this has not been observed
+outside synthetic mixes; an age-based grab rule is the fix if it ever
+is (do not change the full-batch gate itself — grabbing partial
+batches while a dispatch is in flight measurably halves QPS, see the
+module docstring above).
 """
 
 from __future__ import annotations
