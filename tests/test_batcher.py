@@ -57,6 +57,88 @@ class TestMicroBatcher:
                     f.result()
 
 
+class TestMicroBatcherEdges:
+    def test_oversized_queue_splits_at_max_batch(self):
+        """More requests than max_batch: the grab takes max_batch and the
+        remainder stays queued for the next dispatch (the `rest` path)."""
+        seen = []
+        gate = threading.Event()
+
+        def batch_fn(queries, **kw):
+            gate.wait(1.0)
+            seen.append(len(queries))
+            return list(queries)
+
+        mb = MicroBatcher(batch_fn, max_batch=4, max_inflight=1)
+        with concurrent.futures.ThreadPoolExecutor(10) as pool:
+            futs = [pool.submit(mb.submit, "k", f"q{i}") for i in range(10)]
+            # let all 10 enqueue before the first dispatch proceeds
+            time.sleep(0.15)
+            gate.set()
+            for f in futs:
+                f.result()
+        assert max(seen) <= 4
+        assert sum(seen) == 10
+        mb.close()
+
+    def test_length_mismatch_raises_to_callers(self):
+        def batch_fn(queries, **kw):
+            return queries[:-1] if len(queries) > 1 else []
+
+        mb = MicroBatcher(batch_fn, max_batch=4)
+        with pytest.raises(RuntimeError, match="results for"):
+            mb.submit("k", "only")
+        mb.close()
+
+    def test_close_rejects_new_and_fails_pending(self):
+        started = threading.Event()
+
+        def batch_fn(queries, **kw):
+            started.set()
+            time.sleep(0.3)
+            return list(queries)
+
+        mb = MicroBatcher(batch_fn, max_batch=2, max_inflight=1)
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            first = pool.submit(mb.submit, "k", "a")
+            started.wait(1.0)
+            # queue a second while the first is in flight, then close:
+            # the pending entry must get the close exception
+            second = pool.submit(mb.submit, "k2", "b")
+            time.sleep(0.05)
+            mb.close()
+            with pytest.raises(RuntimeError, match="closed"):
+                second.result()
+            # in-flight batch still completes normally
+            assert first.result() == "a"
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.submit("k", "late")
+
+    def test_full_batch_overlaps_inflight_dispatch(self):
+        """A FULL bucket is grabbed even while another dispatch is in
+        flight (the throughput gate), and stats record it."""
+        release = threading.Event()
+
+        def batch_fn(queries, **kw):
+            if queries[0] == "slow":
+                release.wait(1.0)
+            return list(queries)
+
+        mb = MicroBatcher(batch_fn, max_batch=2, max_inflight=2)
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            slow = pool.submit(mb.submit, "s", "slow")
+            time.sleep(0.05)  # slow dispatch now in flight
+            fast = [pool.submit(mb.submit, "f", f"q{i}") for i in range(2)]
+            # full batch of 2 must dispatch despite slow being in flight
+            for f in fast:
+                assert f.result().startswith("q")
+            release.set()
+            slow.result()
+        assert mb.stats["batches"] >= 2
+        assert mb.stats["requests"] == 3
+        mb.close()
+
+
 class TestRetrieverBatching:
     def test_concurrent_retrieves_coalesce_and_match_serial(self):
         manager = MultiIndexManager()

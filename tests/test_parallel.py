@@ -203,3 +203,36 @@ def test_sharded_dense_sq8_matches_unsharded(rng):
                                rtol=1e-5, atol=1e-5)
     for a, b in zip(np.asarray(got_i), np.asarray(ref_i)):
         assert len(set(a.tolist()) & set(b.tolist())) >= k - 1
+
+
+class TestMeshHelpers:
+    """parallel/mesh.py construction edges."""
+
+    def test_mismatched_shape_raises(self):
+        with pytest.raises(ValueError, match="does not cover"):
+            build_mesh(MeshConfig(mesh_shape=(3, 2)))
+
+    def test_default_shape_puts_all_devices_on_shard_axis(self):
+        mesh = build_mesh(MeshConfig(mesh_shape=None))
+        assert mesh.shape["shard"] == len(jax.devices())
+        assert mesh.shape["data"] == 1
+
+    def test_single_device_mesh(self):
+        from advanced_rag_tpu.parallel.mesh import single_device_mesh
+        mesh = single_device_mesh()
+        assert mesh.shape == {"shard": 1, "data": 1}
+
+    def test_replicated_and_corpus_sharding_specs(self):
+        from jax.sharding import PartitionSpec as P
+        from advanced_rag_tpu.parallel.mesh import corpus_sharding, replicated
+        mesh = build_mesh(MeshConfig(mesh_shape=(8, 1)))
+        assert corpus_sharding(mesh, ndim=2).spec == P("shard", None)
+        assert corpus_sharding(mesh, ndim=1).spec == P("shard")
+        assert replicated(mesh, ndim=3).spec == P(None, None, None)
+
+    def test_pad_to_shards_noop_when_divisible(self):
+        arr = np.ones((16, 3), np.float32)
+        assert pad_to_shards(arr, 8) is arr
+        padded = pad_to_shards(np.ones((10, 3), np.float32), 8, fill=-1)
+        assert padded.shape == (16, 3)
+        assert (padded[10:] == -1).all()
