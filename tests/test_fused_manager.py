@@ -139,3 +139,19 @@ def test_pipeline_uses_fused_path(reranker):
     assert not pipe._use_fused_path()
     out2 = pipe.retrieve("how are ranked lists merged?", top_k=5)
     assert out2["results"]
+
+
+def test_fused_sparse_disabled_dense_only(reranker):
+    """sparse_on=False: the program gets placeholder sparse args
+    (manager.py fused sparse-off branch) and still ranks correctly."""
+    cfg = PipelineConfig(fused_rerank=True)
+    cfg.semantic_dim = 32
+    tok = HashingTokenizer(TokenizerConfig(vocab_size=2048, max_len=32))
+    emb = NeuralEmbedder(dim=32, config=CFG, tokenizer=tok)
+    mgr = MultiIndexManager(cfg, embedder=emb, enable_sparse=False)
+    mgr.index_chunks([ChunkRecord(chunk_id=f"c{i}", doc_id=f"d{i}", content=t)
+                      for i, t in enumerate(DOCS)])
+    out = mgr.fused_retrieve_batch_sync(
+        ["dense retrieval vector space"], k_final=3, reranker=reranker,
+        k_rerank=6)
+    assert out[0] and all(h["chunk_id"].startswith("c") for h in out[0])

@@ -261,3 +261,207 @@ class TestMaintenanceDaemon:
         m._closed = False
         m.stop_maintenance()
         m.close()
+
+
+def _many_docs(n):
+    return [ChunkRecord(chunk_id=f"m{i}", doc_id=f"doc{i % 7}",
+                        content=f"{DOCS[i % len(DOCS)]} variant {i}")
+            for i in range(n)]
+
+
+class TestTierRungs:
+    """Hybrid dispatch rung selection per tier (manager.py impl ladder)."""
+
+    def test_hybrid_with_domain_index(self):
+        mgr = make_mgr(enable_domain=True)
+        res = mgr.hybrid_search_batch_sync(
+            ["dense retrieval vector space"], k=3)
+        assert res[0] and all("chunk_id" in h for h in res[0])
+        # 3-method fusion: dense + sparse + domain all contribute
+        assert any(h["method_count"] >= 2 for h in res[0])
+
+    def test_hybrid_ivf_rung_with_streaming_tail(self):
+        mgr = make_mgr(ingest=False)
+        mgr.index_chunks(_many_docs(40))
+        mgr.semantic.build_ivf(nlist=4)
+        # stream past the build so the fused program exact-scans a tail
+        mgr.index_chunks([ChunkRecord(chunk_id=f"t{i}", doc_id="tail",
+                                      content=f"streamed tail row {i}")
+                          for i in range(6)])
+        assert mgr.semantic.has_ivf
+        res = mgr.hybrid_search_batch_sync(["streamed tail row"], k=5)
+        got = {h["chunk_id"] for h in res[0]}
+        assert got & {f"t{i}" for i in range(6)}  # tail rows searchable
+
+    def test_hybrid_pq_rung_exact_refinement(self):
+        cfg = PipelineConfig()
+        cfg.semantic_dim = 32
+        cfg.semantic_dtype = "pq"
+        mgr = MultiIndexManager(cfg)
+        mgr.index_chunks(_many_docs(48))
+        out = mgr.build_semantic(pq=True)
+        assert out.get("pq_built") and mgr.semantic.has_pq
+        # deep-candidate exact re-fusion (BACKLOG #2): with MMR...
+        res = mgr.hybrid_search_batch_sync(
+            ["sparse lexical matching variant 1"], k=4, use_mmr=True)
+        assert res[0]
+        # ...and the no-MMR branch of _refuse_exact
+        res2 = mgr.hybrid_search_batch_sync(
+            ["reciprocal rank fusion variant 2"], k=4, use_mmr=False)
+        assert res2[0]
+        # exact dense rank: the literal row should surface
+        texts = [h["content"] for h in res2[0]]
+        assert any("reciprocal rank fusion" in t for t in texts)
+
+    def test_hybrid_pq_refine_disabled(self):
+        cfg = PipelineConfig()
+        cfg.semantic_dim = 32
+        cfg.semantic_dtype = "pq"
+        cfg.semantic_refine = 1   # raw single-dispatch PQ ranks
+        mgr = MultiIndexManager(cfg)
+        mgr.index_chunks(_many_docs(48))
+        mgr.build_semantic(pq=True)
+        res = mgr.hybrid_search_batch_sync(["systolic arrays"], k=4)
+        assert res[0]
+
+    def test_build_semantic_opq_skips_ivf(self):
+        cfg = PipelineConfig()
+        cfg.semantic_dim = 32
+        cfg.semantic_dtype = "pq"
+        cfg.semantic_opq = True
+        mgr = MultiIndexManager(cfg)
+        mgr.index_chunks(_many_docs(48))
+        out = mgr.build_semantic(pq=True, ivf=True)
+        assert out.get("pq_built")
+        assert out.get("ivf_skipped") == "opq rotation active"
+        assert mgr.semantic._pq_rot is not None
+
+    def test_build_semantic_ivf_branch(self):
+        mgr = make_mgr(ingest=False)
+        mgr.index_chunks(_many_docs(40))
+        out = mgr.build_semantic(ivf=True)
+        assert out.get("ivf_built") and mgr.semantic.has_ivf
+
+
+class TestMaintenanceTiers:
+    """maintenance_tick branch coverage per tier (Milvus-compaction
+    equivalent, manager.py:_maintenance_tick_locked)."""
+
+    def test_pq_tier_auto_build_and_rebuild(self, monkeypatch):
+        from advanced_rag_tpu.utils import constants as C
+        monkeypatch.setattr(C.IndexConstants, "IVF_AUTO_THRESHOLD", 32)
+        cfg = PipelineConfig()
+        cfg.semantic_dim = 32
+        cfg.semantic_dtype = "pq"
+        mgr = MultiIndexManager(cfg)
+        mgr.index_chunks(_many_docs(48))
+        acts = mgr.maintenance_tick()
+        assert acts.get("pq_built")
+        assert mgr.semantic.has_pq and mgr.semantic.has_ivfpq
+        # stream a tail past REBUILD_TAIL_FRACTION -> ivfpq re-pack
+        mgr.index_chunks([ChunkRecord(chunk_id=f"pqtail{i}", doc_id="x",
+                                      content=f"tail row {i}")
+                          for i in range(16)])
+        assert mgr.semantic.ivf_needs_rebuild
+        acts2 = mgr.maintenance_tick()
+        assert acts2["ivf_rebuilt"] and acts2["ivf_rows"] == 64
+
+    def test_bf16_tier_auto_build_and_rebuild(self, monkeypatch):
+        from advanced_rag_tpu.utils import constants as C
+        monkeypatch.setattr(C.IndexConstants, "IVF_AUTO_THRESHOLD", 32)
+        mgr = make_mgr(ingest=False)
+        mgr.index_chunks(_many_docs(40))
+        acts = mgr.maintenance_tick()
+        assert acts["ivf_rebuilt"] and mgr.semantic.has_ivf
+        mgr.index_chunks([ChunkRecord(chunk_id=f"ivftail{i}", doc_id="x",
+                                      content=f"tail row {i}")
+                          for i in range(16)])
+        assert mgr.semantic.ivf_needs_rebuild
+        acts2 = mgr.maintenance_tick()
+        assert acts2["ivf_rebuilt"] and acts2["ivf_rows"] == 56
+
+    def test_postings_compaction_after_deletes(self):
+        mgr = make_mgr(ingest=False)
+        mgr.index_chunks(_many_docs(40))
+        mgr.sparse.build_postings()
+        assert mgr.sparse.has_postings
+        # delete >10% of rows -> stale postings slots -> compaction
+        deleted = mgr.delete_by_filter({"doc_id": "doc0"})
+        assert deleted >= 5
+        assert mgr.sparse.postings_stale_fraction > 0.10
+        acts = mgr.maintenance_tick()
+        assert acts.get("postings_compacted")
+        assert mgr.sparse.postings_stale_fraction == 0.0
+
+
+class TestHybridValidation:
+    """hybrid_search_batch_sync guard clauses."""
+
+    def test_closed_raises(self):
+        m = make_mgr(ingest=False)
+        m.close()
+        with pytest.raises(IndexingError):
+            m.hybrid_search_batch_sync(["q"], k=3)
+
+    def test_nonpositive_k_rejected(self, mgr):
+        with pytest.raises(ValidationError):
+            mgr.hybrid_search_batch_sync(["q"], k=0)
+
+    def test_empty_query_list(self, mgr):
+        assert mgr.hybrid_search_batch_sync([], k=3) == []
+
+    def test_empty_corpus_returns_empty_per_query(self):
+        m = make_mgr(ingest=False)
+        assert m.hybrid_search_batch_sync(["a", "b"], k=3) == [[], []]
+
+    def test_precomputed_1d_query_embedding(self, mgr):
+        qe = mgr.generate_semantic_embedding(DOCS[0])
+        res = mgr.hybrid_search_batch_sync([DOCS[0]], k=3,
+                                           query_embedding=qe)
+        assert res[0] and res[0][0]["chunk_id"] == "c0"
+
+    def test_empty_chunkrecord_content_captured(self, mgr):
+        report = mgr.index_chunks(
+            [ChunkRecord(chunk_id="e0", doc_id="d", content="")])
+        assert report["errors"] and report["indexed"] == 0
+
+
+class TestIngestWaitDeadlines:
+    """Bounded in-flight waits (ADVICE r1: claims must not leak and
+    waits must not spin forever)."""
+
+    def test_duplicate_wait_times_out_and_releases_claims(self):
+        mgr = make_mgr()
+        mgr.INGEST_WAIT_DEADLINE_S = 0.05
+        # simulate another ingest that claimed row 0 and never commits
+        row0 = mgr.store.rows_for_chunk_ids(["c0"])[0] \
+            if hasattr(mgr.store, "rows_for_chunk_ids") else 0
+        with mgr._write_cv:
+            mgr._inflight_rows.add(row0)
+        dup = ChunkRecord(chunk_id="c0", doc_id="d0", content=DOCS[0])
+        with pytest.raises(TimeoutError, match="duplicate rows"):
+            mgr.index_chunks([dup])
+        # the failed ingest must not leak ITS OWN claims (none here) and
+        # must leave the foreign claim untouched
+        assert mgr._inflight_rows == {row0}
+        with mgr._write_cv:
+            mgr._inflight_rows.clear()
+
+    def test_ordered_commit_wait_times_out_and_releases_claims(self):
+        mgr = make_mgr()
+        mgr.INGEST_WAIT_DEADLINE_S = 0.05
+        # a stuck lower-row claim from a phantom ingest blocks the
+        # ordered fused commit (phase 3) of any later batch
+        with mgr._write_cv:
+            mgr._inflight_rows.add(0)
+        fresh = ChunkRecord(chunk_id="z9", doc_id="dz",
+                            content="a brand new row far past row zero")
+        with pytest.raises(TimeoutError, match="lower-row"):
+            mgr.index_chunks([fresh])
+        # the finally must have released the new batch's claims
+        assert mgr._inflight_rows == {0}
+        with mgr._write_cv:
+            mgr._inflight_rows.clear()
+        # and the retry succeeds once the stuck claim clears
+        report = mgr.index_chunks([fresh])
+        assert report["indexed"] == 1 and not report["errors"]
