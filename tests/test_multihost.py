@@ -74,3 +74,52 @@ def test_single_host_degenerate():
 def test_bad_pod_shape_rejected():
     with pytest.raises(ValueError):
         build_pod_mesh(dcn=3, shard=2, data=1)
+
+
+class TestProcessEnvPaths:
+    """Multi-process entry paths, driven without real pod hardware."""
+
+    def test_distributed_init_noop_without_env(self, monkeypatch):
+        from advanced_rag_tpu.parallel import multihost
+
+        monkeypatch.delenv("JAX_COORDINATOR", raising=False)
+        called = {}
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: called.update(kw))
+        multihost.distributed_init()
+        assert called == {}
+
+    def test_distributed_init_reads_env(self, monkeypatch):
+        from advanced_rag_tpu.parallel import multihost
+
+        monkeypatch.setenv("JAX_COORDINATOR", "10.0.0.1:8476")
+        monkeypatch.setenv("NPROC", "2")
+        monkeypatch.setenv("PROC_ID", "1")
+        called = {}
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: called.update(kw))
+        multihost.distributed_init()
+        assert called == {"coordinator_address": "10.0.0.1:8476",
+                          "num_processes": 2, "process_id": 1}
+
+    def test_pod_mesh_multiprocess_branch(self, monkeypatch):
+        """process_count>1 routes through create_hybrid_device_mesh with
+        dcn = process count; stub the hybrid placement (it requires a
+        real multi-host fabric) and check the axis wiring."""
+        from jax.experimental import mesh_utils
+
+        from advanced_rag_tpu.parallel import multihost
+
+        seen = {}
+
+        def fake_hybrid(per_host, dcn_shape):
+            seen["per_host"], seen["dcn"] = per_host, dcn_shape
+            return np.asarray(jax.devices()).reshape(2, 2, 2)
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "local_device_count", lambda: 4)
+        monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh",
+                            fake_hybrid)
+        mesh = multihost.build_pod_mesh(data=2)
+        assert seen == {"per_host": (1, 2, 2), "dcn": (2, 1, 1)}
+        assert mesh.axis_names == ("dcn", "shard", "data")
