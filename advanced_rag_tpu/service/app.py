@@ -172,8 +172,8 @@ class ServiceState:
             logger.exception("compile cache unavailable; continuing")
 
     def _wire_rerankers(self) -> None:
-        """RAG_RERANKER env: cross_encoder | hf:<checkpoint-path> |
-        learned | passthrough."""
+        """RAG_RERANKER env: cross_encoder | ckpt:<trained-params-path>
+        | hf:<checkpoint-path> | learned | passthrough."""
         kind = os.environ.get("RAG_RERANKER", "").lower()
         retriever = self.pipeline.retriever
         if (self.config.fused_rerank and not kind
@@ -185,6 +185,17 @@ class ServiceState:
             from ..models.cross_encoder import CrossEncoderReranker
 
             retriever.reranker = CrossEncoderReranker()
+        elif kind.startswith("ckpt:") and retriever.reranker is None:
+            from ..models.cross_encoder import CrossEncoderReranker
+            from ..train.rerank import load_reranker
+
+            # supervised/distilled params trained in-framework
+            # (train/rerank.py, train/distill.py), geometry restored
+            # from the checkpoint itself
+            ce_cfg, ce_params = load_reranker(
+                os.environ["RAG_RERANKER"][5:])
+            retriever.reranker = CrossEncoderReranker(
+                config=ce_cfg, params=ce_params)
         elif kind.startswith("hf:") and retriever.reranker is None:
             from ..models.hf_cross_encoder import HFCrossEncoder
 

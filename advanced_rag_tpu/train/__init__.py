@@ -11,9 +11,19 @@ from .contrastive import (
 )
 from .distill import DistillConfig, distill_cross_encoder
 from .loop import TrainLoopConfig, load_params, save_params, train_biencoder
+from .rerank import (
+    RerankTrainConfig,
+    load_reranker,
+    save_reranker,
+    train_reranker,
+)
 
 __all__ = [
     "DistillConfig",
+    "RerankTrainConfig",
+    "load_reranker",
+    "save_reranker",
+    "train_reranker",
     "TrainConfig",
     "TrainLoopConfig",
     "distill_cross_encoder",

@@ -140,6 +140,9 @@ def main() -> None:
     ap.add_argument("--train-steps", type=int, default=2000)
     ap.add_argument("--no-train", action="store_true")
     ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--rerank-steps", type=int, default=1500)
+    ap.add_argument("--rerank-pairs", type=int, default=3000)
+    ap.add_argument("--no-rerank", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -300,6 +303,98 @@ def main() -> None:
         print("trained_hybrid_adapted:", adapted, flush=True)
         print("bm25_test_half:", results["tiers"]["bm25_test_half"],
               flush=True)
+
+        # ---- supervised cross-encoder rerank (pipeline stage 5) ------
+        # The tiers above never exercise the rerank stage.  Train the
+        # cross-encoder DIRECTLY on (summary -> body) supervision with
+        # hard negatives mined from the trained retriever's own top-k
+        # (train/rerank.py — the standard ms-marco recipe the
+        # reference's placeholder reranker stands in for,
+        # retrieval.py:651-681), then rerank the adapted hybrid's
+        # top-20 on the test half.
+        if not args.no_rerank:
+            from advanced_rag_tpu.models.cross_encoder import (
+                CrossEncoderReranker)
+            from advanced_rag_tpu.train import (
+                RerankTrainConfig, train_reranker)
+
+            train_rows = [i for i in range(len(docs)) if i not in eval_idx]
+            train_rows = train_rows[:args.rerank_pairs]
+            mine_q = [docs[i][1] for i in train_rows]
+            print(f"mining hard negatives for {len(mine_q)} train "
+                  f"queries...", flush=True)
+            t0 = time.perf_counter()
+            mined = []
+            for qi in range(0, len(mine_q), 8):
+                out = mgr2.hybrid_search_batch_sync(
+                    mine_q[qi:qi + 8], 12, use_mmr=False,
+                    dense_weight=best[0], sparse_weight=best[1])
+                for b, hits in enumerate(out):
+                    gold = train_rows[qi + b]
+                    mined.append([bodies[int(h["row"])] for h in hits
+                                  if int(h["row"]) != gold][:8])
+            print(f"  mined in {time.perf_counter()-t0:.0f}s", flush=True)
+
+            pairs = [(docs[i][1], bodies[i]) for i in train_rows]
+            print(f"training reranker: {args.rerank_steps} steps",
+                  flush=True)
+            t0 = time.perf_counter()
+            _, ce_params, hist = train_reranker(
+                pairs, mined,
+                encoder_config=enc_cfg,
+                train_config=TrainConfig(learning_rate=3e-4,
+                                         warmup_steps=100,
+                                         total_steps=args.rerank_steps),
+                rerank_config=RerankTrainConfig(
+                    steps=args.rerank_steps, queries_per_batch=16,
+                    candidates_per_query=8, log_every=200),
+                mesh=mesh, tokenizer=tok,
+            )
+            results["rerank_train_s"] = round(time.perf_counter() - t0, 1)
+            results["rerank_eval_accuracy"] = hist[-1]["eval_accuracy"]
+            print(f"  trained in {results['rerank_train_s']}s, "
+                  f"eval slate accuracy {hist[-1]['eval_accuracy']:.2f}",
+                  flush=True)
+
+            rr = CrossEncoderReranker(config=enc_cfg, params=ce_params,
+                                      tokenizer=tok)
+
+            def eval_reranked(queries_, truth_, k=10, depth=20):
+                hits, rrsum, lat = 0, 0.0, []
+                for qi in range(0, len(queries_), 8):
+                    batch = queries_[qi:qi + 8]
+                    t0 = time.perf_counter()
+                    out = mgr2.hybrid_search_batch_sync(
+                        list(batch), depth, use_mmr=False,
+                        dense_weight=best[0], sparse_weight=best[1])
+                    cand_rows = [[int(h["row"]) for h in hitrow]
+                                 for hitrow in out]
+                    flat_q = [batch[b] for b, rows_ in enumerate(cand_rows)
+                              for _ in rows_]
+                    flat_d = [bodies[r] for rows_ in cand_rows
+                              for r in rows_]
+                    scores = rr.score_pairs(flat_q, flat_d)
+                    lat.append((time.perf_counter() - t0)
+                               / len(batch) * 1e3)
+                    pos = 0
+                    for b, rows_ in enumerate(cand_rows):
+                        s = scores[pos:pos + len(rows_)]
+                        pos += len(rows_)
+                        order = np.argsort(-s)[:k]
+                        ranked = [rows_[j] for j in order]
+                        want = truth_[qi + b]
+                        if want in ranked:
+                            hits += 1
+                            rrsum += 1.0 / (ranked.index(want) + 1)
+                n = len(queries_)
+                return {"recall_at_10": round(hits / n, 4),
+                        "mrr_at_10": round(rrsum / n, 4),
+                        "ms_per_query": round(float(np.mean(lat)), 2)}
+
+            reranked = eval_reranked(test_q, test_t)
+            reranked["weights"] = list(best)
+            results["tiers"]["trained_reranked"] = reranked
+            print("trained_reranked:", reranked, flush=True)
 
     Path("QUALITY_REAL.json").write_text(json.dumps(results, indent=1))
     print("-> QUALITY_REAL.json")

@@ -220,6 +220,40 @@ class TestEnvFlags:
         finally:
             await client.close()
 
+    async def test_ckpt_reranker_restores_trained_params(self, loop,
+                                                         tmp_path,
+                                                         monkeypatch):
+        """RAG_RERANKER=ckpt:<path> restores a trained cross-encoder
+        with its geometry from the checkpoint (train/rerank.py)."""
+        from advanced_rag_tpu.models.encoder import (
+            EncoderConfig, init_cross_encoder)
+        from advanced_rag_tpu.train import load_reranker, save_reranker
+
+        cfg = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=2,
+                            num_heads=4, mlp_dim=64, max_len=16)
+        _, params = init_cross_encoder(cfg, seed=7)
+        path = tmp_path / "reranker_ckpt"
+        save_reranker(params, cfg, path)
+        got_cfg, got_params = load_reranker(path)
+        assert got_cfg.hidden_dim == 32 and got_cfg.max_len == 16
+
+        monkeypatch.delenv("API_KEY", raising=False)
+        monkeypatch.setenv("RAG_RERANKER", f"ckpt:{path}")
+        db = DatabasePool(sqlite_path=str(tmp_path / "g.db"))
+        app = create_app(db=db)
+        rr = app["state"].pipeline.retriever.reranker
+        assert rr is not None and rr.config.hidden_dim == 32
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await client.post("/ingest", json={"documents": DOCS})
+            resp = await client.post("/retrieve", json={
+                "query": "hybrid retrieval", "use_reranking": True})
+            assert resp.status == 200
+            assert (await resp.json())["results"]
+        finally:
+            await client.close()
+
 
 class TestAdminEndpoints:
     async def test_index_stats(self, client):

@@ -139,3 +139,46 @@ def test_distill_cross_encoder_matches_teacher():
     rr = CrossEncoderReranker(config=TINY, params=params)
     scores = rr.score("subject 3 alpha", [texts[3], texts[11], texts[20]])
     assert scores.shape == (3,) and np.isfinite(scores).all()
+
+
+def test_train_reranker_supervised():
+    """Listwise-CE reranker training on mined negatives: eval accuracy
+    rises well above the 1/M random-slot floor and the trained params
+    rank the true document first (train/rerank.py)."""
+    from advanced_rag_tpu.train import (
+        RerankTrainConfig, TrainConfig, build_train_mesh, train_reranker,
+    )
+
+    rng = np.random.default_rng(3)
+    topics = ["alpha kernels", "beta retrieval", "gamma sharding",
+              "delta caching"]
+    pairs, negatives = [], []
+    for i in range(48):
+        t = topics[i % 4]
+        pairs.append((f"question about {t} item {i}",
+                      f"document on {t} item {i} body text"))
+    for i in range(48):
+        negatives.append([pairs[j][1] for j in rng.integers(0, 48, 6)
+                          if j != i])
+
+    model, params, history = train_reranker(
+        pairs, negatives,
+        encoder_config=TINY,
+        train_config=TrainConfig(learning_rate=3e-3, warmup_steps=2,
+                                 total_steps=120),
+        rerank_config=RerankTrainConfig(steps=120, queries_per_batch=8,
+                                        candidates_per_query=4,
+                                        log_every=30),
+        mesh=build_train_mesh(8),
+    )
+    assert history[-1]["eval_loss"] < history[0]["eval_loss"]
+    assert history[-1]["eval_accuracy"] > 0.5          # floor is 1/M = 0.25
+    assert np.isfinite([h["loss"] for h in history]).all()
+
+    from advanced_rag_tpu.models.cross_encoder import CrossEncoderReranker
+
+    rr = CrossEncoderReranker(config=TINY, params=params)
+    q, gold = pairs[5]
+    cands = [pairs[9][1], gold, pairs[17][1], pairs[33][1]]
+    scores = rr.score(q, cands)
+    assert int(np.argmax(scores)) == 1
