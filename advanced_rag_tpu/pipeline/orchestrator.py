@@ -354,6 +354,11 @@ class AdvancedRAGPipeline:
             threshold=self.config.drift_threshold,
         )
 
+    @property
+    def sla_compliance(self) -> float:
+        """Rolling share of retrieves meeting target_latency_ms."""
+        return self._sla_met / self._sla_total if self._sla_total else 1.0
+
     def get_performance_report(self) -> Dict[str, Any]:
         """P50/P95/P99 per stage + SLA compliance (reference pipeline.py:365-412)."""
         def pcts(vals: List[float]) -> Dict[str, float]:
@@ -371,8 +376,7 @@ class AdvancedRAGPipeline:
             "stages_ms": {s: pcts(v) for s, v in self._stage_latencies.items()},
             "retrieve_ms": pcts(self._retrieve_latencies),
             "target_latency_ms": self.config.target_latency_ms,
-            "sla_compliance": (self._sla_met / self._sla_total
-                               if self._sla_total else 1.0),
+            "sla_compliance": self.sla_compliance,
             "index": self.index_manager.get_collection_stats(),
         }
         batcher = getattr(self.retriever, "_batcher", None)

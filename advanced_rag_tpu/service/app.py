@@ -60,11 +60,14 @@ STATIC_DIR = Path(__file__).parent / "static"
 from .metrics import (  # noqa: E402
     ACTIVE_REQUESTS,
     CONTENT_TYPE_LATEST,
+    DRIFT_MAGNITUDE,
     EMBED_LATENCY,
     ERRORS_TOTAL,
+    HALLUCINATION_RISK,
     PROM as _PROM,
     REQUESTS_TOTAL,
     RETRIEVE_LATENCY,
+    SLA_COMPLIANCE,
     generate_latest,
 )
 
@@ -456,6 +459,9 @@ async def retrieve(request: web.Request) -> web.Response:
         return _json_error(400, str(exc), request["request_id"])
     if _PROM:
         RETRIEVE_LATENCY.observe((time.perf_counter() - t0) * 1e3)
+        # quality gauges for the alert rules (ref ARCHITECTURE.md:369-373)
+        HALLUCINATION_RISK.set(out["metrics"].hallucination_risk)
+        SLA_COMPLIANCE.set(state.pipeline.sla_compliance)
     return web.json_response(_result_payload(out))
 
 
@@ -689,6 +695,8 @@ async def drift(request: web.Request) -> web.Response:
     body = await request.json() if request.can_read_body else {}
     rep = await asyncio.to_thread(state.pipeline.detect_drift,
                                   body.get("queries"))
+    if _PROM:
+        DRIFT_MAGNITUDE.set(rep.magnitude)
     return web.json_response({
         "drift_detected": rep.drift_detected,
         "magnitude": rep.magnitude,

@@ -33,6 +33,17 @@ try:
     ACTIVE_REQUESTS = Gauge("rag_active_requests", "In-flight requests")
     EMBED_LATENCY = Histogram("rag_embedding_latency_seconds",
                               "Embedding latency (s)")
+    # quality gauges backing the alert thresholds the reference
+    # documents but never exports (ref ARCHITECTURE.md:369-373):
+    # observability/alerts/rag_alerts.yaml fires on these
+    HALLUCINATION_RISK = Gauge(
+        "rag_hallucination_risk",
+        "Hallucination risk of the most recent evaluated retrieve")
+    DRIFT_MAGNITUDE = Gauge(
+        "rag_drift_magnitude", "Magnitude from the last drift check")
+    SLA_COMPLIANCE = Gauge(
+        "rag_sla_compliance_ratio",
+        "Rolling share of retrieves meeting the latency target")
 except ImportError:  # pragma: no cover - prometheus is baked in
     PROM = False
     CONTENT_TYPE_LATEST = "text/plain"
@@ -44,4 +55,5 @@ except ImportError:  # pragma: no cover - prometheus is baked in
 __all__ = [
     "PROM", "CONTENT_TYPE_LATEST", "generate_latest", "REQUESTS_TOTAL",
     "RETRIEVE_LATENCY", "ERRORS_TOTAL", "ACTIVE_REQUESTS", "EMBED_LATENCY",
+    "HALLUCINATION_RISK", "DRIFT_MAGNITUDE", "SLA_COMPLIANCE",
 ]

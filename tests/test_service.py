@@ -109,6 +109,19 @@ class TestEndpoints:
         resp = await client.post("/drift", json={})
         assert resp.status == 200
 
+    async def test_quality_gauges_exported(self, client):
+        """The alert-rule gauges (observability/alerts/rag_alerts.yaml,
+        ref ARCHITECTURE.md:369-373) are set by /retrieve and /drift."""
+        await _ingest(client)
+        await client.post("/retrieve", json={"query": "fusion"})
+        await client.post("/drift", json={})
+        body = await (await client.get("/metrics")).text()
+        assert "rag_hallucination_risk" in body
+        assert "rag_drift_magnitude" in body
+        line = [ln for ln in body.splitlines()
+                if ln.startswith("rag_sla_compliance_ratio ")]
+        assert line and 0.0 <= float(line[0].split()[-1]) <= 1.0
+
     async def test_etl_run(self, client, tmp_path):
         (tmp_path / "a.txt").write_text("alpha document about vectors")
         (tmp_path / "b.md").write_text("beta document about sparse scoring")
