@@ -141,8 +141,11 @@ def main() -> None:
     ap.add_argument("--no-train", action="store_true")
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--rerank-steps", type=int, default=1500)
-    ap.add_argument("--rerank-pairs", type=int, default=3000)
+    ap.add_argument("--rerank-pairs", type=int, default=8000)
     ap.add_argument("--no-rerank", action="store_true")
+    ap.add_argument("--skip-hash-tiers", action="store_true",
+                    help="skip the training-free manager build (reuse "
+                         "previously recorded bm25/hash_hybrid rows)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -198,17 +201,26 @@ def main() -> None:
             return [[int(h["row"]) for h in hits] for hits in out]
         return run
 
-    print("building hash-hybrid manager...", flush=True)
-    t0 = time.perf_counter()
-    mgr = build_manager()
-    print(f"  ingest {time.perf_counter()-t0:.0f}s", flush=True)
+    if args.skip_hash_tiers:
+        prev = Path("QUALITY_REAL.json")
+        if prev.exists():
+            old = json.loads(prev.read_text())
+            for tier in ("bm25", "hash_hybrid"):
+                if tier in old.get("tiers", {}):
+                    results["tiers"][tier] = old["tiers"][tier]
+        print("skipping hash-tier manager build", flush=True)
+    else:
+        print("building hash-hybrid manager...", flush=True)
+        t0 = time.perf_counter()
+        mgr = build_manager()
+        print(f"  ingest {time.perf_counter()-t0:.0f}s", flush=True)
 
-    results["tiers"]["bm25"] = evaluate(
-        searcher(mgr, weights=(0.0, 1.0)), queries, truth)
-    print("bm25:", results["tiers"]["bm25"], flush=True)
-    results["tiers"]["hash_hybrid"] = evaluate(
-        searcher(mgr), queries, truth)
-    print("hash_hybrid:", results["tiers"]["hash_hybrid"], flush=True)
+        results["tiers"]["bm25"] = evaluate(
+            searcher(mgr, weights=(0.0, 1.0)), queries, truth)
+        print("bm25:", results["tiers"]["bm25"], flush=True)
+        results["tiers"]["hash_hybrid"] = evaluate(
+            searcher(mgr), queries, truth)
+        print("hash_hybrid:", results["tiers"]["hash_hybrid"], flush=True)
 
     # ---- trained bi-encoder tier --------------------------------------
     if not args.no_train:
@@ -351,48 +363,77 @@ def main() -> None:
                 mesh=mesh, tokenizer=tok,
             )
             results["rerank_train_s"] = round(time.perf_counter() - t0, 1)
-            results["rerank_eval_accuracy"] = hist[-1]["eval_accuracy"]
+            results["rerank_history"] = hist[-1]
             print(f"  trained in {results['rerank_train_s']}s, "
+                  f"train acc {hist[-1]['accuracy']:.2f}, "
                   f"eval slate accuracy {hist[-1]['eval_accuracy']:.2f}",
                   flush=True)
 
             rr = CrossEncoderReranker(config=enc_cfg, params=ce_params,
                                       tokenizer=tok)
 
-            def eval_reranked(queries_, truth_, k=10, depth=20):
-                hits, rrsum, lat = 0, 0.0, []
+            def _z(v):
+                v = np.asarray(v, np.float64)
+                s = v.std()
+                return (v - v.mean()) / (s if s > 1e-9 else 1.0)
+
+            def collect(queries_, truth_, depth=20):
+                """Per query: (candidate rows, z(retrieval), z(CE), gold)."""
+                rows_out, lat = [], []
                 for qi in range(0, len(queries_), 8):
                     batch = queries_[qi:qi + 8]
                     t0 = time.perf_counter()
                     out = mgr2.hybrid_search_batch_sync(
                         list(batch), depth, use_mmr=False,
                         dense_weight=best[0], sparse_weight=best[1])
-                    cand_rows = [[int(h["row"]) for h in hitrow]
-                                 for hitrow in out]
-                    flat_q = [batch[b] for b, rows_ in enumerate(cand_rows)
-                              for _ in rows_]
-                    flat_d = [bodies[r] for rows_ in cand_rows
-                              for r in rows_]
-                    scores = rr.score_pairs(flat_q, flat_d)
+                    cand = [[(int(h["row"]), float(h["score"]))
+                             for h in hitrow] for hitrow in out]
+                    flat_q = [batch[b] for b, c in enumerate(cand)
+                              for _ in c]
+                    flat_d = [bodies[r] for c in cand for r, _ in c]
+                    ce = rr.score_pairs(flat_q, flat_d)
                     lat.append((time.perf_counter() - t0)
                                / len(batch) * 1e3)
                     pos = 0
-                    for b, rows_ in enumerate(cand_rows):
-                        s = scores[pos:pos + len(rows_)]
-                        pos += len(rows_)
-                        order = np.argsort(-s)[:k]
-                        ranked = [rows_[j] for j in order]
-                        want = truth_[qi + b]
-                        if want in ranked:
-                            hits += 1
-                            rrsum += 1.0 / (ranked.index(want) + 1)
-                n = len(queries_)
-                return {"recall_at_10": round(hits / n, 4),
-                        "mrr_at_10": round(rrsum / n, 4),
-                        "ms_per_query": round(float(np.mean(lat)), 2)}
+                    for b, c in enumerate(cand):
+                        n_c = len(c)
+                        rows_out.append((
+                            [r for r, _ in c],
+                            _z([s for _, s in c]),
+                            _z(ce[pos:pos + n_c]),
+                            truth_[qi + b]))
+                        pos += n_c
+                return rows_out, round(float(np.mean(lat)), 2)
 
-            reranked = eval_reranked(test_q, test_t)
-            reranked["weights"] = list(best)
+            def metrics_for(alpha, collected, k=10):
+                hits, rrsum = 0, 0.0
+                for rows_, zr, zc, want in collected:
+                    s = alpha * zc + (1.0 - alpha) * zr
+                    ranked = [rows_[j] for j in np.argsort(-s)[:k]]
+                    if want in ranked:
+                        hits += 1
+                        rrsum += 1.0 / (ranked.index(want) + 1)
+                n = len(collected)
+                return {"recall_at_10": round(hits / n, 4),
+                        "mrr_at_10": round(rrsum / n, 4)}
+
+            # blend weight picked on the dev half (never on the
+            # reported queries) — alpha=0 degenerates to the adapted
+            # hybrid order, so the rerank stage can only help
+            print("collecting CE scores (dev half)...", flush=True)
+            dev_coll, _ = collect(dev_q, dev_t)
+            alphas = [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]
+            dev_by_alpha = {}
+            for a in alphas:
+                m = metrics_for(a, dev_coll)
+                dev_by_alpha[a] = (m["mrr_at_10"], m["recall_at_10"])
+                print(f"  dev alpha {a}: {m}", flush=True)
+            best_alpha = max(dev_by_alpha, key=dev_by_alpha.get)
+            test_coll, ms_q = collect(test_q, test_t)
+            reranked = metrics_for(best_alpha, test_coll)
+            reranked.update({"ms_per_query": ms_q, "weights": list(best),
+                             "alpha": best_alpha,
+                             "ce_only_test": metrics_for(1.0, test_coll)})
             results["tiers"]["trained_reranked"] = reranked
             print("trained_reranked:", reranked, flush=True)
 
