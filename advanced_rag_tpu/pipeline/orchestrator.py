@@ -238,6 +238,7 @@ class AdvancedRAGPipeline:
                      if self.config.enable_query_rewriting else query)
         self._record(PipelineStage.QUERY_REWRITE, t0)
 
+        degraded: Optional[str] = None
         if self._use_fused_path():
             # one-dispatch retrieve+rerank (ops/e2e.py): embed, hybrid
             # search, and the cross-encoder run as a single device
@@ -252,7 +253,8 @@ class AdvancedRAGPipeline:
             self._record(PipelineStage.RERANKING, t0)
         else:
             t0 = time.perf_counter()
-            hits = self.retriever.retrieve_sync(rewritten, top_k, filters)
+            hits, degraded = self.retriever.retrieve_sync_ex(
+                rewritten, top_k, filters)
             self._record(PipelineStage.RETRIEVAL, t0)
 
             if self.config.enable_reranking and hits:
@@ -306,6 +308,10 @@ class AdvancedRAGPipeline:
             "latency_ms": latency_ms,
             "sla_met": sla_met,
             "rewritten_query": rewritten,
+            # non-None when the retrieval stage shed this request
+            # (degrade-to-empty); the service counts it against the
+            # shed budget and can convert it to 429 (RAG_SHED_POLICY)
+            "degraded": degraded,
         }
 
     # -- plan & execute (reference pipeline.py:311-348) -----------------------------------

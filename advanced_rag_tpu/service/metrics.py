@@ -44,6 +44,13 @@ try:
     SLA_COMPLIANCE = Gauge(
         "rag_sla_compliance_ratio",
         "Rolling share of retrieves meeting the latency target")
+    # shed accounting: degrade-to-empty 200s and admission rejections
+    # are failures to the user that the 5xx error SLO cannot see; they
+    # get their own budget (docs/SLO.md) and alert
+    SHED_TOTAL = Counter(
+        "rag_shed_total",
+        "Requests shed (admission 429, degraded-empty, or timeout)",
+        ["reason"])
 except ImportError:  # pragma: no cover - prometheus is baked in
     PROM = False
     CONTENT_TYPE_LATEST = "text/plain"
@@ -55,5 +62,5 @@ except ImportError:  # pragma: no cover - prometheus is baked in
 __all__ = [
     "PROM", "CONTENT_TYPE_LATEST", "generate_latest", "REQUESTS_TOTAL",
     "RETRIEVE_LATENCY", "ERRORS_TOTAL", "ACTIVE_REQUESTS", "EMBED_LATENCY",
-    "HALLUCINATION_RISK", "DRIFT_MAGNITUDE", "SLA_COMPLIANCE",
+    "HALLUCINATION_RISK", "DRIFT_MAGNITUDE", "SLA_COMPLIANCE", "SHED_TOTAL",
 ]

@@ -74,6 +74,15 @@ class RateLimitError(AdvancedRAGException):
     """Per-client rate limit exceeded."""
 
 
+class OverloadError(AdvancedRAGException):
+    """Admission control shed: the service-wide wait queue is full.
+
+    Distinct from :class:`RateLimitError` (a per-client budget) — this
+    is the global backpressure signal; the endpoint maps it to 429 and
+    it is counted in the ``rag_shed_total{reason="admission"}`` budget
+    (docs/SLO.md)."""
+
+
 class ChunkingError(AdvancedRAGException):
     """Document chunking failed."""
 
@@ -113,6 +122,7 @@ __all__ = [
     "CacheError",
     "AuthenticationError",
     "RateLimitError",
+    "OverloadError",
     "ChunkingError",
     "EvaluationError",
     "ComplianceError",

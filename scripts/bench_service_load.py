@@ -95,11 +95,11 @@ async def run(args) -> None:
             for i in range(args.clients)])
 
         lat: list = []
-        errors = degraded = 0
+        errors = degraded = rejected = 0
         stop_at = time.perf_counter() + args.duration
 
         async def client(cid: int) -> int:
-            nonlocal errors, degraded
+            nonlocal errors, degraded, rejected
             done = 0
             crng = np.random.default_rng(cid)
             while time.perf_counter() < stop_at:
@@ -109,6 +109,11 @@ async def run(args) -> None:
                     r = await s.post(f"{base}/retrieve",
                                      json={"query": q, "top_k": 5})
                     body = await r.json()
+                    if r.status == 429:
+                        # admission/shed reject — first-class SLO column
+                        rejected += 1
+                        await asyncio.sleep(0.05)
+                        continue
                     if r.status != 200 or "results" not in body:
                         errors += 1
                         await asyncio.sleep(0.05)   # no hot error loop
@@ -141,6 +146,10 @@ async def run(args) -> None:
 
     await runner.cleanup()
     total = int(sum(counts))
+    attempts = total + errors + degraded + rejected
+    # shed budget (docs/SLO.md): EVERYTHING the user did not get a real
+    # answer for — 429 rejects, degraded-empty 200s, and hard errors
+    shed = errors + degraded + rejected
     out = {
         "metric": "service_qps_under_load",
         "value": round(total / elapsed, 1),
@@ -152,6 +161,10 @@ async def run(args) -> None:
             "requests": total,
             "errors": errors,
             "degraded_to_empty": degraded,
+            "rejected_429": rejected,
+            "shed_pct": round(100.0 * shed / max(attempts, 1), 2),
+            "shed_budget_pct": 0.5,
+            "shed_budget_met": shed / max(attempts, 1) <= 0.005,
             "p50_ms": round(float(np.percentile(lat, 50)), 1) if lat else None,
             "p95_ms": round(float(np.percentile(lat, 95)), 1) if lat else None,
             "p99_ms": round(float(np.percentile(lat, 99)), 1) if lat else None,
