@@ -42,6 +42,17 @@ MIGRATIONS = [
 ]
 
 
+def _to_postgres(sql: str) -> str:
+    """SQLite DDL/DML -> Postgres dialect (the statements above are the
+    single source of truth; the translation is mechanical, mirroring
+    what alembic's dialect layer does for the reference's migrations)."""
+    return (sql
+            .replace("INTEGER PRIMARY KEY AUTOINCREMENT",
+                     "BIGSERIAL PRIMARY KEY")
+            .replace(" REAL", " DOUBLE PRECISION")
+            .replace("?", "%s"))
+
+
 def migrate(url_or_path: str = "") -> list[str]:
     from advanced_rag_tpu.utils.db_pool import DatabasePool
 
@@ -49,21 +60,25 @@ def migrate(url_or_path: str = "") -> list[str]:
         pool = DatabasePool(database_url=url_or_path)
     else:
         pool = DatabasePool(sqlite_path=url_or_path or "chat.db")
+    pg = pool.backend == "postgres"
 
     applied: list[str] = []
     with pool.get_connection() as conn:
-        conn.execute(
-            "CREATE TABLE IF NOT EXISTS schema_migrations ("
+        cur = conn.cursor() if pg else conn
+
+        def run(sql: str, params: tuple = ()):  # dialect-routed execute
+            return cur.execute(_to_postgres(sql) if pg else sql, params)
+
+        run("CREATE TABLE IF NOT EXISTS schema_migrations ("
             "version TEXT PRIMARY KEY, applied_at REAL)")
-        done = {row[0] for row in
-                conn.execute("SELECT version FROM schema_migrations")}
+        rows = run("SELECT version FROM schema_migrations")
+        done = {row[0] for row in (cur.fetchall() if pg else rows)}
         for version, statements in MIGRATIONS:
             if version in done:
                 continue
             for stmt in statements:
-                conn.execute(stmt)
-            conn.execute(
-                "INSERT INTO schema_migrations (version, applied_at)"
+                run(stmt)
+            run("INSERT INTO schema_migrations (version, applied_at)"
                 " VALUES (?, ?)", (version, time.time()))
             applied.append(version)
     pool.close()
