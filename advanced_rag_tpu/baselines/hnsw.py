@@ -36,14 +36,22 @@ def _load() -> Optional[ctypes.CDLL]:
         tag = hashlib.sha256(src.encode()).hexdigest()[:12]
         out = _SRC.parent / f"hnsw_native_{tag}.so"
         if not out.exists():
-            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-std=c++17", str(_SRC), "-o", str(out)]
+            cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                   "-fPIC", "-std=c++17", str(_SRC), "-o", str(out)]
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                timeout=180)
-            except (subprocess.SubprocessError, FileNotFoundError) as exc:
-                logger.warning("hnsw baseline build failed: %s", exc)
-                return None
+            except (subprocess.SubprocessError, FileNotFoundError):
+                # no libgomp on this host: fall back to sequential
+                cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                       "-std=c++17", str(_SRC), "-o", str(out)]
+                try:
+                    subprocess.run(cmd, check=True, capture_output=True,
+                                   timeout=180)
+                except (subprocess.SubprocessError,
+                        FileNotFoundError) as exc:
+                    logger.warning("hnsw baseline build failed: %s", exc)
+                    return None
         lib = ctypes.CDLL(str(out))
         f32p = ctypes.POINTER(ctypes.c_float)
         i32p = ctypes.POINTER(ctypes.c_int32)
@@ -59,6 +67,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.art_hnsw_max_level.argtypes = [ctypes.c_void_p]
         lib.art_hnsw_max_level.restype = ctypes.c_int32
         lib.art_hnsw_free.argtypes = [ctypes.c_void_p]
+        lib.art_hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.art_hnsw_save.restype = ctypes.c_int32
+        lib.art_hnsw_load.argtypes = [ctypes.c_char_p]
+        lib.art_hnsw_load.restype = ctypes.c_void_p
         _LIB = lib
         return _LIB
 
@@ -76,7 +88,7 @@ class HNSWBaseline:
 
     def __init__(self, vectors: np.ndarray, *, M: int = 16,
                  ef_construction: int = 200, seed: int = 0,
-                 normalize: bool = True):
+                 normalize: bool = True, cache_path=None):
         lib = _load()
         if lib is None:
             raise RuntimeError(
@@ -86,13 +98,24 @@ class HNSWBaseline:
         if normalize:
             v = v / np.maximum(
                 np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        self._v = v                    # keep alive; C++ copies anyway
         self.n, self.dim = v.shape
         self.M = M
         self._lib = lib
-        self._idx = lib.art_hnsw_build(
-            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self.n, self.dim, M, ef_construction, seed)
+        self._idx = None
+        if cache_path is not None and Path(cache_path).exists():
+            idx = lib.art_hnsw_load(str(cache_path).encode())
+            if idx:
+                self._idx = idx
+        if self._idx is None:
+            self._idx = lib.art_hnsw_build(
+                v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self.n, self.dim, M, ef_construction, seed)
+            if cache_path is not None:
+                rc = lib.art_hnsw_save(self._idx,
+                                       str(cache_path).encode())
+                if rc != 0:
+                    logger.warning("hnsw graph cache save failed: %s",
+                                   cache_path)
 
     def search(self, queries: np.ndarray, k: int, *, ef: int = 64,
                normalize: bool = True) -> Tuple[np.ndarray, np.ndarray]:
