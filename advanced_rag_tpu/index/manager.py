@@ -115,6 +115,15 @@ class MultiIndexManager:
         self._default_reranker: Any = None
         self._semantic_cache = semantic_cache_ or semantic_cache
         self._domain_cache = domain_cache_ or domain_cache
+        # Cache namespaces carry the embedder's identity: the module-
+        # level caches are shared across managers, and two different
+        # same-dimension embedders must never exchange entries (the
+        # dimension guard in _embed_batch_cached cannot tell them
+        # apart — observed as one manager scoring another model's
+        # cached corpus embeddings).
+        self._sem_ns = "semantic:" + getattr(self.embedder, "cache_tag", "")
+        self._dom_ns = "domain:" + getattr(self.domain_embedder,
+                                           "cache_tag", "")
         self._closed = False
         # Serializes corpus mutations (ingest/delete).  Concurrent
         # index_chunks calls are real in the service (client disconnect
@@ -161,13 +170,13 @@ class MultiIndexManager:
     def generate_semantic_embedding(self, text: str) -> np.ndarray:
         """Single-text semantic embedding (reference indexing.py:601-627)."""
         return self._embed_batch_cached([text], self.embedder,
-                                        self._semantic_cache, "semantic")[0]
+                                        self._semantic_cache, self._sem_ns)[0]
 
     def generate_domain_embedding(self, text: str) -> np.ndarray:
         if not self.domain_embedder:
             raise IndexingError("domain index not enabled")
         return self._embed_batch_cached([text], self.domain_embedder,
-                                        self._domain_cache, "domain")[0]
+                                        self._domain_cache, self._dom_ns)[0]
 
     # reference-compat private aliases (tests in the reference monkeypatch
     # `_generate_*_embedding`; keeping the names keeps the test pattern)
@@ -242,7 +251,7 @@ class MultiIndexManager:
             # rows from CorpusStore.append are contiguous for fresh records
             texts = [r.content for r in new_records]
             emb = self._embed_batch_cached(
-                texts, self.embedder, self._semantic_cache, "semantic"
+                texts, self.embedder, self._semantic_cache, self._sem_ns
             )
             sp_enc = None
             if self.sparse is not None:
@@ -253,7 +262,7 @@ class MultiIndexManager:
             demb = None
             if self.domain is not None and self.domain_embedder is not None:
                 demb = self._embed_batch_cached(
-                    texts, self.domain_embedder, self._domain_cache, "domain"
+                    texts, self.domain_embedder, self._domain_cache, self._dom_ns
                 )
 
             # Phase 3 (locked): ONE fused device program for corpus
@@ -491,7 +500,7 @@ class MultiIndexManager:
                 qe = qe[None, :]
             q = jnp.asarray(np.pad(qe, ((0, qb - nq), (0, 0))))
         else:
-            cached = [self._semantic_cache.get_sync(t, "semantic")
+            cached = [self._semantic_cache.get_sync(t, self._sem_ns)
                       for t in queries]
             cached = [c if c is not None and c.shape[0] == self.embedder.dim
                       else None for c in cached]
@@ -658,7 +667,7 @@ class MultiIndexManager:
             )
         for text, vec in zip(cache_fill, q_host):
             self._semantic_cache.put_sync(text, np.asarray(vec, np.float32),
-                                          "semantic")
+                                          self._sem_ns)
         out: List[List[Dict[str, Any]]] = []
         for qi in range(nq):
             hits: List[Dict[str, Any]] = []
@@ -687,6 +696,7 @@ class MultiIndexManager:
         use_mmr: bool = True,
         mmr_lambda: float = 0.8,
         q_max_len: int = 32,
+        rerank_alpha: Optional[float] = None,
     ) -> List[List[Dict[str, Any]]]:
         """Embed -> hybrid search -> cross-encoder rerank in ONE device
         dispatch (requires ``config.fused_rerank``; the corpus token
@@ -746,6 +756,11 @@ class MultiIndexManager:
                        "post_tf": self.sparse.post_tf}
         if self.semantic._sq8:
             post_kw["emb_scale"] = self.semantic.emb_scale
+        if rerank_alpha is not None:
+            # runtime scalar: blends z-scored CE and retrieval scores
+            # inside the program (alpha=1 pure CE, alpha=0 retrieval
+            # order); no recompile across alpha values
+            post_kw["rerank_alpha"] = jnp.float32(rerank_alpha)
 
         key = (qb, k_out, k_rerank, k_final, dense_impl, sparse_impl,
                use_mmr, id(reranker))

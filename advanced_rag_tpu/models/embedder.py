@@ -70,6 +70,14 @@ class NeuralEmbedder:
             self.model = BiEncoder(self.config, out_dim=dim)
             self.params = params
         self.max_batch = max_batch
+        # Cache identity: the module-level embedding caches are shared
+        # across managers and key on TEXT — two different same-dim
+        # models would silently exchange embeddings (observed: a second
+        # manager scoring another model's cached corpus vectors,
+        # top-1 recall 0.01).  A per-instance tag partitions the cache.
+        import uuid
+
+        self.cache_tag = f"neural{dim}-{uuid.uuid4().hex[:12]}"
 
         @functools.partial(jax.jit, static_argnames=())
         def _apply(params, ids, mask):
@@ -122,6 +130,10 @@ class HashingEmbedder:
         self.dim = dim
         self.vocab_size = vocab_size
         self.doc_nnz = doc_nnz
+        # deterministic embedder => deterministic cache identity: two
+        # HashingEmbedders with the same knobs produce identical vectors,
+        # so they may share cache entries (see NeuralEmbedder.cache_tag)
+        self.cache_tag = f"hash{dim}v{vocab_size}s{seed}"
         key = jax.random.PRNGKey(seed)
         # fixed +-1/sqrt(dim) projection; lives in HBM once.
         self._proj = (

@@ -349,3 +349,33 @@ class TestConcurrentIngest:
         assert any(h["chunk_id"] == "a7" for h in hits)
         hits = mgr.hybrid_search_batch_sync(["b content row 3"], 5)[0]
         assert any(h["chunk_id"] == "b3" for h in hits)
+
+
+def test_embedding_cache_isolated_between_different_embedders():
+    """Two managers with DIFFERENT same-dimension embedders must not
+    exchange cache entries: the module-level caches key on text, and
+    before the per-embedder namespace tag a second manager silently
+    scored the first model's cached corpus vectors (top-1 recall 0.01)."""
+    from advanced_rag_tpu.config import PipelineConfig
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.models.embedder import HashingEmbedder
+
+    texts = [f"shared corpus text {i} about topic {i % 3}" for i in range(8)]
+    recs = [ChunkRecord(chunk_id=str(i), doc_id=f"d{i}", content=t)
+            for i, t in enumerate(texts)]
+    e1 = HashingEmbedder(dim=48, seed=1)
+    e2 = HashingEmbedder(dim=48, seed=2)     # same dim, different model
+    m1 = MultiIndexManager(PipelineConfig(), embedder=e1)
+    m1.index_chunks(recs)
+    m2 = MultiIndexManager(PipelineConfig(), embedder=e2)
+    m2.index_chunks(recs)
+    v1 = np.asarray(m1.semantic.get_vectors(np.asarray([0])))
+    v2 = np.asarray(m2.semantic.get_vectors(np.asarray([0])))
+    # different embedders => different vectors for the same text
+    assert not np.allclose(v1, v2, atol=1e-3)
+    np.testing.assert_allclose(
+        v2[0], e2.encode([texts[0]])[0], rtol=1e-3, atol=1e-3)
+    # identical deterministic embedders DO share (same tag)
+    e3 = HashingEmbedder(dim=48, seed=1)
+    assert e3.cache_tag == e1.cache_tag
