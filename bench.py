@@ -233,10 +233,12 @@ def main() -> None:
 
     q_ids, q_mask, q_idx, q_tf = encode_queries(_queries(rng, q_batch))
     bi_jit = jax.jit(bi.apply)
-    extra["stage_embed_ms_b8"] = round(scanned_ms(
+    # microsecond-scale stage: 2-decimal ms rounding swallowed it in
+    # BENCH_r02 ("0.0" read as unmeasured) — report in µs
+    extra["stage_embed_us_b8"] = round(scanned_ms(
         lambda eps, p, ids, mask: bi_jit(p, ids + eps.astype(jnp.int32),
                                          mask),
-        rounds=20, operands=(p_bi, q_ids, q_mask)), 2)
+        rounds=20, operands=(p_bi, q_ids, q_mask)) * 1e3, 1)
 
     from advanced_rag_tpu.ops import hybrid_retrieve
     q_dense = bi_jit(p_bi, q_ids, q_mask)

@@ -114,6 +114,57 @@ def main() -> None:
             res[f"sparse_q{Q}"] = {"xla_ms": xla, "pallas_ms": pal,
                                    "speedup": round(xla / pal, 2)}
 
+    # ---- sub-threshold sparse cell (VERDICT r2 weak #6) ----------------
+    # Below SparseIndex.POSTINGS_AUTO_THRESHOLD (50k rows) the product
+    # ladder picks the compare kernels (postings memory would dwarf the
+    # corpus there); this measures every rung in THAT cell so the
+    # winner table has no unmeasured row: pallas vs XLA vs (for
+    # reference) postings at n=32k.
+    if not args.skip_sparse:
+        from advanced_rag_tpu.ops.postings import (auto_postings_cap,
+                                                   build_postings,
+                                                   postings_topk)
+
+        n_s, p, vocab, T = 32_768, 64, 16384, 32
+        key = jax.random.PRNGKey(1)
+        k1, k2, k3 = jax.random.split(key, 3)
+        doc_idx = jax.random.randint(k1, (n_s, p), 0, vocab, jnp.int32)
+        doc_tf = (1 + jax.random.uniform(k2, (n_s, p))).astype(jnp.float32)
+        doc_len = jnp.full((n_s,), 1.5 * p, jnp.float32)
+        df = jax.random.randint(k3, (vocab,), 1, n_s // 10, jnp.int32)
+        valid = jnp.ones((n_s,), jnp.bool_)
+        doc_idx_t = jnp.asarray(np.ascontiguousarray(np.asarray(doc_idx).T))
+        doc_tf_t = jnp.asarray(np.ascontiguousarray(np.asarray(doc_tf).T))
+        cap = auto_postings_cap(n_s, p, vocab)
+        pr, ptf = build_postings(doc_idx, doc_tf, vocab, cap)
+        pr, ptf = jnp.asarray(pr), jnp.asarray(ptf)
+        post_mb = round((pr.size * 4 + ptf.size * 4) / 1e6, 1)
+        for Q in (1, 2, 4, 8):
+            q_idx = jnp.asarray(
+                rng.integers(0, vocab, (Q, T)).astype(np.int32))
+            q_idx = q_idx.at[:, T // 2:].set(-1)
+            q_tf = jnp.ones((Q, T), jnp.float32)
+            xla = amortized(
+                lambda eps, di, dt, dl, dff, qi, qt, v: sparse_topk(
+                    di, dt, dl, dff, jnp.float32(n_s),
+                    qi, qt + eps, 40, v)[1],
+                (doc_idx, doc_tf, doc_len, df, q_idx, q_tf, valid))
+            pal = amortized(
+                lambda eps, di, dt, dl, dff, qi, qt, v, dit, dtt:
+                    sparse_topk_pallas(
+                        di, dt, dl, dff, jnp.float32(n_s),
+                        qi, qt + eps, 40, v, None, dit, dtt)[1],
+                (doc_idx, doc_tf, doc_len, df, q_idx, q_tf, valid,
+                 doc_idx_t, doc_tf_t))
+            pst = amortized(
+                lambda eps, prr, ptff, dl, dff, qi, qt, v: postings_topk(
+                    prr, ptff, dl, dff, jnp.float32(n_s),
+                    qi, qt + eps, 40, v)[1],
+                (pr, ptf, doc_len, df, q_idx, q_tf, valid))
+            res[f"sparse32k_q{Q}"] = {
+                "xla_ms": xla, "pallas_ms": pal, "postings_ms": pst,
+                "postings_mem_mb": post_mb}
+
     print(json.dumps(res))
 
 
