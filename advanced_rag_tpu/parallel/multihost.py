@@ -49,11 +49,22 @@ def distributed_init() -> None:
     coord = os.environ.get("JAX_COORDINATOR")
     if not coord:
         return
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(os.environ["NPROC"]),
-        process_id=int(os.environ["PROC_ID"]),
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["NPROC"]),
+            process_id=int(os.environ["PROC_ID"]),
+        )
+    except RuntimeError as exc:
+        # idempotent: entry points (service, launcher, tests) may have
+        # initialized already — "must be called before any JAX calls"
+        # when the caller did so deliberately, or "only be called once"
+        if jax.process_count() < int(os.environ["NPROC"]):
+            raise
+        import logging
+
+        logging.getLogger(__name__).info(
+            "distributed already initialized (%s)", exc)
 
 
 def build_pod_mesh(
@@ -75,8 +86,17 @@ def build_pod_mesh(
         dcn = dcn or jax.process_count()
         local = jax.local_device_count()
         shard = shard or local // data
-        devices = mesh_utils.create_hybrid_device_mesh(
-            (1, shard, data), (dcn, 1, 1))
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                (1, shard, data), (dcn, 1, 1))
+        except ValueError:
+            # non-TPU multi-controller (e.g. the 2-process Gloo CPU
+            # test): devices carry no slice attribute, so group the
+            # dcn axis by process_index directly — same placement a
+            # hybrid mesh gives on a pod (one dcn entry per host)
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            devices = np.asarray(devs).reshape(dcn, shard, data)
         return Mesh(devices, POD_AXES)
     n = len(jax.devices())
     dcn = dcn or 1
