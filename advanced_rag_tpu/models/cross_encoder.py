@@ -30,8 +30,22 @@ class CrossEncoderReranker:
         seed: int = 0,
         max_batch: int = 64,
         max_len: int = 128,
+        q_len: Optional[int] = None,
+        d_len: Optional[int] = None,
     ):
         self.config = config or EncoderConfig(max_len=max_len)
+        # Static-slot pair layout (tokenizer.encode_pairs_static): the
+        # SAME layout the fused on-device program builds (ops/e2e.py)
+        # and train/rerank.py trains with, so one checkpoint scores
+        # identically on the host path and the fused path.
+        self.q_len = q_len if q_len is not None else min(
+            32, self.config.max_len // 3)
+        self.d_len = d_len if d_len is not None else (
+            self.config.max_len - self.q_len - 1)
+        if self.q_len + self.d_len + 1 > self.config.max_len:
+            raise ValueError(
+                f"pair length {self.q_len}+{self.d_len}+1 exceeds "
+                f"encoder max_len {self.config.max_len}")
         self.tokenizer = tokenizer or HashingTokenizer(
             TokenizerConfig(vocab_size=self.config.vocab_size,
                             max_len=self.config.max_len)
@@ -69,7 +83,8 @@ class CrossEncoderReranker:
             b = 1
             while b < len(q_chunk) and b < self.max_batch:
                 b *= 2
-            ids, mask, segs = self.tokenizer.encode_pairs(q_chunk, d_chunk)
+            ids, mask, segs = self.tokenizer.encode_pairs_static(
+                q_chunk, d_chunk, self.q_len, self.d_len)
             if ids.shape[0] < b:
                 pad = b - ids.shape[0]
                 ids = np.pad(ids, ((0, pad), (0, 0)))

@@ -63,6 +63,38 @@ class HashingTokenizer:
             mask[row, : len(toks)] = 1.0
         return ids, mask
 
+    def encode_pairs_static(
+        self,
+        queries: Sequence[str],
+        docs: Sequence[str],
+        q_len: int,
+        d_len: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Static-slot cross-encoder input — the SERVING layout.
+
+        Reproduces exactly what the fused one-dispatch program builds on
+        device (ops/e2e.py: q frame ``[CLS] q [SEP]`` padded to
+        ``q_len`` slots, then the token-table row ``[CLS] d [SEP]``
+        padded to ``d_len`` slots, then a trailing ``[SEP]``; segments 0
+        for the q frame, 1 for the doc part).  A short query leaves
+        masked PAD holes before the doc instead of shifting it left.
+        Training with this layout removes the train/serve position-id
+        mismatch that the packed :meth:`encode_pairs` layout causes for
+        checkpoints served through the fused path.
+        """
+        cfg = self.config
+        n = len(queries)
+        q_ids, q_mask = self.encode_batch(list(queries), q_len)
+        d_ids, d_mask = self.encode_batch(list(docs), d_len)
+        sep = np.full((n, 1), cfg.sep_id, np.int32)
+        ids = np.concatenate([q_ids, d_ids, sep], axis=1)
+        mask = np.concatenate(
+            [q_mask, d_mask, np.ones((n, 1), np.float32)], axis=1)
+        segments = np.concatenate(
+            [np.zeros((n, q_len), np.int32),
+             np.ones((n, d_len + 1), np.int32)], axis=1)
+        return ids, mask, segments
+
     def encode_pairs(
         self,
         queries: Sequence[str],

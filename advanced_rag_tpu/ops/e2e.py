@@ -98,6 +98,7 @@ def make_retrieve_rerank(
         post_rows: Optional[jnp.ndarray] = None,
         post_tf: Optional[jnp.ndarray] = None,
         emb_scale: Optional[jnp.ndarray] = None,
+        rerank_alpha: Optional[jnp.ndarray] = None,
     ) -> E2EResult:
         # 1. query embedding on the MXU (replaces indexing.py:553-599)
         q_dense = bi_model.apply(params_bi, q_ids, q_mask)     # [Q, D] f32
@@ -144,15 +145,38 @@ def make_retrieve_rerank(
             pair_mask.reshape(Q * K, L),
             pair_seg.reshape(Q * K, L),
         ).reshape(Q, K)                                        # f32
-        ce = jnp.where(cand >= 0, ce, -jnp.inf)
+        validm = cand >= 0
+        ce = jnp.where(validm, ce, -jnp.inf)
 
-        # 6. final rank: top-k_final by cross-encoder score
-        top_s, top_j = jax.lax.top_k(ce, k_final)
+        # 6. final rank.  With ``rerank_alpha`` (runtime scalar, no
+        #    recompile per value) the rank key is a per-query z-score
+        #    blend of the CE and the hybrid retrieval scores —
+        #    alpha=1 is pure CE, alpha=0 degenerates to the retrieval
+        #    order, so a dev-picked alpha can only help (the same
+        #    protocol the quality bench uses off-device).
+        if rerank_alpha is None:
+            rank_key = ce
+        else:
+            nv = jnp.maximum(jnp.sum(validm, 1, keepdims=True), 1)
+
+            def _znorm(x):
+                xz = jnp.where(validm, x, 0.0)
+                mean = jnp.sum(xz, 1, keepdims=True) / nv
+                var = jnp.sum(
+                    jnp.where(validm, (x - mean) ** 2, 0.0),
+                    1, keepdims=True) / nv
+                return (x - mean) * jax.lax.rsqrt(var + 1e-9)
+
+            rank_key = (rerank_alpha * _znorm(ce)
+                        + (1.0 - rerank_alpha) * _znorm(cand_s))
+            rank_key = jnp.where(validm, rank_key, -jnp.inf)
+        top_s, top_j = jax.lax.top_k(rank_key, k_final)
         final_ids = jnp.take_along_axis(cand, top_j, axis=1)
+        final_ce = jnp.take_along_axis(ce, top_j, axis=1)
         final_fused = jnp.take_along_axis(cand_s, top_j, axis=1)
         final_ids = jnp.where(jnp.isfinite(top_s), final_ids, -1)
 
-        return E2EResult(final_ids, top_s, final_fused, cand, cand_s,
+        return E2EResult(final_ids, final_ce, final_fused, cand, cand_s,
                          q_dense)
 
     return jax.jit(program)

@@ -13,17 +13,23 @@ from .distill import DistillConfig, distill_cross_encoder
 from .loop import TrainLoopConfig, load_params, save_params, train_biencoder
 from .rerank import (
     RerankTrainConfig,
+    filter_false_negatives,
     load_reranker,
     save_reranker,
+    token_jaccard,
     train_reranker,
+    warm_start_cross_encoder,
 )
 
 __all__ = [
     "DistillConfig",
     "RerankTrainConfig",
+    "filter_false_negatives",
     "load_reranker",
     "save_reranker",
+    "token_jaccard",
     "train_reranker",
+    "warm_start_cross_encoder",
     "TrainConfig",
     "TrainLoopConfig",
     "distill_cross_encoder",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import time
+from collections.abc import Mapping
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -45,6 +46,60 @@ class RerankTrainConfig:
     candidates_per_query: int = 8     # 1 positive + (M-1) hard/random negatives
     log_every: int = 100
     seed: int = 0
+    # Static-slot pair layout (tokenizer.encode_pairs_static) matching
+    # the fused serving program ops/e2e.py: [CLS] q [SEP] pad..(q_len)
+    # [CLS] d [SEP] pad..(d_len) [SEP].  q_len + d_len + 1 must fit the
+    # encoder's max_len position table.
+    q_len: int = 32
+    d_len: int = 48
+    # held-out fraction of pairs reserved for the eval batch (never
+    # trained on); 0 disables the split and evals on train-distribution
+    # slates (labeled as such in history)
+    eval_frac: float = 0.05
+    # listwise label smoothing: mined negative lists carry residual
+    # label noise even after false-negative filtering (near-duplicate
+    # corpora), so a little smoothing stabilizes the slate CE
+    label_smoothing: float = 0.0
+    # RESIDUAL mode: add the slate's z-normalized retrieval score to the
+    # CE logits inside the listwise loss, and serve the same sum.  The
+    # CE sees strictly less of the document than the retrieval stage
+    # did (BM25 scored the FULL body; the CE reads d_len tokens), so
+    # training it to REPLACE the retrieval order caps below it —
+    # training it to CORRECT the retrieval order (boosting-style
+    # residual) can only exploit signal retrieval missed.  Requires
+    # base scores in the batch (make_rerank_batch base_scores=...).
+    residual: bool = False
+
+
+_JACCARD_WORD_RE = __import__("re").compile(r"[a-z0-9]+")
+
+
+def token_jaccard(a: str, b: str) -> float:
+    """Word-set Jaccard similarity — the false-negative detector."""
+    sa = set(_JACCARD_WORD_RE.findall(a.lower()))
+    sb = set(_JACCARD_WORD_RE.findall(b.lower()))
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def filter_false_negatives(
+    positive: str,
+    candidates: Sequence[str],
+    max_jaccard: float = 0.8,
+) -> List[str]:
+    """Drop mined negatives that are (near-)duplicates of the positive.
+
+    Real corpora are full of near-identical passages (measured 28% of
+    installed-package docstrings have a Jaccard>0.8 twin — e.g. the
+    float/double variants of one LAPACK routine).  Mining hard
+    negatives from the retriever's own top-k surfaces exactly those
+    twins first; labeling them negative gives the cross-encoder
+    contradictory supervision and caps slate accuracy near a coin flip
+    (the round-2 failure).  Filtering restores a learnable signal.
+    """
+    return [c for c in candidates
+            if c != positive and token_jaccard(positive, c) < max_jaccard]
 
 
 def make_rerank_batch(
@@ -53,6 +108,7 @@ def make_rerank_batch(
     negatives: Sequence[Sequence[str]],
     cfg: RerankTrainConfig,
     rng: np.random.Generator,
+    base_scores: Optional[Sequence[Tuple[float, Sequence[float]]]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """One listwise batch: ids/mask/segs [B*M, L] + label [B] i32.
 
@@ -60,32 +116,105 @@ def make_rerank_batch(
     RANDOM slot plus (M-1) negatives drawn from its mined hard-negative
     list (topped up with corpus-random positives of other queries when
     the list is short).  Randomising the positive's slot keeps the
-    scalar head from learning a positional shortcut.
+    scalar head from learning a positional shortcut.  Negatives whose
+    text equals the positive are never used (contradictory labels), and
+    the random top-up is bounded so a degenerate pair list raises
+    instead of spinning forever.
     """
     b, m = cfg.queries_per_batch, cfg.candidates_per_query
+    if len(pairs) < 2 and m > 1:
+        raise ValueError(
+            "make_rerank_batch needs >=2 pairs to draw negatives "
+            f"(got {len(pairs)} with candidates_per_query={m})")
     sel = rng.integers(0, len(pairs), b)
     labels = rng.integers(0, m, b).astype(np.int32)
     q_rep: List[str] = []
     d_rep: List[str] = []
+    base = np.zeros((b, m), np.float32)
     for row, qi in enumerate(sel):
         query, pos_doc = pairs[qi]
-        pool = list(negatives[qi]) if qi < len(negatives) else []
+        neg_texts = list(negatives[qi]) if qi < len(negatives) else []
+        if base_scores is not None:
+            pos_s, neg_s = base_scores[qi]
+            pool = [(t, float(s)) for t, s in zip(neg_texts, neg_s)
+                    if t != pos_doc]
+        else:
+            pos_s = 0.0
+            pool = [(t, 0.0) for t in neg_texts if t != pos_doc]
+        mined_min = min([s for _, s in pool], default=0.0)
         need = m - 1
+        attempts = 0
         while len(pool) < need:
             j = int(rng.integers(0, len(pairs)))
-            if j != qi:
-                pool.append(pairs[j][1])
+            if j != qi and pairs[j][1] != pos_doc:
+                # random top-up was NOT retrieved: floor retrieval score
+                pool.append((pairs[j][1], mined_min))
+            attempts += 1
+            if attempts > 100 * need + 100:
+                raise ValueError(
+                    "cannot assemble a negative slate: every other pair's "
+                    "document equals this query's positive")
         negs = [pool[i] for i in rng.permutation(len(pool))[:need]]
-        slate = negs[: labels[row]] + [pos_doc] + negs[labels[row]:]
+        slate = negs[: labels[row]] + [(pos_doc, float(pos_s))] \
+            + negs[labels[row]:]
         q_rep.extend([query] * m)
-        d_rep.extend(slate)
-    ids, mask, segs = tok.encode_pairs(q_rep, d_rep)
+        d_rep.extend([t for t, _ in slate])
+        if base_scores is not None:
+            v = np.asarray([s for _, s in slate], np.float64)
+            sd = v.std()
+            base[row] = ((v - v.mean()) / (sd if sd > 1e-9 else 1.0)
+                         ).astype(np.float32)
+    ids, mask, segs = tok.encode_pairs_static(q_rep, d_rep,
+                                              cfg.q_len, cfg.d_len)
     return {
         "ids": jnp.asarray(ids),
         "mask": jnp.asarray(mask),
         "segs": jnp.asarray(segs),
         "label": jnp.asarray(labels),
+        "base": jnp.asarray(base),
     }
+
+
+def warm_start_cross_encoder(ce_params: Any, bi_params: Any) -> Any:
+    """Copy a trained bi-encoder's trunk into fresh cross-encoder params.
+
+    Both models share ``TransformerTrunk`` under the ``trunk`` scope
+    (models/encoder.py); the bi-encoder's contrastively-trained token/
+    position embeddings and blocks transfer directly.  The CE-only
+    leaves — ``seg_embed`` (the bi-encoder never creates it: it calls
+    the trunk without segments) and the pool/score heads — keep their
+    fresh initialization.  Warm-starting is the difference between a
+    cold 4-layer trunk learning language from ~10^3 listwise steps and
+    fine-tuning an already-useful representation.
+    """
+    def to_dict(tree):
+        if isinstance(tree, Mapping):
+            return {k: to_dict(v) for k, v in tree.items()}
+        return tree
+
+    # COPY (not alias) the donor leaves: make_rerank_step device_puts
+    # its params, which is a no-op for already-correctly-sharded arrays,
+    # and then donates them into the jitted step — an aliased leaf would
+    # get the DONOR's buffer deleted on the first training step
+    # (observed: the bi-encoder silently dies behind the embedding cache
+    # and the next uncached encode crashes with "Array has been
+    # deleted").
+    copy = functools.partial(jax.tree_util.tree_map,
+                             lambda x: jnp.array(x))  # jnp.array copies
+    ce = to_dict(ce_params)
+    for name, leaf in to_dict(bi_params)["params"]["trunk"].items():
+        target = ce["params"]["trunk"].get(name)
+        if (name == "pos_embed" and hasattr(target, "shape")
+                and target.shape != leaf.shape):
+            # CE may use a LONGER position table than the bi-encoder
+            # (pair sequence vs single text): transfer the trained
+            # prefix, keep the fresh tail
+            n = min(target.shape[0], leaf.shape[0])
+            ce["params"]["trunk"][name] = jnp.array(
+                jnp.concatenate([leaf[:n], target[n:]], axis=0))
+        else:
+            ce["params"]["trunk"][name] = copy(leaf)
+    return ce
 
 
 def make_rerank_step(
@@ -112,14 +241,25 @@ def make_rerank_step(
     def loss_fn(p, batch):
         s = student.apply(p, batch["ids"], batch["mask"], batch["segs"])
         s = s.reshape(b, m)
-        loss = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
-            s, batch["label"]))
+        if cfg.residual:
+            # boosting-style: CE corrects the retrieval order instead of
+            # replacing it; serve-time ranking uses the same sum
+            s = s + batch["base"]
+        if cfg.label_smoothing > 0.0:
+            target = optax.smooth_labels(
+                jax.nn.one_hot(batch["label"], m), cfg.label_smoothing)
+            loss = jnp.mean(optax.softmax_cross_entropy(s, target))
+        else:
+            loss = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(
+                    s, batch["label"]))
         acc = jnp.mean((jnp.argmax(s, -1) == batch["label"])
                        .astype(jnp.float32))
         return loss, acc
 
     batch_shardings = {"ids": pair_sharding, "mask": pair_sharding,
-                       "segs": pair_sharding, "label": label_sharding}
+                       "segs": pair_sharding, "label": label_sharding,
+                       "base": NamedSharding(mesh, P(tcfg.data_axis, None))}
 
     @functools.partial(
         jax.jit,
@@ -146,22 +286,41 @@ def train_reranker(
     rerank_config: Optional[RerankTrainConfig] = None,
     mesh=None,
     tokenizer: Optional[HashingTokenizer] = None,
+    warm_start_params: Any = None,
+    base_scores: Optional[Sequence[Tuple[float, Sequence[float]]]] = None,
 ) -> Tuple[CrossEncoder, Any, List[Dict[str, float]]]:
     """-> (model, trained params, history).
 
     ``pairs``: (query, positive_doc); ``negatives[i]``: hard negatives
-    for pairs[i] (mine them from the retriever's top-k minus the gold
-    doc).  The returned params drop into ``CrossEncoderReranker(
-    config=..., params=...)`` and serve the pipeline's top-20 -> top-5
-    rerank stage (reference retrieval.py:518-553).
+    for pairs[i] (mine them from the retriever's top-k, then run
+    :func:`filter_false_negatives` — near-duplicates of the gold doc
+    labeled negative are contradictory supervision).  The returned
+    params drop into ``CrossEncoderReranker(config=..., params=...)``
+    and serve the pipeline's top-20 -> top-5 rerank stage (reference
+    retrieval.py:518-553).
+
+    ``warm_start_params``: a trained bi-encoder's params — its trunk is
+    copied in via :func:`warm_start_cross_encoder` before training.
+
+    ``rerank_config.eval_frac`` of the pairs are HELD OUT before
+    training; ``eval_loss``/``eval_accuracy`` in the history measure
+    generalization to those unseen queries (when the pool is too small
+    to split, the eval batch is train-distribution and history rows
+    carry ``eval_is_heldout: 0.0``).
     """
     if not pairs:
         raise ValueError("train_reranker needs a non-empty pair list")
     cfg = encoder_config or EncoderConfig()
     tcfg = train_config or TrainConfig(learning_rate=3e-4)
     rcfg = rerank_config or RerankTrainConfig()
+    if rcfg.q_len + rcfg.d_len + 1 > cfg.max_len:
+        raise ValueError(
+            f"pair length {rcfg.q_len}+{rcfg.d_len}+1 exceeds encoder "
+            f"max_len {cfg.max_len}")
 
     student, params = init_cross_encoder(cfg, seed=rcfg.seed)
+    if warm_start_params is not None:
+        params = warm_start_cross_encoder(params, warm_start_params)
     mesh = mesh or build_train_mesh(config=tcfg)
     optimizer = make_optimizer(tcfg)
     step_fn, eval_fn, params, opt_state = make_rerank_step(
@@ -169,41 +328,95 @@ def train_reranker(
     tok = tokenizer or HashingTokenizer(
         TokenizerConfig(vocab_size=cfg.vocab_size, max_len=cfg.max_len))
     rng = np.random.default_rng(rcfg.seed)
-    ev_batch = make_rerank_batch(tok, pairs, negatives, rcfg,
-                                 np.random.default_rng(rcfg.seed + 1))
+
+    # hold out eval pairs BEFORE training (ADVICE r2: an eval batch
+    # drawn from the training pairs measures train-distribution fit,
+    # not generalization)
+    n_eval = int(len(pairs) * rcfg.eval_frac)
+    heldout = n_eval >= rcfg.queries_per_batch and \
+        len(pairs) - n_eval >= 2 * rcfg.queries_per_batch
+    if rcfg.residual and base_scores is None:
+        raise ValueError("residual training needs base_scores (the "
+                         "retrieval scores of each mined candidate)")
+    if heldout:
+        perm = np.random.default_rng(rcfg.seed + 2).permutation(len(pairs))
+        ev_idx, tr_idx = perm[:n_eval], perm[n_eval:]
+        tr_pairs = [pairs[i] for i in tr_idx]
+        tr_negs = [negatives[i] if i < len(negatives) else []
+                   for i in tr_idx]
+        ev_pairs = [pairs[i] for i in ev_idx]
+        ev_negs = [negatives[i] if i < len(negatives) else []
+                   for i in ev_idx]
+        tr_base = ([base_scores[i] for i in tr_idx]
+                   if base_scores is not None else None)
+        ev_base = ([base_scores[i] for i in ev_idx]
+                   if base_scores is not None else None)
+    else:
+        tr_pairs, tr_negs = list(pairs), list(negatives)
+        ev_pairs, ev_negs = tr_pairs, tr_negs
+        tr_base = ev_base = (list(base_scores)
+                             if base_scores is not None else None)
+    # 4 fixed eval batches (same shapes -> one trace) to cut the
+    # variance of a single 16-query slate sample
+    ev_batches = [make_rerank_batch(tok, ev_pairs, ev_negs, rcfg,
+                                    np.random.default_rng(rcfg.seed + 1 + i),
+                                    base_scores=ev_base)
+                  for i in range(4)]
+
+    # the floor the model must beat: ranking the held-out slates by the
+    # retrieval base score alone (residual mode's zero-function)
+    base_acc = float(np.mean([
+        np.mean(np.argmax(np.asarray(eb["base"]), axis=1)
+                == np.asarray(eb["label"]))
+        for eb in ev_batches])) if base_scores is not None else None
 
     history: List[Dict[str, float]] = []
     t0 = time.perf_counter()
     for step_i in range(1, rcfg.steps + 1):
-        batch = make_rerank_batch(tok, pairs, negatives, rcfg, rng)
+        batch = make_rerank_batch(tok, tr_pairs, tr_negs, rcfg, rng,
+                                  base_scores=tr_base)
         params, opt_state, metrics = step_fn(params, opt_state, batch)
         if step_i % rcfg.log_every == 0 or step_i == rcfg.steps:
-            ev_loss, ev_acc = eval_fn(params, ev_batch)
-            history.append({
+            evs = [eval_fn(params, eb) for eb in ev_batches]
+            row = {
                 "step": step_i,
                 "loss": float(metrics["loss"]),
                 "accuracy": float(metrics["accuracy"]),
-                "eval_loss": float(ev_loss),
-                "eval_accuracy": float(ev_acc),
+                "eval_loss": float(np.mean([float(e[0]) for e in evs])),
+                "eval_accuracy": float(np.mean([float(e[1])
+                                                for e in evs])),
+                "eval_is_heldout": 1.0 if heldout else 0.0,
                 "elapsed_s": time.perf_counter() - t0,
-            })
+            }
+            if base_acc is not None:
+                row["eval_base_accuracy"] = base_acc
+            history.append(row)
     return student, params, history
 
 
-def save_reranker(params: Any, config: EncoderConfig, path) -> None:
-    """Persist trained reranker params WITH their encoder geometry so
-    the service can restore without out-of-band config
-    (RAG_RERANKER=ckpt:<path> — service/app.py)."""
+def save_reranker(params: Any, config: EncoderConfig, path,
+                  q_len: Optional[int] = None,
+                  d_len: Optional[int] = None) -> None:
+    """Persist trained reranker params WITH their encoder geometry AND
+    the static-slot pair layout they were trained with, so the service
+    restores the exact train-time input format without out-of-band
+    config (RAG_RERANKER=ckpt:<path> — service/app.py)."""
     from dataclasses import asdict
 
     from .loop import save_params
 
     meta = {k: v for k, v in asdict(config).items() if k != "dtype"}
+    if q_len is not None:
+        meta["pair_q_len"] = int(q_len)
+    if d_len is not None:
+        meta["pair_d_len"] = int(d_len)
     save_params({"encoder_config": meta, "params": params}, path)
 
 
 def load_reranker(path):
-    """-> (EncoderConfig, params) from a save_reranker checkpoint."""
+    """-> (EncoderConfig, params, layout) from a save_reranker
+    checkpoint; ``layout`` is a {"q_len", "d_len"} dict (empty when the
+    checkpoint predates layout persistence)."""
     from .loop import load_params
 
     blob = load_params(path)
@@ -218,14 +431,22 @@ def load_reranker(path):
         num_segments=int(meta["num_segments"]),
         dropout=float(meta["dropout"]),
     )
-    return cfg, blob["params"]
+    layout = {}
+    if "pair_q_len" in meta:
+        layout["q_len"] = int(meta["pair_q_len"])
+    if "pair_d_len" in meta:
+        layout["d_len"] = int(meta["pair_d_len"])
+    return cfg, blob["params"], layout
 
 
 __all__ = [
     "RerankTrainConfig",
+    "filter_false_negatives",
     "load_reranker",
     "make_rerank_batch",
     "make_rerank_step",
     "save_reranker",
+    "token_jaccard",
     "train_reranker",
+    "warm_start_cross_encoder",
 ]

@@ -180,8 +180,8 @@ def main() -> None:
     from advanced_rag_tpu.index.corpus import ChunkRecord
     from advanced_rag_tpu.index.manager import MultiIndexManager
 
-    def build_manager(embedder=None):
-        cfg = PipelineConfig()
+    def build_manager(embedder=None, **cfg_kw):
+        cfg = PipelineConfig(**cfg_kw)
         mgr = MultiIndexManager(cfg, embedder=embedder)
         recs = [ChunkRecord(chunk_id=str(i), doc_id=docs[i][0],
                             content=bodies[i])
@@ -205,9 +205,20 @@ def main() -> None:
         prev = Path("QUALITY_REAL.json")
         if prev.exists():
             old = json.loads(prev.read_text())
-            for tier in ("bm25", "hash_hybrid"):
-                if tier in old.get("tiers", {}):
-                    results["tiers"][tier] = old["tiers"][tier]
+            # only reuse rows measured under the SAME protocol — a rerun
+            # with different --max-docs/--queries must not silently mix
+            # incomparable tiers in one artifact
+            if (old.get("n_docs") == len(docs)
+                    and old.get("n_queries") == n_eval):
+                for tier in ("bm25", "hash_hybrid"):
+                    if tier in old.get("tiers", {}):
+                        row = dict(old["tiers"][tier])
+                        row["reused_from_previous_run"] = True
+                        results["tiers"][tier] = row
+            else:
+                print("previous QUALITY_REAL.json used a different "
+                      "corpus/query count; not reusing its rows",
+                      flush=True)
         print("skipping hash-tier manager build", flush=True)
     else:
         print("building hash-hybrid manager...", flush=True)
@@ -328,7 +339,12 @@ def main() -> None:
             from advanced_rag_tpu.models.cross_encoder import (
                 CrossEncoderReranker)
             from advanced_rag_tpu.train import (
-                RerankTrainConfig, train_reranker)
+                RerankTrainConfig, filter_false_negatives, train_reranker)
+
+            # Static-slot pair layout shared by training, the host
+            # reranker, and the fused on-device program: 32 query slots
+            # + 88 doc slots + [SEP] = 121 <= max_len 128.
+            Q_LEN, D_LEN = 32, 88
 
             train_rows = [i for i in range(len(docs)) if i not in eval_idx]
             train_rows = train_rows[:args.rerank_pairs]
@@ -343,12 +359,18 @@ def main() -> None:
                     dense_weight=best[0], sparse_weight=best[1])
                 for b, hits in enumerate(out):
                     gold = train_rows[qi + b]
-                    mined.append([bodies[int(h["row"])] for h in hits
-                                  if int(h["row"]) != gold][:8])
+                    cands = [bodies[int(h["row"])] for h in hits
+                             if int(h["row"]) != gold]
+                    # near-duplicates of the gold body (28% of this
+                    # corpus has a Jaccard>0.8 twin) are FALSE negatives
+                    # — the round-2 coin-flip slate accuracy — drop them
+                    mined.append(filter_false_negatives(
+                        bodies[gold], cands, max_jaccard=0.8)[:8])
             print(f"  mined in {time.perf_counter()-t0:.0f}s", flush=True)
 
             pairs = [(docs[i][1], bodies[i]) for i in train_rows]
-            print(f"training reranker: {args.rerank_steps} steps",
+            print(f"training reranker: {args.rerank_steps} steps "
+                  f"(warm-started from the trained bi-encoder trunk)",
                   flush=True)
             t0 = time.perf_counter()
             _, ce_params, hist = train_reranker(
@@ -359,18 +381,29 @@ def main() -> None:
                                          total_steps=args.rerank_steps),
                 rerank_config=RerankTrainConfig(
                     steps=args.rerank_steps, queries_per_batch=16,
-                    candidates_per_query=8, log_every=200),
+                    candidates_per_query=8, log_every=200,
+                    q_len=Q_LEN, d_len=D_LEN),
                 mesh=mesh, tokenizer=tok,
+                warm_start_params=params,
             )
             results["rerank_train_s"] = round(time.perf_counter() - t0, 1)
             results["rerank_history"] = hist[-1]
             print(f"  trained in {results['rerank_train_s']}s, "
-                  f"train acc {hist[-1]['accuracy']:.2f}, "
-                  f"eval slate accuracy {hist[-1]['eval_accuracy']:.2f}",
+                  f"train acc {hist[-1]['accuracy']:.2f}, held-out "
+                  f"slate accuracy {hist[-1]['eval_accuracy']:.2f}",
                   flush=True)
 
+            from advanced_rag_tpu.train import save_reranker
+            ckpt_dir = Path("artifacts")
+            ckpt_dir.mkdir(exist_ok=True)
+            save_reranker(ce_params, enc_cfg,
+                          (ckpt_dir / "reranker_ckpt").resolve(),
+                          q_len=Q_LEN, d_len=D_LEN)
+            results["reranker_ckpt"] = "artifacts/reranker_ckpt"
+
             rr = CrossEncoderReranker(config=enc_cfg, params=ce_params,
-                                      tokenizer=tok)
+                                      tokenizer=tok, q_len=Q_LEN,
+                                      d_len=D_LEN)
 
             def _z(v):
                 v = np.asarray(v, np.float64)
@@ -436,6 +469,29 @@ def main() -> None:
                              "ce_only_test": metrics_for(1.0, test_coll)})
             results["tiers"]["trained_reranked"] = reranked
             print("trained_reranked:", reranked, flush=True)
+
+            # ---- fused one-dispatch path with the trained CE ----------
+            # The flagship RAG_FUSED_E2E program (ops/e2e.py) embeds,
+            # hybrid-searches, gathers candidate token rows in HBM and
+            # reranks in ONE dispatch; quality must match the unfused
+            # protocol above (same depth-20 slate, same dev-picked
+            # blend, served via the in-program rerank_alpha).
+            print("building fused-rerank manager...", flush=True)
+            mgr3 = build_manager(embedder=emb, fused_rerank=True,
+                                 fused_token_len=D_LEN)
+
+            def fused_search(batch):
+                out = mgr3.fused_retrieve_batch_sync(
+                    list(batch), k_final=10, k_rerank=20, reranker=rr,
+                    dense_weight=best[0], sparse_weight=best[1],
+                    use_mmr=False, rerank_alpha=best_alpha)
+                return [[int(h["row"]) for h in hits] for hits in out]
+
+            fused_row = evaluate(fused_search, test_q, test_t)
+            fused_row.update({"weights": list(best),
+                              "alpha": best_alpha})
+            results["tiers"]["fused_reranked"] = fused_row
+            print("fused_reranked:", fused_row, flush=True)
 
     Path("QUALITY_REAL.json").write_text(json.dumps(results, indent=1))
     print("-> QUALITY_REAL.json")

@@ -139,3 +139,53 @@ def test_k_validation():
         make_retrieve_rerank(bi, ce, k_out=8, k_rerank=10)
     with pytest.raises(ValueError):
         make_retrieve_rerank(bi, ce, k_rerank=8, k_final=10)
+
+
+def test_host_static_layout_matches_device_pair_build(setup):
+    """tokenizer.encode_pairs_static == the fused program's on-device
+    pair build: a CrossEncoderReranker scoring on the host must produce
+    EXACTLY the ce_scores the one-dispatch program computed for the
+    same (query, doc) pairs.  This pins the train/serve layout: models
+    trained with encode_pairs_static serve identically through both
+    paths (round-2 verdict suspected a static-slot mismatch here)."""
+    from advanced_rag_tpu.models.cross_encoder import CrossEncoderReranker
+
+    s = setup
+    program = make_retrieve_rerank(
+        s["bi"], s["ce"], k_cand=8, k_out=8, k_rerank=6, k_final=6,
+        dense_impl="scan", use_mmr=False)
+    query = "rank fusion merges lists"
+    res, _ = _run(s, program, [query])
+    ids = np.asarray(res.ids)[0]
+    ce_dev = np.asarray(res.ce_scores)[0]
+
+    rr = CrossEncoderReranker(config=CFG, params=s["p_ce"], tokenizer=TOK,
+                              q_len=24, d_len=24)
+    keep = ids >= 0
+    ce_host = rr.score_pairs([query] * int(keep.sum()),
+                             [DOCS[i] for i in ids[keep]])
+    np.testing.assert_allclose(ce_host, ce_dev[keep], rtol=1e-4, atol=1e-4)
+
+
+def test_rerank_alpha_zero_keeps_retrieval_order(setup):
+    """alpha=0 degenerates to the hybrid retrieval order (the blend's
+    can-only-help floor); alpha=None ranks purely by CE."""
+    s = setup
+    program = make_retrieve_rerank(
+        s["bi"], s["ce"], k_cand=8, k_out=8, k_rerank=6, k_final=4,
+        dense_impl="scan", use_mmr=False)
+    q_ids, q_mask, q_idx, q_tf = _query_arrays(["term weighting"], s["vocab"])
+    valid = jnp.ones((s["n"],), jnp.bool_)
+    weights = jnp.asarray([0.7, 0.3], jnp.float32)
+    args = (s["p_bi"], s["p_ce"], q_ids, q_mask, q_idx, q_tf,
+            s["doc_tokens"], s["emb"], s["doc_idx"], s["doc_tf"],
+            s["doc_len"], s["df"], jnp.float32(s["n"]), valid, weights,
+            jnp.float32(0.8))
+    res0 = program(*args, rerank_alpha=jnp.float32(0.0))
+    # alpha=0 -> final ids are the top-k_final candidates in fused order
+    np.testing.assert_array_equal(np.asarray(res0.ids)[0],
+                                  np.asarray(res0.cand_ids)[0][:4])
+    # runtime scalar: a different alpha reuses the program (no new trace)
+    res1 = program(*args, rerank_alpha=jnp.float32(1.0))
+    ce = np.asarray(res1.ce_scores)[0]
+    assert (np.diff(ce) <= 1e-6).all()   # pure-CE ranking is CE-sorted

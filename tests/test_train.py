@@ -168,7 +168,7 @@ def test_train_reranker_supervised():
                                  total_steps=120),
         rerank_config=RerankTrainConfig(steps=120, queries_per_batch=8,
                                         candidates_per_query=4,
-                                        log_every=30),
+                                        log_every=30, q_len=6, d_len=9),
         mesh=build_train_mesh(8),
     )
     assert history[-1]["eval_loss"] < history[0]["eval_loss"]
@@ -177,8 +177,95 @@ def test_train_reranker_supervised():
 
     from advanced_rag_tpu.models.cross_encoder import CrossEncoderReranker
 
-    rr = CrossEncoderReranker(config=TINY, params=params)
+    rr = CrossEncoderReranker(config=TINY, params=params, q_len=6, d_len=9)
     q, gold = pairs[5]
     cands = [pairs[9][1], gold, pairs[17][1], pairs[33][1]]
     scores = rr.score(q, cands)
     assert int(np.argmax(scores)) == 1
+
+
+def test_token_jaccard_and_false_negative_filter():
+    """Near-duplicates of the positive are dropped from mined negative
+    lists (28% of real corpora have Jaccard>0.8 twins — the round-2
+    reranker's contradictory-label failure)."""
+    from advanced_rag_tpu.train import filter_false_negatives, token_jaccard
+
+    pos = "compute the singular value decomposition of a matrix"
+    twin = "compute the singular value decomposition of a matrix."
+    other = "open a file descriptor and buffer reads"
+    assert token_jaccard(pos, twin) > 0.9
+    assert token_jaccard(pos, other) < 0.2
+    kept = filter_false_negatives(pos, [twin, other, pos])
+    assert kept == [other]
+    assert token_jaccard("", "x") == 0.0
+
+
+def test_warm_start_copies_trunk_without_aliasing():
+    """Warm-start transfers the bi-encoder trunk but must NOT alias its
+    buffers: the rerank step donates params, and an aliased leaf gets
+    the donor's buffer deleted (observed as 'Array has been deleted'
+    on the next uncached encode)."""
+    import jax.numpy as jnp
+
+    from advanced_rag_tpu.models.encoder import (init_bi_encoder,
+                                                 init_cross_encoder)
+    from advanced_rag_tpu.train import warm_start_cross_encoder
+
+    bi, bi_p = init_bi_encoder(TINY, out_dim=16, seed=0)
+    ce, ce_p = init_cross_encoder(TINY, seed=1)
+    merged = warm_start_cross_encoder(ce_p, bi_p)
+    src = bi_p["params"]["trunk"]["tok_embed"]["embedding"]
+    dst = merged["params"]["trunk"]["tok_embed"]["embedding"]
+    assert np.allclose(np.asarray(src), np.asarray(dst))
+    assert dst is not src                      # copied, not aliased
+    # CE-only leaves keep their fresh init
+    assert "seg_embed" in merged["params"]["trunk"]
+    assert "score" in merged["params"]
+
+
+def test_warm_start_pos_embed_prefix_for_longer_ce():
+    """A CE with a longer position table than the bi-encoder gets the
+    trained prefix + fresh tail."""
+    from dataclasses import replace
+
+    from advanced_rag_tpu.models.encoder import (EncoderConfig,
+                                                 init_bi_encoder,
+                                                 init_cross_encoder)
+    from advanced_rag_tpu.train import warm_start_cross_encoder
+
+    long_cfg = replace(TINY, max_len=24)
+    _, bi_p = init_bi_encoder(TINY, out_dim=16, seed=0)       # max_len 16
+    _, ce_p = init_cross_encoder(long_cfg, seed=1)            # max_len 24
+    merged = warm_start_cross_encoder(ce_p, bi_p)
+    pos = np.asarray(merged["params"]["trunk"]["pos_embed"])
+    assert pos.shape[0] == 24
+    np.testing.assert_allclose(
+        pos[:16], np.asarray(bi_p["params"]["trunk"]["pos_embed"]))
+
+
+def test_make_rerank_batch_guards():
+    """Degenerate pair lists raise instead of spinning; negatives equal
+    to the positive are never used (ADVICE r2)."""
+    import pytest
+
+    from advanced_rag_tpu.models.tokenizer import (HashingTokenizer,
+                                                   TokenizerConfig)
+    from advanced_rag_tpu.train import RerankTrainConfig
+    from advanced_rag_tpu.train.rerank import make_rerank_batch
+
+    tok = HashingTokenizer(TokenizerConfig(vocab_size=256, max_len=16))
+    cfg = RerankTrainConfig(queries_per_batch=2, candidates_per_query=3,
+                            q_len=5, d_len=10)
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError):
+        make_rerank_batch(tok, [("q", "d")], [[]], cfg, rng)
+    # every other doc equals the positive -> cannot build a slate
+    same = [("q1", "dup"), ("q2", "dup"), ("q3", "dup")]
+    with pytest.raises(ValueError):
+        make_rerank_batch(tok, same, [[], [], []], cfg, rng)
+    # normal case: positive-equal negatives in the mined list are skipped
+    pairs = [("q1", "d1"), ("q2", "d2"), ("q3", "d3")]
+    negs = [["d1", "d2", "d3"], ["d2", "d1"], ["d3", "d1", "d2"]]
+    batch = make_rerank_batch(tok, pairs, negs, cfg, rng)
+    assert batch["ids"].shape == (6, 16)       # q_len + d_len + 1
+    assert batch["label"].shape == (2,)
