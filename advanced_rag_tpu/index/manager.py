@@ -697,6 +697,7 @@ class MultiIndexManager:
         mmr_lambda: float = 0.8,
         q_max_len: int = 32,
         rerank_alpha: Optional[float] = None,
+        rerank_mode: str = "zblend",
     ) -> List[List[Dict[str, Any]]]:
         """Embed -> hybrid search -> cross-encoder rerank in ONE device
         dispatch (requires ``config.fused_rerank``; the corpus token
@@ -763,7 +764,7 @@ class MultiIndexManager:
             post_kw["rerank_alpha"] = jnp.float32(rerank_alpha)
 
         key = (qb, k_out, k_rerank, k_final, dense_impl, sparse_impl,
-               use_mmr, id(reranker))
+               use_mmr, rerank_mode, id(reranker))
         program = self._e2e_programs.get(key)
         if program is None:
             program = make_retrieve_rerank(
@@ -771,6 +772,7 @@ class MultiIndexManager:
                 k_cand=2 * k_out, k_out=k_out, k_rerank=k_rerank,
                 k_final=k_final, dense_impl=dense_impl,
                 sparse_impl=sparse_impl, use_mmr=use_mmr,
+                rerank_mode=rerank_mode,
                 pad_id=self.token_table.tokenizer.config.pad_id,
                 sep_id=self.token_table.tokenizer.config.sep_id,
             )

@@ -62,6 +62,7 @@ def make_retrieve_rerank(
     sparse_impl: str = "xla",
     use_mmr: bool = True,
     rrf_k: int = 60,
+    rerank_mode: str = "zblend",
     **hybrid_static: Any,
 ):
     """Build the jitted one-dispatch program.
@@ -149,11 +150,17 @@ def make_retrieve_rerank(
         ce = jnp.where(validm, ce, -jnp.inf)
 
         # 6. final rank.  With ``rerank_alpha`` (runtime scalar, no
-        #    recompile per value) the rank key is a per-query z-score
-        #    blend of the CE and the hybrid retrieval scores —
-        #    alpha=1 is pure CE, alpha=0 degenerates to the retrieval
-        #    order, so a dev-picked alpha can only help (the same
-        #    protocol the quality bench uses off-device).
+        #    recompile per value) the rank key combines the CE and the
+        #    hybrid retrieval scores; alpha=0 degenerates to the
+        #    retrieval order, so a dev-picked alpha can only help (the
+        #    same protocol the quality bench uses off-device).  Static
+        #    ``rerank_mode``:
+        #      "zblend"   alpha*z(ce) + (1-alpha)*z(retrieval)
+        #      "residual" z(retrieval) + alpha*ce_raw — matches the
+        #                 residual TRAINING objective (train/rerank.py:
+        #                 slate-z base added to the CE logits), so a
+        #                 residual-trained checkpoint serves the exact
+        #                 function it optimized
         if rerank_alpha is None:
             rank_key = ce
         else:
@@ -167,8 +174,12 @@ def make_retrieve_rerank(
                     1, keepdims=True) / nv
                 return (x - mean) * jax.lax.rsqrt(var + 1e-9)
 
-            rank_key = (rerank_alpha * _znorm(ce)
-                        + (1.0 - rerank_alpha) * _znorm(cand_s))
+            if rerank_mode == "residual":
+                safe_ce = jnp.where(validm, ce, 0.0)
+                rank_key = _znorm(cand_s) + rerank_alpha * safe_ce
+            else:
+                rank_key = (rerank_alpha * _znorm(ce)
+                            + (1.0 - rerank_alpha) * _znorm(cand_s))
             rank_key = jnp.where(validm, rank_key, -jnp.inf)
         top_s, top_j = jax.lax.top_k(rank_key, k_final)
         final_ids = jnp.take_along_axis(cand, top_j, axis=1)

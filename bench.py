@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -133,7 +134,29 @@ def main() -> None:
     # -- models: MiniLM-L6 geometry, shared trunk dims ------------------
     enc_cfg = EncoderConfig(max_len=lq + ld + 1)
     bi, p_bi = init_bi_encoder(enc_cfg, out_dim=d, seed=0)
-    ce, p_ce = init_cross_encoder(enc_cfg, seed=1)
+    # Rerank stage: serve the TRAINED cross-encoder checkpoint when the
+    # quality bench has produced one (scripts/bench_quality_real.py ->
+    # artifacts/reranker_ckpt) — the production deployment path
+    # (RAG_RERANKER=ckpt:) — falling back to a fresh init otherwise
+    # (latency-only; VERDICT r2 flagged the silent random CE).
+    extra["reranker"] = "random_init"
+    ce = p_ce = None
+    ckpt = Path(__file__).parent / "artifacts" / "reranker_ckpt"
+    if ckpt.exists():
+        try:
+            from advanced_rag_tpu.models.encoder import CrossEncoder
+            from advanced_rag_tpu.train.rerank import load_reranker
+
+            ce_cfg, p_ce, _layout = load_reranker(ckpt)
+            if ce_cfg.max_len >= lq + ld + 1 and ce_cfg.vocab_size == 32768:
+                ce = CrossEncoder(ce_cfg)
+                extra["reranker"] = "trained_ckpt"
+            else:
+                p_ce = None
+        except Exception:
+            p_ce = None
+    if ce is None:
+        ce, p_ce = init_cross_encoder(enc_cfg, seed=1)
     tok = HashingTokenizer(TokenizerConfig(max_len=lq))
     evaluator = RAGEvaluator()
 

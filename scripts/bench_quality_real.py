@@ -345,32 +345,90 @@ def main() -> None:
             # reranker, and the fused on-device program: 32 query slots
             # + 88 doc slots + [SEP] = 121 <= max_len 128.
             Q_LEN, D_LEN = 32, 88
+            DEPTH = 20   # mining depth == serve-time rerank depth
 
             train_rows = [i for i in range(len(docs)) if i not in eval_idx]
             train_rows = train_rows[:args.rerank_pairs]
-            mine_q = [docs[i][1] for i in train_rows]
-            print(f"mining hard negatives for {len(mine_q)} train "
-                  f"queries...", flush=True)
+
+            # ---- K=2 CROSS-FIT mining (distribution-matched slates) --
+            # Mining with the serving retriever hands the CE slates the
+            # (overfit) retriever already solves — base top-1 0.71 on
+            # its own training queries vs ~0.4 on unseen ones — so the
+            # CE learns nothing transferable.  Each half's negatives
+            # are mined by a bi-encoder trained on the OTHER half: the
+            # base-score distribution at training matches serving.
+            def mine_with(mgr_, rows):
+                mined_, based_ = [], []
+                qtexts = [docs[i][1] for i in rows]
+                for qi in range(0, len(qtexts), 8):
+                    out = mgr_.hybrid_search_batch_sync(
+                        qtexts[qi:qi + 8], DEPTH, use_mmr=False,
+                        dense_weight=best[0], sparse_weight=best[1])
+                    for b, hits in enumerate(out):
+                        gold = rows[qi + b]
+                        gold_s, cand = None, []
+                        for h in hits:
+                            r_, sc = int(h["row"]), float(h["score"])
+                            if r_ == gold:
+                                gold_s = sc
+                            else:
+                                cand.append((bodies[r_], sc))
+                        # near-duplicates of the gold body (28% of this
+                        # corpus has a Jaccard>0.8 twin) are FALSE
+                        # negatives — the round-2 coin-flip accuracy
+                        keep = [(t, sc) for t, sc in cand
+                                if filter_false_negatives(
+                                    bodies[gold], [t], 0.8)]
+                        mined_.append([t for t, _ in keep])
+                        scores = [sc for _, sc in keep]
+                        if gold_s is None:
+                            gold_s = min(scores, default=0.0)
+                        based_.append((gold_s, scores))
+                return mined_, based_
+
+            def train_fold_bi(rows, seed):
+                m_, p_ = init_bi_encoder(enc_cfg, out_dim=256, seed=seed)
+                st_, p_, os_ = make_train_step(
+                    m_, make_optimizer(tcfg), tcfg, mesh, p_)
+                pool_rows = list(rows)
+                fq_ids, fq_mask = tok.encode_batch(
+                    [docs[i][1] for i in pool_rows], 128)
+                fd_ids, fd_mask = tok.encode_batch(
+                    [bodies[i] for i in pool_rows], 128)
+                r_ = np.random.default_rng(seed)
+                for _s in range(args.train_steps):
+                    sel_ = r_.integers(0, len(pool_rows), 128)
+                    p_, os_, _m = st_(p_, os_, {
+                        "q_ids": jnp.asarray(fq_ids[sel_]),
+                        "q_mask": jnp.asarray(fq_mask[sel_]),
+                        "d_ids": jnp.asarray(fd_ids[sel_]),
+                        "d_mask": jnp.asarray(fd_mask[sel_])})
+                return p_
+
+            half = len(train_rows) // 2
+            foldA, foldB = train_rows[:half], train_rows[half:]
+            negs_by_row, base_by_row = {}, {}
             t0 = time.perf_counter()
-            mined = []
-            for qi in range(0, len(mine_q), 8):
-                out = mgr2.hybrid_search_batch_sync(
-                    mine_q[qi:qi + 8], 12, use_mmr=False,
-                    dense_weight=best[0], sparse_weight=best[1])
-                for b, hits in enumerate(out):
-                    gold = train_rows[qi + b]
-                    cands = [bodies[int(h["row"])] for h in hits
-                             if int(h["row"]) != gold]
-                    # near-duplicates of the gold body (28% of this
-                    # corpus has a Jaccard>0.8 twin) are FALSE negatives
-                    # — the round-2 coin-flip slate accuracy — drop them
-                    mined.append(filter_false_negatives(
-                        bodies[gold], cands, max_jaccard=0.8)[:8])
-            print(f"  mined in {time.perf_counter()-t0:.0f}s", flush=True)
+            for k_, (tr_f, mine_f) in enumerate(
+                    [(foldA, foldB), (foldB, foldA)]):
+                print(f"cross-fit fold {k_}: train {len(tr_f)}, "
+                      f"mine {len(mine_f)}", flush=True)
+                pk = train_fold_bi(tr_f, seed=30 + k_)
+                mgrk = build_manager(embedder=NeuralEmbedder(
+                    dim=256, config=enc_cfg, params=pk, tokenizer=tok))
+                negk, basek = mine_with(mgrk, mine_f)
+                for i_, r_ in enumerate(mine_f):
+                    negs_by_row[r_] = negk[i_]
+                    base_by_row[r_] = basek[i_]
+                del mgrk, pk
+            print(f"  cross-fit mining {time.perf_counter()-t0:.0f}s",
+                  flush=True)
 
             pairs = [(docs[i][1], bodies[i]) for i in train_rows]
+            mined = [negs_by_row[i] for i in train_rows]
+            based = [base_by_row[i] for i in train_rows]
             print(f"training reranker: {args.rerank_steps} steps "
-                  f"(warm-started from the trained bi-encoder trunk)",
+                  f"(warm-started bi-encoder trunk, residual objective)",
                   flush=True)
             t0 = time.perf_counter()
             _, ce_params, hist = train_reranker(
@@ -380,17 +438,21 @@ def main() -> None:
                                          warmup_steps=100,
                                          total_steps=args.rerank_steps),
                 rerank_config=RerankTrainConfig(
-                    steps=args.rerank_steps, queries_per_batch=16,
-                    candidates_per_query=8, log_every=200,
-                    q_len=Q_LEN, d_len=D_LEN),
+                    steps=args.rerank_steps, queries_per_batch=8,
+                    candidates_per_query=DEPTH, log_every=200,
+                    q_len=Q_LEN, d_len=D_LEN, residual=True,
+                    label_smoothing=0.05),
                 mesh=mesh, tokenizer=tok,
                 warm_start_params=params,
+                base_scores=based,
             )
             results["rerank_train_s"] = round(time.perf_counter() - t0, 1)
             results["rerank_history"] = hist[-1]
             print(f"  trained in {results['rerank_train_s']}s, "
                   f"train acc {hist[-1]['accuracy']:.2f}, held-out "
-                  f"slate accuracy {hist[-1]['eval_accuracy']:.2f}",
+                  f"slate acc {hist[-1]['eval_accuracy']:.2f} vs "
+                  f"base-only floor "
+                  f"{hist[-1].get('eval_base_accuracy', float('nan')):.2f}",
                   flush=True)
 
             from advanced_rag_tpu.train import save_reranker
@@ -434,14 +496,20 @@ def main() -> None:
                             [r for r, _ in c],
                             _z([s for _, s in c]),
                             _z(ce[pos:pos + n_c]),
+                            np.asarray(ce[pos:pos + n_c], np.float64),
                             truth_[qi + b]))
                         pos += n_c
                 return rows_out, round(float(np.mean(lat)), 2)
 
-            def metrics_for(alpha, collected, k=10):
+            def metrics_for(mode, alpha, collected, k=10):
                 hits, rrsum = 0, 0.0
-                for rows_, zr, zc, want in collected:
-                    s = alpha * zc + (1.0 - alpha) * zr
+                for rows_, zr, zc, ce_raw, want in collected:
+                    if mode == "residual":
+                        s = zr + alpha * ce_raw
+                    elif mode == "ce_only":
+                        s = ce_raw
+                    else:
+                        s = alpha * zc + (1.0 - alpha) * zr
                     ranked = [rows_[j] for j in np.argsort(-s)[:k]]
                     if want in ranked:
                         hits += 1
@@ -450,23 +518,27 @@ def main() -> None:
                 return {"recall_at_10": round(hits / n, 4),
                         "mrr_at_10": round(rrsum / n, 4)}
 
-            # blend weight picked on the dev half (never on the
-            # reported queries) — alpha=0 degenerates to the adapted
-            # hybrid order, so the rerank stage can only help
+            # serving key picked on the dev half (never on the reported
+            # queries) over BOTH families — zblend(alpha) and the
+            # residual key the CE was trained for — with alpha=0 (the
+            # adapted hybrid order) in the sweep, so the rerank stage
+            # can only help on dev
             print("collecting CE scores (dev half)...", flush=True)
             dev_coll, _ = collect(dev_q, dev_t)
-            alphas = [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]
-            dev_by_alpha = {}
-            for a in alphas:
-                m = metrics_for(a, dev_coll)
-                dev_by_alpha[a] = (m["mrr_at_10"], m["recall_at_10"])
-                print(f"  dev alpha {a}: {m}", flush=True)
-            best_alpha = max(dev_by_alpha, key=dev_by_alpha.get)
+            sweep2 = [("zblend", a) for a in (0.0, 0.2, 0.4, 0.6)] + \
+                     [("residual", g) for g in (0.25, 0.5, 1.0, 2.0)]
+            dev_by_key = {}
+            for mode, a in sweep2:
+                m = metrics_for(mode, a, dev_coll)
+                dev_by_key[(mode, a)] = (m["mrr_at_10"], m["recall_at_10"])
+                print(f"  dev {mode} {a}: {m}", flush=True)
+            best_mode, best_alpha = max(dev_by_key, key=dev_by_key.get)
             test_coll, ms_q = collect(test_q, test_t)
-            reranked = metrics_for(best_alpha, test_coll)
+            reranked = metrics_for(best_mode, best_alpha, test_coll)
             reranked.update({"ms_per_query": ms_q, "weights": list(best),
-                             "alpha": best_alpha,
-                             "ce_only_test": metrics_for(1.0, test_coll)})
+                             "mode": best_mode, "alpha": best_alpha,
+                             "ce_only_test": metrics_for(
+                                 "ce_only", 1.0, test_coll)})
             results["tiers"]["trained_reranked"] = reranked
             print("trained_reranked:", reranked, flush=True)
 
@@ -482,14 +554,16 @@ def main() -> None:
 
             def fused_search(batch):
                 out = mgr3.fused_retrieve_batch_sync(
-                    list(batch), k_final=10, k_rerank=20, reranker=rr,
+                    list(batch), k_final=10, k_rerank=DEPTH, reranker=rr,
                     dense_weight=best[0], sparse_weight=best[1],
-                    use_mmr=False, rerank_alpha=best_alpha)
+                    use_mmr=False, rerank_alpha=best_alpha,
+                    rerank_mode=("residual" if best_mode == "residual"
+                                 else "zblend"))
                 return [[int(h["row"]) for h in hits] for hits in out]
 
             fused_row = evaluate(fused_search, test_q, test_t)
             fused_row.update({"weights": list(best),
-                              "alpha": best_alpha})
+                              "mode": best_mode, "alpha": best_alpha})
             results["tiers"]["fused_reranked"] = fused_row
             print("fused_reranked:", fused_row, flush=True)
 
