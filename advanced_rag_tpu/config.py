@@ -163,6 +163,19 @@ class PipelineConfig:
     # candidates on device.  Costs 4*fused_token_len B/row of HBM.
     fused_rerank: bool = False
     fused_token_len: int = 48
+    # Rerank key (both the fused program and the host rerank stage):
+    #   rerank_mode  "residual": base + alpha*CE (the trained objective,
+    #                train/rerank.py) | "zblend": alpha*z(CE)+(1-alpha)*
+    #                base | "replace": CE order alone
+    #   rerank_base  "exact": candidates re-scored exactly per tier and
+    #                z-blended (ops/rescore.py; measured +0.11 MRR@10
+    #                over the fused order) | "fused": RRF merge order
+    #   rerank_alpha CE weight (0 = retrieval order; pick on a dev set)
+    #   rescore_mix  dense weight inside the exact base blend
+    rerank_mode: str = "residual"
+    rerank_base: str = "exact"
+    rerank_alpha: float = 0.5
+    rescore_mix: float = 0.5
     retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 

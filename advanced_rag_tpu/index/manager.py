@@ -25,7 +25,7 @@ import asyncio
 import logging
 import threading
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +112,7 @@ class MultiIndexManager:
             self.token_table = TokenTable(
                 tok, max_len=self.config.fused_token_len)
         self._e2e_programs: Dict[Any, Any] = {}
+        self._rescore_fn: Any = None
         self._default_reranker: Any = None
         self._semantic_cache = semantic_cache_ or semantic_cache
         self._domain_cache = domain_cache_ or domain_cache
@@ -698,6 +699,8 @@ class MultiIndexManager:
         q_max_len: int = 32,
         rerank_alpha: Optional[float] = None,
         rerank_mode: str = "zblend",
+        rerank_base: str = "fused",
+        rescore_mix: float = 0.5,
     ) -> List[List[Dict[str, Any]]]:
         """Embed -> hybrid search -> cross-encoder rerank in ONE device
         dispatch (requires ``config.fused_rerank``; the corpus token
@@ -762,9 +765,13 @@ class MultiIndexManager:
             # inside the program (alpha=1 pure CE, alpha=0 retrieval
             # order); no recompile across alpha values
             post_kw["rerank_alpha"] = jnp.float32(rerank_alpha)
+            if rerank_base == "exact":
+                # runtime dense weight of the exact-rescore base
+                # (ops/rescore.py); no recompile across mix values
+                post_kw["rescore_mix"] = jnp.float32(rescore_mix)
 
         key = (qb, k_out, k_rerank, k_final, dense_impl, sparse_impl,
-               use_mmr, rerank_mode, id(reranker))
+               use_mmr, rerank_mode, rerank_base, id(reranker))
         program = self._e2e_programs.get(key)
         if program is None:
             program = make_retrieve_rerank(
@@ -772,7 +779,7 @@ class MultiIndexManager:
                 k_cand=2 * k_out, k_out=k_out, k_rerank=k_rerank,
                 k_final=k_final, dense_impl=dense_impl,
                 sparse_impl=sparse_impl, use_mmr=use_mmr,
-                rerank_mode=rerank_mode,
+                rerank_mode=rerank_mode, rerank_base=rerank_base,
                 pad_id=self.token_table.tokenizer.config.pad_id,
                 sep_id=self.token_table.tokenizer.config.sep_id,
             )
@@ -830,6 +837,66 @@ class MultiIndexManager:
                     rerank_score=float(ce)))
             out.append(hits)
         return out
+
+    def rescore_candidates_sync(
+        self,
+        queries: Sequence[str],
+        rows: np.ndarray,                 # [Q, K] i32 candidate rows (-1 pad)
+        filters: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact per-tier rescore of retrieval candidates (host entry).
+
+        -> (dense [Q, K], bm25 [Q, K]) f32 — each candidate's EXACT
+        dense dot and full-body BM25, the scores rank-based RRF fusion
+        discarded (ops/rescore.py rationale).  The unfused retrieval
+        path uses this to build the rerank stage's base key; the fused
+        one-dispatch program computes the same thing in-program
+        (``rerank_base="exact"``).
+        """
+        from ..config import Metric
+        from ..ops.dense import l2_normalize
+        from ..ops.rescore import exact_tier_scores
+
+        if self._closed:
+            raise IndexingError("index manager is closed")
+        if self.semantic._pq_mode:
+            raise IndexingError(
+                "rescore_candidates_sync needs full-precision embeddings "
+                "(bf16/f32/SQ8 tiers); PQ corpora keep ADC scores")
+        rows = np.asarray(rows, np.int32)
+        if rows.ndim != 2 or len(queries) != rows.shape[0]:
+            raise ValidationError(
+                "rescore_candidates_sync needs rows shaped [len(queries), K]")
+        if not queries:
+            return (np.zeros((0, 0), np.float32),) * 2
+        q = self.embedder.encode_device(list(queries))
+        if self.semantic.config.metric == Metric.COSINE:
+            q = l2_normalize(q)
+        mask = self._row_mask(filters)
+        if self.sparse is not None:
+            sp = self.sparse
+            q_idx, q_tf = sp.encode_query(list(queries))
+            sparse_args = (sp.doc_idx, sp.doc_tf, sp.doc_len, sp.df,
+                           jnp.float32(max(sp.n_docs, 1)))
+        else:
+            n_cap = self.semantic.capacity
+            q_idx = np.full((len(queries), 1), -1, np.int32)
+            q_tf = np.zeros((len(queries), 1), np.float32)
+            sparse_args = (
+                jnp.full((n_cap, 1), -1, jnp.int32),
+                jnp.zeros((n_cap, 1), jnp.float32),
+                jnp.zeros((n_cap,), jnp.float32),
+                jnp.zeros((8,), jnp.int32),
+                jnp.float32(1.0),
+            )
+        if self._rescore_fn is None:
+            self._rescore_fn = jax.jit(exact_tier_scores)
+        d_ex, s_ex = self._rescore_fn(
+            jnp.asarray(rows), q, jnp.asarray(q_idx), jnp.asarray(q_tf),
+            self.semantic.emb, *sparse_args, valid=mask,
+            emb_scale=(self.semantic.emb_scale
+                       if self.semantic._sq8 else None))
+        return np.asarray(d_ex, np.float32), np.asarray(s_ex, np.float32)
 
     def _refuse_exact(
         self,

@@ -32,6 +32,16 @@ class EncoderConfig:
     num_segments: int = 2
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16      # activation dtype (params stay f32)
+    # Cross-segment exact-match channel (CrossEncoder only).  A
+    # from-scratch CE on a small corpus cannot learn token identity
+    # across a 32k hashed vocab from listwise supervision alone — the
+    # classic fix (DrQA-style exact-match features) injects "this doc
+    # token occurs in the query" as a learned input embedding, giving
+    # the lexical prior for free and leaving attention to model order
+    # and semantics.  Costs one [B, L, L] compare — noise next to the
+    # O(L^2 * H) attention it rides along with.
+    lexical_match: bool = False
+    num_reserved_ids: int = 8      # ids < this never count as matches
 
 
 class TransformerBlock(nn.Module):
@@ -57,13 +67,26 @@ class TransformerBlock(nn.Module):
         return x + h
 
 
+def cross_segment_match(ids, mask, segments, num_reserved: int = 8):
+    """[B, L] i32 indicator: this token id also occurs in the OTHER
+    segment of the same sequence (special ids < ``num_reserved`` and
+    masked slots never match).  One broadcast compare, no gathers."""
+    valid = jnp.logical_and(mask > 0, ids >= num_reserved)
+    eq = ids[:, :, None] == ids[:, None, :]
+    opp = segments[:, :, None] != segments[:, None, :]
+    hit = jnp.any(jnp.logical_and(jnp.logical_and(eq, opp),
+                                  valid[:, None, :]), axis=2)
+    return jnp.logical_and(hit, valid).astype(jnp.int32)
+
+
 class TransformerTrunk(nn.Module):
     """Token + position + segment embeddings -> N pre-LN blocks -> LN."""
 
     config: EncoderConfig
 
     @nn.compact
-    def __call__(self, ids, mask, segments=None, deterministic: bool = True):
+    def __call__(self, ids, mask, segments=None, deterministic: bool = True,
+                 extra=None):
         cfg = self.config
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_dim, dtype=cfg.dtype,
                        name="tok_embed")(ids)
@@ -77,6 +100,8 @@ class TransformerTrunk(nn.Module):
             seg = nn.Embed(cfg.num_segments, cfg.hidden_dim, dtype=cfg.dtype,
                            name="seg_embed")(segments)
             x = x + seg
+        if extra is not None:
+            x = x + extra.astype(cfg.dtype)
         x = x * mask[:, :, None].astype(cfg.dtype)
         for i in range(cfg.num_layers):
             x = TransformerBlock(cfg, name=f"block_{i}")(
@@ -114,11 +139,32 @@ class CrossEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, ids, mask, segments, deterministic: bool = True):
-        h = TransformerTrunk(self.config, name="trunk")(
-            ids, mask, segments=segments, deterministic=deterministic
+        cfg = self.config
+        extra = None
+        if cfg.lexical_match:
+            match = cross_segment_match(ids, mask, segments,
+                                        cfg.num_reserved_ids)
+            extra = nn.Embed(2, cfg.hidden_dim, dtype=cfg.dtype,
+                             embedding_init=nn.initializers.normal(0.02),
+                             name="match_embed")(match)
+        h = TransformerTrunk(cfg, name="trunk")(
+            ids, mask, segments=segments, deterministic=deterministic,
+            extra=extra,
         )
         cls = h[:, 0, :]                                      # [B, H]
-        cls = nn.tanh(nn.Dense(self.config.hidden_dim, dtype=jnp.float32,
+        if cfg.lexical_match:
+            # matched-token fractions per side go straight to the head:
+            # coverage of the query by the doc (and vice versa) is the
+            # single strongest relevance feature on lexical corpora
+            valid = jnp.logical_and(mask > 0, ids >= cfg.num_reserved_ids)
+            m = match.astype(jnp.float32)
+            vq = jnp.logical_and(valid, segments == 0).astype(jnp.float32)
+            vd = jnp.logical_and(valid, segments == 1).astype(jnp.float32)
+            qfrac = jnp.sum(m * vq, 1) / jnp.maximum(jnp.sum(vq, 1), 1.0)
+            dfrac = jnp.sum(m * vd, 1) / jnp.maximum(jnp.sum(vd, 1), 1.0)
+            cls = jnp.concatenate(
+                [cls, qfrac[:, None], dfrac[:, None]], axis=-1)
+        cls = nn.tanh(nn.Dense(cfg.hidden_dim, dtype=jnp.float32,
                                name="pool")(cls))
         return nn.Dense(1, dtype=jnp.float32, name="score")(cls)[:, 0]
 
@@ -150,6 +196,7 @@ def init_cross_encoder(
 
 __all__ = [
     "EncoderConfig",
+    "cross_segment_match",
     "TransformerTrunk",
     "TransformerBlock",
     "BiEncoder",

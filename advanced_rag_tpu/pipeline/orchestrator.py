@@ -248,7 +248,13 @@ class AdvancedRAGPipeline:
             hits = self.index_manager.fused_retrieve_batch_sync(
                 [rewritten], self.config.rerank_top_k, filters,
                 reranker=self.retriever.reranker,
-                k_rerank=min(top_k, 16))[0]
+                k_rerank=min(top_k, 16),
+                rerank_alpha=(None
+                              if self.config.rerank_mode == "replace"
+                              else self.config.rerank_alpha),
+                rerank_mode=self.config.rerank_mode,
+                rerank_base=self.config.rerank_base,
+                rescore_mix=self.config.rescore_mix)[0]
             self._record(PipelineStage.RETRIEVAL, t0)
             self._record(PipelineStage.RERANKING, t0)
         else:

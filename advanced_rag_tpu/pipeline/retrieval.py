@@ -328,6 +328,50 @@ class HybridRetriever:
 
     # -- rerank (reference retrieval.py:518-563) ------------------------------------
 
+    def _combine_rerank_key(
+        self,
+        query: str,
+        results: List[Dict[str, Any]],
+        ce: np.ndarray,
+    ) -> np.ndarray:
+        """Host-path rerank key — same family as the fused program
+        (ops/e2e.py): ``residual`` base + alpha*CE, ``zblend``, or
+        ``replace`` (CE alone).  Base = exact per-tier rescore of the
+        candidates (ops/rescore.py) when the manager supports it, else
+        the fused retrieval score.  A CE ranking slates alone caps
+        BELOW the retrieval order it reranks (it reads d_len tokens of
+        a body BM25 scored in full) — measured -0.25 R@10 in round 2;
+        the residual key is how the trained objective serves."""
+        pc = getattr(self.index_manager, "config", None)
+        mode = getattr(pc, "rerank_mode", "residual") if pc else "residual"
+        if mode == "replace" or len(results) < 2:
+            return ce
+
+        def _z(v):
+            v = np.asarray(v, np.float64)
+            s = v.std()
+            return (v - v.mean()) / (s if s > 1e-9 else 1.0)
+
+        base_kind = getattr(pc, "rerank_base", "exact") if pc else "exact"
+        alpha = float(getattr(pc, "rerank_alpha", 0.5)) if pc else 0.5
+        mix = float(getattr(pc, "rescore_mix", 0.5)) if pc else 0.5
+        base = None
+        if base_kind == "exact" and self.index_manager is not None:
+            rows = np.asarray([[int(r.get("row", -1)) for r in results]],
+                              np.int32)
+            if (rows >= 0).all():
+                try:
+                    d_ex, s_ex = self.index_manager.rescore_candidates_sync(
+                        [query], rows)
+                    base = _z(mix * _z(d_ex[0]) + (1.0 - mix) * _z(s_ex[0]))
+                except Exception:
+                    base = None    # PQ tier / no rescore: fused fallback
+        if base is None:
+            base = _z([float(r.get("score", 0.0)) for r in results])
+        if mode == "zblend":
+            return alpha * _z(ce) + (1.0 - alpha) * base
+        return base + alpha * ce
+
     def rerank_sync(
         self,
         query: str,
@@ -342,9 +386,10 @@ class HybridRetriever:
         if self.learned_ranker is not None:
             scores = self.learned_ranker.score_sync(results)
         elif self.reranker is not None:
-            scores = np.asarray(
-                self.reranker.score(query, [r.get("content") or "" for r in results])
-            ).tolist()
+            ce = np.asarray(self.reranker.score(
+                query, [r.get("content") or "" for r in results]),
+                np.float64)
+            scores = self._combine_rerank_key(query, results, ce).tolist()
         else:
             # deterministic passthrough (the reference adds noise here,
             # retrieval.py:549-553 — a quirk we do not replicate)

@@ -159,6 +159,16 @@ class ServiceState:
         # neural bi-encoder + device token table + in-program
         # cross-encoder (the reranker is wired in _wire_rerankers)
         cfg.fused_rerank = flag("RAG_FUSED_E2E", cfg.fused_rerank)
+        # rerank-key knobs (config.py PipelineConfig; pick alpha/mix on
+        # a dev split — scripts/bench_quality_real.py prints them)
+        cfg.rerank_mode = os.environ.get("RAG_RERANK_MODE",
+                                         cfg.rerank_mode)
+        cfg.rerank_base = os.environ.get("RAG_RERANK_BASE",
+                                         cfg.rerank_base)
+        if os.environ.get("RAG_RERANK_ALPHA"):
+            cfg.rerank_alpha = float(os.environ["RAG_RERANK_ALPHA"])
+        if os.environ.get("RAG_RESCORE_MIX"):
+            cfg.rescore_mix = float(os.environ["RAG_RESCORE_MIX"])
         # RAG_MICRO_BATCH: device query-batch cap for continuous
         # batching (pow2; each bucket compiles once at warm-up)
         mb = os.environ.get("RAG_MICRO_BATCH")

@@ -430,6 +430,8 @@ def load_reranker(path):
         max_len=int(meta["max_len"]),
         num_segments=int(meta["num_segments"]),
         dropout=float(meta["dropout"]),
+        lexical_match=bool(meta.get("lexical_match", False)),
+        num_reserved_ids=int(meta.get("num_reserved_ids", 8)),
     )
     layout = {}
     if "pair_q_len" in meta:

@@ -139,7 +139,7 @@ def main() -> None:
     ap.add_argument("--max-docs", type=int, default=8000)
     ap.add_argument("--train-steps", type=int, default=2000)
     ap.add_argument("--no-train", action="store_true")
-    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--queries", type=int, default=384)
     ap.add_argument("--rerank-steps", type=int, default=1500)
     ap.add_argument("--rerank-pairs", type=int, default=8000)
     ap.add_argument("--no-rerank", action="store_true")
@@ -357,6 +357,30 @@ def main() -> None:
             # CE learns nothing transferable.  Each half's negatives
             # are mined by a bi-encoder trained on the OTHER half: the
             # base-score distribution at training matches serving.
+            # Serving base key: the candidates EXACTLY re-scored per
+            # tier (ops/rescore.py) and z-blended — measured +0.11
+            # MRR@10 over the fused RRF order on this corpus.  The CE
+            # trains as a residual on the SAME key, so training and
+            # serving optimize one function.  MIX is fixed for training
+            # (the dev sweep later picks the serve-time mix around it).
+            MIX = 0.5
+
+            def _zv(v):
+                v = np.asarray(v, np.float64)
+                s = v.std()
+                return (v - v.mean()) / (s if s > 1e-9 else 1.0)
+
+            def exact_base(mgr_, query, rows_, mix=MIX):
+                """z(mix*z(dense)+(1-mix)*z(bm25)) over one slate.
+                Pads to a fixed width so the jitted rescore compiles
+                once (slate sizes vary query to query)."""
+                n_ = len(rows_)
+                padded = np.full((1, DEPTH + 1), -1, np.int32)
+                padded[0, :n_] = rows_
+                d_, s_ = mgr_.rescore_candidates_sync([query], padded)
+                return _zv(mix * _zv(d_[0, :n_])
+                           + (1.0 - mix) * _zv(s_[0, :n_]))
+
             def mine_with(mgr_, rows):
                 mined_, based_ = [], []
                 qtexts = [docs[i][1] for i in rows]
@@ -366,24 +390,19 @@ def main() -> None:
                         dense_weight=best[0], sparse_weight=best[1])
                     for b, hits in enumerate(out):
                         gold = rows[qi + b]
-                        gold_s, cand = None, []
-                        for h in hits:
-                            r_, sc = int(h["row"]), float(h["score"])
-                            if r_ == gold:
-                                gold_s = sc
-                            else:
-                                cand.append((bodies[r_], sc))
                         # near-duplicates of the gold body (28% of this
                         # corpus has a Jaccard>0.8 twin) are FALSE
                         # negatives — the round-2 coin-flip accuracy
-                        keep = [(t, sc) for t, sc in cand
-                                if filter_false_negatives(
-                                    bodies[gold], [t], 0.8)]
-                        mined_.append([t for t, _ in keep])
-                        scores = [sc for _, sc in keep]
-                        if gold_s is None:
-                            gold_s = min(scores, default=0.0)
-                        based_.append((gold_s, scores))
+                        neg_rows = [
+                            int(h["row"]) for h in hits
+                            if int(h["row"]) != gold
+                            and filter_false_negatives(
+                                bodies[gold], [bodies[int(h["row"])]], 0.8)]
+                        slate = [gold] + neg_rows
+                        base = exact_base(mgr_, qtexts[qi + b], slate)
+                        mined_.append([bodies[r_] for r_ in neg_rows])
+                        based_.append((float(base[0]),
+                                       [float(x) for x in base[1:]]))
                 return mined_, based_
 
             def train_fold_bi(rows, seed):
@@ -427,13 +446,19 @@ def main() -> None:
             pairs = [(docs[i][1], bodies[i]) for i in train_rows]
             mined = [negs_by_row[i] for i in train_rows]
             based = [base_by_row[i] for i in train_rows]
+            # lexical_match: DrQA-style exact-match channel — the
+            # learnable lexical prior a from-scratch CE on a hashed
+            # vocab cannot recover from listwise supervision alone
+            # (models/encoder.py cross_segment_match)
+            from dataclasses import replace as _dc_replace
+            ce_cfg = _dc_replace(enc_cfg, lexical_match=True)
             print(f"training reranker: {args.rerank_steps} steps "
-                  f"(warm-started bi-encoder trunk, residual objective)",
-                  flush=True)
+                  f"(warm-started bi-encoder trunk, residual objective, "
+                  f"lexical-match channel)", flush=True)
             t0 = time.perf_counter()
             _, ce_params, hist = train_reranker(
                 pairs, mined,
-                encoder_config=enc_cfg,
+                encoder_config=ce_cfg,
                 train_config=TrainConfig(learning_rate=3e-4,
                                          warmup_steps=100,
                                          total_steps=args.rerank_steps),
@@ -458,22 +483,20 @@ def main() -> None:
             from advanced_rag_tpu.train import save_reranker
             ckpt_dir = Path("artifacts")
             ckpt_dir.mkdir(exist_ok=True)
-            save_reranker(ce_params, enc_cfg,
+            save_reranker(ce_params, ce_cfg,
                           (ckpt_dir / "reranker_ckpt").resolve(),
                           q_len=Q_LEN, d_len=D_LEN)
             results["reranker_ckpt"] = "artifacts/reranker_ckpt"
 
-            rr = CrossEncoderReranker(config=enc_cfg, params=ce_params,
+            rr = CrossEncoderReranker(config=ce_cfg, params=ce_params,
                                       tokenizer=tok, q_len=Q_LEN,
                                       d_len=D_LEN)
 
-            def _z(v):
-                v = np.asarray(v, np.float64)
-                s = v.std()
-                return (v - v.mean()) / (s if s > 1e-9 else 1.0)
+            _z = _zv
 
             def collect(queries_, truth_, depth=20):
-                """Per query: (candidate rows, z(retrieval), z(CE), gold)."""
+                """Per query: (rows, z(fused), z(dense), z(bm25),
+                z(CE), raw CE, gold) over the hybrid top-``depth``."""
                 rows_out, lat = [], []
                 for qi in range(0, len(queries_), 8):
                     batch = queries_[qi:qi + 8]
@@ -487,6 +510,13 @@ def main() -> None:
                               for _ in c]
                     flat_d = [bodies[r] for c in cand for r, _ in c]
                     ce = rr.score_pairs(flat_q, flat_d)
+                    # exact per-tier rescore of every slate (the serve
+                    # base key, ops/rescore.py)
+                    rows_mat = np.full((len(cand), depth), -1, np.int32)
+                    for b, c in enumerate(cand):
+                        rows_mat[b, :len(c)] = [r for r, _ in c]
+                    d_ex, s_ex = mgr2.rescore_candidates_sync(
+                        list(batch), rows_mat)
                     lat.append((time.perf_counter() - t0)
                                / len(batch) * 1e3)
                     pos = 0
@@ -495,15 +525,23 @@ def main() -> None:
                         rows_out.append((
                             [r for r, _ in c],
                             _z([s for _, s in c]),
+                            _z(d_ex[b, :n_c]),
+                            _z(s_ex[b, :n_c]),
                             _z(ce[pos:pos + n_c]),
                             np.asarray(ce[pos:pos + n_c], np.float64),
                             truth_[qi + b]))
                         pos += n_c
                 return rows_out, round(float(np.mean(lat)), 2)
 
-            def metrics_for(mode, alpha, collected, k=10):
+            def metrics_for(key, collected, k=10):
+                """key = (base, mix, mode, alpha); base 'fused'|'exact'."""
+                base_kind, mix, mode, alpha = key
                 hits, rrsum = 0, 0.0
-                for rows_, zr, zc, ce_raw, want in collected:
+                for rows_, zf, zd, zs, zc, ce_raw, want in collected:
+                    if base_kind == "exact":
+                        zr = _z(mix * zd + (1.0 - mix) * zs)
+                    else:
+                        zr = zf
                     if mode == "residual":
                         s = zr + alpha * ce_raw
                     elif mode == "ce_only":
@@ -519,28 +557,48 @@ def main() -> None:
                         "mrr_at_10": round(rrsum / n, 4)}
 
             # serving key picked on the dev half (never on the reported
-            # queries) over BOTH families — zblend(alpha) and the
-            # residual key the CE was trained for — with alpha=0 (the
-            # adapted hybrid order) in the sweep, so the rerank stage
-            # can only help on dev
+            # queries) over base (fused RRF order vs exact rescore at
+            # several mixes) x mode (zblend vs the residual key the CE
+            # was trained for) x alpha — with alpha=0 rows (no CE) in
+            # the sweep, so the rerank stage can only help on dev
             print("collecting CE scores (dev half)...", flush=True)
             dev_coll, _ = collect(dev_q, dev_t)
-            sweep2 = [("zblend", a) for a in (0.0, 0.2, 0.4, 0.6)] + \
-                     [("residual", g) for g in (0.25, 0.5, 1.0, 2.0)]
+            sweep2 = [("fused", 0.0, "zblend", a)
+                      for a in (0.0, 0.2, 0.4, 0.6)]
+            for mix in (0.35, 0.5, 0.65):
+                sweep2 += [("exact", mix, "residual", g)
+                           for g in (0.0, 0.25, 0.5, 1.0, 2.0)]
+                sweep2 += [("exact", mix, "zblend", a)
+                           for a in (0.2, 0.4)]
             dev_by_key = {}
-            for mode, a in sweep2:
-                m = metrics_for(mode, a, dev_coll)
-                dev_by_key[(mode, a)] = (m["mrr_at_10"], m["recall_at_10"])
-                print(f"  dev {mode} {a}: {m}", flush=True)
-            best_mode, best_alpha = max(dev_by_key, key=dev_by_key.get)
+            for key in sweep2:
+                m = metrics_for(key, dev_coll)
+                dev_by_key[key] = (m["mrr_at_10"], m["recall_at_10"])
+                print(f"  dev {key}: {m}", flush=True)
+            best_key = max(dev_by_key, key=dev_by_key.get)
+            base_kind, best_mix, best_mode, best_alpha = best_key
             test_coll, ms_q = collect(test_q, test_t)
-            reranked = metrics_for(best_mode, best_alpha, test_coll)
+            reranked = metrics_for(best_key, test_coll)
             reranked.update({"ms_per_query": ms_q, "weights": list(best),
+                             "base": base_kind, "mix": best_mix,
                              "mode": best_mode, "alpha": best_alpha,
                              "ce_only_test": metrics_for(
-                                 "ce_only", 1.0, test_coll)})
+                                 ("exact", 0.5, "ce_only", 1.0),
+                                 test_coll)})
             results["tiers"]["trained_reranked"] = reranked
             print("trained_reranked:", reranked, flush=True)
+
+            # the exact-rescore base ALONE (no CE): isolates how much
+            # of the rerank lift is tier rescoring vs the model — the
+            # mix is picked on dev among alpha=0 rows
+            base_only = max(
+                (k_ for k_ in dev_by_key
+                 if k_[0] == "exact" and k_[3] == 0.0),
+                key=dev_by_key.get)
+            rescored = metrics_for(base_only, test_coll)
+            rescored.update({"mix": base_only[1], "weights": list(best)})
+            results["tiers"]["trained_rescored"] = rescored
+            print("trained_rescored:", rescored, flush=True)
 
             # ---- fused one-dispatch path with the trained CE ----------
             # The flagship RAG_FUSED_E2E program (ops/e2e.py) embeds,
@@ -558,11 +616,13 @@ def main() -> None:
                     dense_weight=best[0], sparse_weight=best[1],
                     use_mmr=False, rerank_alpha=best_alpha,
                     rerank_mode=("residual" if best_mode == "residual"
-                                 else "zblend"))
+                                 else "zblend"),
+                    rerank_base=base_kind, rescore_mix=best_mix)
                 return [[int(h["row"]) for h in hits] for hits in out]
 
             fused_row = evaluate(fused_search, test_q, test_t)
-            fused_row.update({"weights": list(best),
+            fused_row.update({"weights": list(best), "base": base_kind,
+                              "mix": best_mix,
                               "mode": best_mode, "alpha": best_alpha})
             results["tiers"]["fused_reranked"] = fused_row
             print("fused_reranked:", fused_row, flush=True)

@@ -155,3 +155,92 @@ def test_fused_sparse_disabled_dense_only(reranker):
         ["dense retrieval vector space"], k_final=3, reranker=reranker,
         k_rerank=6)
     assert out[0] and all(h["chunk_id"].startswith("c") for h in out[0])
+
+
+# ---- exact candidate rescoring (ops/rescore.py) -------------------------
+
+def test_rescore_matches_tier_scores(manager):
+    """A candidate's exact rescore must equal the score its tier would
+    give it: BM25 column vs the sparse tier's own top-k, dense column
+    vs the dense tier's — the consistency contract in the rescore
+    docstring (the serve-time base key equals tier truth)."""
+    q = "sparse lexical matching weighs terms"
+    s_scores, s_rows = manager.sparse.search_texts(
+        [q], 4, manager._row_mask(None))
+    s_scores, s_rows = np.asarray(s_scores)[0], np.asarray(s_rows)[0]
+    d_hits = manager.search_sync("semantic", q, 4)
+    d_rows = np.asarray([[h["row"] for h in d_hits]], np.int32)
+    d_tier = np.asarray([h["score"] for h in d_hits], np.float32)
+
+    dense, bm25 = manager.rescore_candidates_sync([q], s_rows[None, :])
+    keep = s_rows >= 0
+    np.testing.assert_allclose(bm25[0][keep], s_scores[keep],
+                               rtol=2e-2, atol=1e-3)
+    dense2, _ = manager.rescore_candidates_sync([q], d_rows)
+    np.testing.assert_allclose(dense2[0], d_tier, rtol=2e-2, atol=5e-3)
+
+
+def test_rescore_pads_and_validates(manager):
+    dense, bm25 = manager.rescore_candidates_sync(
+        ["anything"], np.asarray([[0, -1, 3]], np.int32))
+    assert dense.shape == (1, 3) and bm25.shape == (1, 3)
+    assert dense[0, 1] == 0.0 and bm25[0, 1] == 0.0
+    with pytest.raises(Exception):
+        manager.rescore_candidates_sync(["a", "b"],
+                                        np.zeros((1, 3), np.int32))
+
+
+def test_fused_exact_base_orders_by_zmix(manager, reranker):
+    """rerank_base='exact' with alpha=0: the fused program's final
+    order must equal the host-side exact z-mix ranking of the same
+    candidate pool (ops/rescore.py zmix_base contract)."""
+    q = "reciprocal rank fusion merges lists"
+    K = 6
+    fused = manager.fused_retrieve_batch_sync(
+        [q], k_final=K, reranker=reranker, k_rerank=K,
+        rerank_alpha=0.0, rerank_mode="residual", rerank_base="exact",
+        rescore_mix=0.5, use_mmr=False)[0]
+    # candidate pool = same program with base='fused', alpha=0 keeps
+    # the hybrid order; both runs share the hybrid stage exactly
+    base = manager.fused_retrieve_batch_sync(
+        [q], k_final=K, reranker=reranker, k_rerank=K,
+        rerank_alpha=0.0, rerank_mode="residual", rerank_base="fused",
+        use_mmr=False)[0]
+    rows = np.asarray([[h["row"] for h in base]], np.int32)
+    dense, bm25 = manager.rescore_candidates_sync([q], rows)
+
+    def z(x):
+        return (x - x.mean()) / (x.std() + 1e-9)
+
+    key = z(0.5 * z(dense[0]) + 0.5 * z(bm25[0]))
+    want = [int(rows[0][j]) for j in np.argsort(-key)]
+    got = [h["row"] for h in fused]
+    assert got == want[: len(got)]
+
+
+def test_host_rerank_residual_key(manager, reranker):
+    """Host rerank path (pipeline/retrieval.py): with rerank_alpha=0 in
+    residual mode the CE cannot change the exact-base order, and the
+    config knobs flow from PipelineConfig through the retriever."""
+    from advanced_rag_tpu.pipeline.retrieval import HybridRetriever
+
+    manager.config.rerank_mode = "residual"
+    manager.config.rerank_base = "exact"
+    manager.config.rerank_alpha = 0.0
+    try:
+        retr = HybridRetriever(manager, manager.config.retrieval)
+        retr.reranker = reranker
+        q = "sparse lexical matching"
+        hits = manager.hybrid_search_batch_sync([q], 6, use_mmr=False)[0]
+        out = retr.rerank_sync(q, hits, 6)
+        rows = np.asarray([[h["row"] for h in hits]], np.int32)
+        dense, bm25 = manager.rescore_candidates_sync([q], rows)
+
+        def z(x):
+            return (x - x.mean()) / (x.std() + 1e-9)
+
+        key = z(0.5 * z(dense[0]) + 0.5 * z(bm25[0]))
+        want = [int(rows[0][j]) for j in np.argsort(-key)]
+        assert [h["row"] for h in out] == want[: len(out)]
+    finally:
+        manager.config.rerank_alpha = 0.5

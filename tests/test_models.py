@@ -92,3 +92,57 @@ def test_cross_encoder_mismatched_pairs_raise():
     rr = CrossEncoderReranker(config=SMALL)
     with pytest.raises(ValueError):
         rr.score_pairs(["a"], ["b", "c"])
+
+
+# ---- cross-segment lexical-match channel (encoder.py) -------------------
+
+def test_cross_segment_match_indicator():
+    import jax.numpy as jnp
+
+    from advanced_rag_tpu.models.encoder import cross_segment_match
+
+    # seq: [CLS]=1  q:(10, 11)  [SEP]=2 | d:(11, 12)  [SEP]=2, pad=0
+    ids = jnp.asarray([[1, 10, 11, 2, 11, 12, 2, 0]])
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 1, 1, 0]], jnp.float32)
+    segs = jnp.asarray([[0, 0, 0, 0, 1, 1, 1, 1]])
+    m = np.asarray(cross_segment_match(ids, mask, segs, num_reserved=8))
+    # 11 occurs on both sides -> both its slots match; 10 and 12 do not;
+    # special ids (1, 2) and the masked pad slot never match
+    assert m.tolist() == [[0, 0, 1, 0, 1, 0, 0, 0]]
+
+
+def test_cross_encoder_lexical_match_channel():
+    """lexical_match=True: params gain match_embed, forward runs, and
+    the score responds to query-doc token overlap."""
+    from advanced_rag_tpu.models.encoder import init_cross_encoder
+    from advanced_rag_tpu.models.tokenizer import (HashingTokenizer,
+                                                   TokenizerConfig)
+
+    cfg = EncoderConfig(vocab_size=1024, hidden_dim=32, num_layers=1,
+                        num_heads=4, mlp_dim=64, max_len=32,
+                        lexical_match=True)
+    model, params = init_cross_encoder(cfg, seed=0)
+    assert "match_embed" in params["params"]
+    tok = HashingTokenizer(TokenizerConfig(vocab_size=1024, max_len=32))
+    ids, mask, segs = tok.encode_pairs_static(
+        ["alpha beta", "alpha beta"],
+        ["alpha beta gamma", "delta epsilon zeta"], 8, 12)
+    s = np.asarray(model.apply(params, ids, mask, segs))
+    assert s.shape == (2,) and np.isfinite(s).all()
+    # overlapping pair and disjoint pair see different match planes, so
+    # even an untrained model must produce different scores
+    assert abs(s[0] - s[1]) > 1e-6
+
+
+def test_reranker_ckpt_roundtrips_lexical_match(tmp_path):
+    from advanced_rag_tpu.models.encoder import init_cross_encoder
+    from advanced_rag_tpu.train import load_reranker, save_reranker
+
+    cfg = EncoderConfig(vocab_size=1024, hidden_dim=32, num_layers=1,
+                        num_heads=4, mlp_dim=64, max_len=32,
+                        lexical_match=True)
+    _, params = init_cross_encoder(cfg, seed=0)
+    save_reranker(params, cfg, tmp_path / "ck", q_len=8, d_len=12)
+    cfg2, _, layout = load_reranker(tmp_path / "ck")
+    assert cfg2.lexical_match is True
+    assert layout == {"q_len": 8, "d_len": 12}
