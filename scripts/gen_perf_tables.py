@@ -118,8 +118,8 @@ def perf_headline() -> str:
 def quality_table() -> str:
     qr = json.loads((_repo / "QUALITY_REAL.json").read_text())
     order = ["bm25", "hash_hybrid", "trained_hybrid", "trained_dense_only",
-             "trained_hybrid_adapted", "bm25_test_half", "trained_reranked",
-             "fused_reranked"]
+             "trained_hybrid_adapted", "bm25_test_half", "trained_rescored",
+             "trained_reranked", "fused_reranked"]
     label = {
         "bm25": "BM25 only (full query set)",
         "hash_hybrid": "hash hybrid (training-free), default 0.7/0.3",
@@ -128,6 +128,8 @@ def quality_table() -> str:
         "trained_hybrid_adapted":
             "trained hybrid, ADAPTED weights (test half)",
         "bm25_test_half": "BM25 on the same test half",
+        "trained_rescored":
+            "+ exact tier rescore base, no CE (test half)",
         "trained_reranked":
             "**+ trained cross-encoder rerank (test half)**",
         "fused_reranked":
