@@ -149,6 +149,36 @@ def quality_table() -> str:
     return "\n".join(out)
 
 
+def parity_table() -> str:
+    p = _repo / "PARITY_HNSW.json"
+    if not p.exists():
+        return "PARITY_HNSW.json not yet generated this round."
+    configs = json.loads(p.read_text())
+    out = []
+    for c in configs:
+        out.append(f"**{c['corpus']} {c['n']:,}×{c['dim']}** "
+                   f"({c['queries']} queries, recall@{c['k']} vs exact "
+                   "f32 oracle):")
+        out.append("")
+        out.append("| Tier | recall@10 | B/row | ms/query | build |")
+        out.append("|---|---|---|---|---|")
+        for name, t in c["tiers"].items():
+            ms = t.get("device_ms_per_query_b8",
+                       t.get("device_ms_per_query_unbatched"))
+            col = (f"{fmt(ms, 2)} (device b8)"
+                   if "device_ms_per_query_b8" in t else
+                   f"{fmt(t['cpu_ms_per_query'], 2)} (host 1 core)"
+                   if "cpu_ms_per_query" in t else
+                   f"{fmt(ms, 2)} (CPU fallback)")
+            nb = f" np={t['nprobe']}" if "nprobe" in t else ""
+            out.append(f"| {name}{nb} | {fmt(t['recall_at_10'], 3)} | "
+                       f"{fmt(t['bytes_per_row'], 0)} | {col} | "
+                       f"{fmt(t['build_s'], 0)} s |")
+        out.append("")
+    out.append("(generated from PARITY_HNSW.json — do not hand-edit)")
+    return "\n".join(out)
+
+
 def mutation_line() -> str:
     p = _repo / "MUTATION.json"
     if not p.exists():
@@ -165,6 +195,7 @@ def mutation_line() -> str:
 BLOCKS = {
     "perf-headline": perf_headline,
     "quality-table": quality_table,
+    "parity-table": parity_table,
     "mutation-score": mutation_line,
 }
 FILES = ["README.md", "docs/PERF.md"]
