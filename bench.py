@@ -109,9 +109,21 @@ def main() -> None:
                                 jnp.int32)
         doc_len = jnp.full((n_alloc,), 1.5 * nnz, jnp.float32)
         valid = jnp.arange(n_alloc) < n_rows
-        # postings path never touches doc_idx/doc_tf — tiny dummies
-        dummy_idx = jnp.zeros((n_alloc, 1), jnp.int32)
-        dummy_tf = jnp.zeros((n_alloc, 1), jnp.float32)
+        # Doc-major term table: the exact-rescore rerank base
+        # (ops/rescore.py, the production default rerank_base="exact")
+        # gathers candidate rows from it in-program.  Real [n, nnz]
+        # arrays at <=2M rows (~384 MB at 1M); at 10M the table would
+        # cost 3.2 GB next to codes+postings, so that tier serves the
+        # fused base (recorded in extra["rerank_base_10m"]).
+        if n_rows <= 2_000_000:
+            k6, k7 = jax.random.split(k5)
+            dummy_idx = jax.random.randint(k6, (n_alloc, nnz), 0, vocab,
+                                           jnp.int32)
+            dummy_tf = (1.0 + jax.random.uniform(
+                k7, (n_alloc, nnz))).astype(jnp.bfloat16)
+        else:
+            dummy_idx = jnp.zeros((n_alloc, 1), jnp.int32)
+            dummy_tf = jnp.zeros((n_alloc, 1), jnp.float32)
         # literal fetch of the LAST-dispatched array: block_until_ready
         # under-syncs on this backend, and in-order execution means this
         # fetch completing implies the whole staging queue ran
@@ -160,9 +172,14 @@ def main() -> None:
     tok = HashingTokenizer(TokenizerConfig(max_len=lq))
     evaluator = RAGEvaluator()
 
+    # Production rank key (config.py defaults): exact per-tier rescore
+    # base + residual CE (ops/rescore.py) — the bench times the function
+    # production serves, including the in-program candidate gathers.
     program = make_retrieve_rerank(
         bi, ce, k_cand=40, k_out=24, k_rerank=k_rerank, k_final=k_final,
-        dense_impl="sq8", sparse_impl="postings", use_mmr=True)
+        dense_impl="sq8", sparse_impl="postings", use_mmr=True,
+        rerank_mode="residual", rerank_base="exact")
+    extra["rerank_key"] = "exact_residual"
     weights = jnp.asarray([0.7, 0.3], jnp.float32)
     rng = np.random.default_rng(1)
 
@@ -181,7 +198,9 @@ def main() -> None:
                        c["doc_len"], c["df"], jnp.float32(c["n"]),
                        c["valid"], weights, jnp.float32(0.8),
                        post_rows=c["post_rows"], post_tf=c["post_tf"],
-                       emb_scale=c["scale"])
+                       emb_scale=c["scale"],
+                       rerank_alpha=jnp.float32(0.25),
+                       rescore_mix=jnp.float32(0.5))
 
     def fetch(res):
         # ONE device->host copy for everything the host needs — each
@@ -338,6 +357,11 @@ def main() -> None:
             big = stage_corpus(10_000_000, d, 3,
                                cap=postings_cap(10_000_000))
             extra["stage_10m_s"] = round(time.perf_counter() - t0, 1)
+            # 10M keeps the tiny dummy doc-major table (a real one costs
+            # 3.2 GB HBM next to codes+postings): the exact base's BM25
+            # column degenerates to 0 there, so this tier's rank key is
+            # effectively z(dense)+alpha*CE — same program, noted here
+            extra["rerank_base_10m"] = "exact(dense-only mirror)"
             jax.block_until_ready(
                 run(big, encode_queries(_queries(rng, 1))).ids)
             lat10 = []
