@@ -49,7 +49,7 @@ def main() -> None:
     def amortized(fn, operands):
         """fn(eps, *operands) -> array."""
         return round(scanned_ms(fn, rounds=args.rounds,
-                                operands=operands), 2)
+                                operands=operands), 4)
 
     # ---- batched IVF: XLA gather path vs Pallas slab streaming --------
     from advanced_rag_tpu.ops.ivf import build_ivf, ivf_topk
@@ -72,7 +72,7 @@ def main() -> None:
                 p, qq + eps, 20, nprobe=64)[1], (parts, q))
             res[f"ivf_{dtype}_q{Q}"] = {
                 "xla_ms": xla, "pallas_ms": pal,
-                "speedup": round(xla / pal, 2)}
+                "speedup": round(xla / max(pal, 1e-4), 2)}
         res[f"ivf_{dtype}_build_s"] = round(build_s, 1)
         del parts
     del x
@@ -112,7 +112,7 @@ def main() -> None:
                 (doc_idx, doc_tf, doc_len, df, q_idx, q_tf, valid,
                  doc_idx_t, doc_tf_t))
             res[f"sparse_q{Q}"] = {"xla_ms": xla, "pallas_ms": pal,
-                                   "speedup": round(xla / pal, 2)}
+                                   "speedup": round(xla / max(pal, 1e-4), 2)}
 
     # ---- sub-threshold sparse cell (VERDICT r2 weak #6) ----------------
     # Below SparseIndex.POSTINGS_AUTO_THRESHOLD (50k rows) the product

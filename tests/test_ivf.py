@@ -154,6 +154,23 @@ class TestNprobeTuning:
         assert idx.config.nprobe == npb
         assert rec >= 0.9
 
+    def test_dense_index_tune_with_real_queries(self, rng):
+        """Off-corpus queries (the serving distribution) may need a
+        larger nprobe than self-queries — tune_nprobe(queries=...)
+        measures recall against THEM (dense_index docstring note)."""
+        cfg = IndexConfig(dim=32, min_capacity=64, nprobe=4)
+        idx = DenseIndex(cfg)
+        x = _clustered(rng, n=4096, d=32)
+        idx.append(0, x)
+        idx.build_ivf(nlist=32)
+        q = x[rng.integers(0, 4096, 24)] + 0.3 * rng.standard_normal(
+            (24, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        npb, rec = idx.tune_nprobe(recall_target=0.9, k=10, sample=24,
+                                   queries=q)
+        assert idx.config.nprobe == npb
+        assert rec >= 0.9 or npb == 32   # met target or went full-probe
+
 
 class TestMaintenance:
     def _mgr(self, rng, n=512):
