@@ -107,9 +107,12 @@ class ServiceState:
             "RAG_MAX_QUEUE", 4 * self.max_concurrency))
         self.waiting = 0
         self.shed_policy = os.environ.get("RAG_SHED_POLICY", "empty").lower()
-        self.retrieve_timeout_s = float(
+        # endpoint wait = internal degrade budget + 100 ms headroom, so
+        # the normal shed path is the accounted degrade-to-empty (shed
+        # counters + alert), not an unaccounted 504 (_apply_env note)
+        self.retrieve_timeout_s = (float(
             os.environ.get("RAG_RETRIEVE_TIMEOUT_MS",
-                           PC.ENDPOINT_LATENCY_SLO_MS)) / 1e3
+                           PC.ENDPOINT_LATENCY_SLO_MS)) + 100.0) / 1e3
         self.breaker = CircuitBreaker(
             CircuitBreakerConfig(
                 failure_threshold=int(os.environ.get("RAG_CB_FAILURES", 5)),
@@ -174,6 +177,16 @@ class ServiceState:
         mb = os.environ.get("RAG_MICRO_BATCH")
         if mb:
             cfg.retrieval.micro_batch_size = max(1, int(mb))
+        # RAG_RETRIEVE_TIMEOUT_MS is the ONE latency-budget knob: it
+        # sets the retriever's internal degrade budget here, and the
+        # endpoint wait (ServiceState.retrieve_timeout_s) sits 100 ms
+        # above it so degrade-to-empty — the accounted shed path
+        # (rag_shed_total) — fires before a 504.  The endpoint SLO is
+        # P95-based (docs/SLO.md): a budget above 300 ms trades tail
+        # latency against shed rate without touching the P95 target.
+        rt = os.environ.get("RAG_RETRIEVE_TIMEOUT_MS")
+        if rt:
+            cfg.retrieval.timeout_seconds = float(rt) / 1e3
         return cfg
 
     @staticmethod
@@ -900,6 +913,19 @@ async def admin_warmup(request: web.Request) -> web.Response:
     for k in ks:
         await asyncio.to_thread(state.pipeline.warm_up,
                                 int(k) if k is not None else None)
+    if os.environ.get("RAG_GC_TUNE", "1") != "0":
+        # The steady-state object graph (models, index handles, corpus
+        # metadata — hundreds of MB after bulk ingest) is permanent;
+        # without this, full gen-2 collections re-scan all of it under
+        # load and show up as ~0.5% of requests stalling past even a
+        # 750 ms budget.  freeze() moves everything reachable NOW into
+        # the permanent generation; the raised gen-0 threshold batches
+        # the churn of request handling.
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(200_000, 50, 100)
     return web.json_response({
         "warmed_top_k": [k if k is not None
                          else state.pipeline.config.top_k for k in ks],
