@@ -221,20 +221,25 @@ def run_config(kind: str, n: int, d: int, nq: int, k: int,
                                          sample=32 if quick else 64,
                                          queries=tune_q)
         build_s = time.perf_counter() - t0
+        import jax as _jax
+
         # warm-up: the first call compiles (~10-40 s on chip) and must
         # not pollute the latency column (VERDICT r2 weak #3: the old
-        # columns were CPU-fallback garbage)
-        idx.search(q[:8], k)
+        # columns were CPU-fallback garbage).  Every timed call BLOCKS
+        # on the result — async dispatch times under-measured the bf16
+        # tiers by the full ~25 ms tunnel RTT while the quantized
+        # tiers' host-refine sync paid it, making columns incomparable.
+        _jax.block_until_ready(idx.search(q[:8], k))
         t0 = time.perf_counter()
         reps = 0
         for s in range(0, min(nq, 64), 8):
-            idx.search(q[s:s + 8], k)
+            _jax.block_until_ready(idx.search(q[s:s + 8], k))
             reps += 8
         ms_q_b8 = (time.perf_counter() - t0) / reps * 1e3
         t0 = time.perf_counter()
         _, ids = idx.search(q, k)
+        _jax.block_until_ready(ids)
         ms_q = (time.perf_counter() - t0) / nq * 1e3
-        import jax as _jax
 
         entry = {
             "recall_at_10": round(recall(np.asarray(ids), oracle, k), 4),
