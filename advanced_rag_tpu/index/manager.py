@@ -113,6 +113,12 @@ class MultiIndexManager:
                 tok, max_len=self.config.fused_token_len)
         self._e2e_programs: Dict[Any, Any] = {}
         self._rescore_fn: Any = None
+        # Device-scalar cache: a FRESH jnp scalar per search call is a
+        # host->device upload that serializes async dispatch on a
+        # tunneled chip (~25 ms RTT each — measured 592 -> 19 QPS
+        # pipelined when two per-call scalars crept into the e2e loop).
+        # Knob values recur (config-driven), so cache by value.
+        self._dev_scalars: Dict[Any, Any] = {}
         self._default_reranker: Any = None
         self._semantic_cache = semantic_cache_ or semantic_cache
         self._domain_cache = domain_cache_ or domain_cache
@@ -365,6 +371,17 @@ class MultiIndexManager:
 
     # -- search ------------------------------------------------------------------
 
+    def _scalar(self, *vals: float) -> jnp.ndarray:
+        """Cached device scalar/vector for recurring knob values
+        (weights, mmr lambda, rerank alpha/mix) — see _dev_scalars."""
+        key = tuple(float(v) for v in vals)
+        arr = self._dev_scalars.get(key)
+        if arr is None:
+            arr = (jnp.float32(key[0]) if len(key) == 1
+                   else jnp.asarray(key, jnp.float32))
+            self._dev_scalars[key] = arr
+        return arr
+
     def _row_mask(self, filters: Optional[Dict[str, Any]]) -> jnp.ndarray:
         mask = self.store.build_filter_mask(filters)
         return mask if mask is not None else self.store.valid_mask
@@ -530,7 +547,7 @@ class MultiIndexManager:
                     f"{self.semantic.capacity} vs sparse {sp.capacity})"
                 )
             sparse_args = (sp.doc_idx, sp.doc_tf, sp.doc_len, sp.df,
-                           jnp.float32(max(sp.n_docs, 1)))
+                           self._scalar(max(sp.n_docs, 1)))
         else:
             n_cap = self.semantic.capacity
             q_idx = np.full((qb, 1), -1, np.int32)
@@ -638,8 +655,8 @@ class MultiIndexManager:
             self.semantic.emb, *sparse_args,
             q_prog, jnp.asarray(q_idx), jnp.asarray(q_tf),
             mask,
-            jnp.asarray(np.asarray(weights, np.float32)),
-            jnp.float32(mmr_lambda),
+            self._scalar(*np.asarray(weights, np.float32).tolist()),
+            self._scalar(mmr_lambda),
             domain_emb, q_dom,
             **post_args,
             k_cand=k_cand, k_out=k_out,
@@ -764,11 +781,11 @@ class MultiIndexManager:
             # runtime scalar: blends z-scored CE and retrieval scores
             # inside the program (alpha=1 pure CE, alpha=0 retrieval
             # order); no recompile across alpha values
-            post_kw["rerank_alpha"] = jnp.float32(rerank_alpha)
+            post_kw["rerank_alpha"] = self._scalar(rerank_alpha)
             if rerank_base == "exact":
                 # runtime dense weight of the exact-rescore base
                 # (ops/rescore.py); no recompile across mix values
-                post_kw["rescore_mix"] = jnp.float32(rescore_mix)
+                post_kw["rescore_mix"] = self._scalar(rescore_mix)
 
         key = (qb, k_out, k_rerank, k_final, dense_impl, sparse_impl,
                use_mmr, rerank_mode, rerank_base, id(reranker))
@@ -801,7 +818,7 @@ class MultiIndexManager:
             q_idx, q_tf = self.sparse.encode_query(texts)
             sp = self.sparse
             sparse_args = (sp.doc_idx, sp.doc_tf, sp.doc_len, sp.df,
-                           jnp.float32(max(sp.n_docs, 1)))
+                           self._scalar(max(sp.n_docs, 1)))
         else:
             n_cap = self.semantic.capacity
             q_idx = np.full((qb, 1), -1, np.int32)
@@ -820,8 +837,8 @@ class MultiIndexManager:
             jnp.asarray(q_idx), jnp.asarray(q_tf),
             self.token_table.tokens,
             self.semantic.emb, *sparse_args, mask,
-            jnp.asarray([dense_weight, sparse_weight], jnp.float32),
-            jnp.float32(mmr_lambda), **post_kw,
+            self._scalar(dense_weight, sparse_weight),
+            self._scalar(mmr_lambda), **post_kw,
         )
         ids, ce_scores, fused = jax.device_get(
             (res.ids, res.ce_scores, res.fused_scores))
@@ -877,7 +894,7 @@ class MultiIndexManager:
             sp = self.sparse
             q_idx, q_tf = sp.encode_query(list(queries))
             sparse_args = (sp.doc_idx, sp.doc_tf, sp.doc_len, sp.df,
-                           jnp.float32(max(sp.n_docs, 1)))
+                           self._scalar(max(sp.n_docs, 1)))
         else:
             n_cap = self.semantic.capacity
             q_idx = np.full((len(queries), 1), -1, np.int32)
