@@ -230,6 +230,7 @@ def run_config(kind: str, n: int, d: int, nq: int, k: int,
         # tiers by the full ~25 ms tunnel RTT while the quantized
         # tiers' host-refine sync paid it, making columns incomparable.
         _jax.block_until_ready(idx.search(q[:8], k))
+        _jax.block_until_ready(idx.search(q, k))   # warm the full-nq shape
         t0 = time.perf_counter()
         reps = 0
         for s in range(0, min(nq, 64), 8):
