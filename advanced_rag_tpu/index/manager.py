@@ -782,7 +782,11 @@ class MultiIndexManager:
             # inside the program (alpha=1 pure CE, alpha=0 retrieval
             # order); no recompile across alpha values
             post_kw["rerank_alpha"] = self._scalar(rerank_alpha)
-            if rerank_base == "exact":
+            if rerank_base == "exact_postings" and sparse_impl != "postings":
+                raise IndexingError(
+                    'rerank_base="exact_postings" requires the inverted '
+                    "postings sparse tier (SparseIndex.build_postings)")
+            if rerank_base in ("exact", "exact_postings"):
                 # runtime dense weight of the exact-rescore base
                 # (ops/rescore.py); no recompile across mix values
                 post_kw["rescore_mix"] = self._scalar(rescore_mix)
@@ -1081,6 +1085,40 @@ class MultiIndexManager:
         with self._write_lock:
             return self._maintenance_tick_locked(IndexConstants)
 
+    def _demotion_recall_ok(self, actions: Dict[str, Any],
+                            tier: str) -> bool:
+        """Recall guardrail on automatic tier demotion (VERDICT r3 weak
+        #6): probe the freshly built partitioned tier's recall@10
+        against the exact oracle (tune_nprobe's doubling sweep — which
+        also picks the serving nprobe as a side effect) and return
+        False when even the deepest swept probe cannot reach
+        ``config.demote_recall_target``.  The caller then restores the
+        previous tier, so an adversarial corpus (e.g. quantization-
+        hostile geometry, PARITY_HNSW.json's clustered-hard case) keeps
+        its exact/flat rung instead of silently losing recall."""
+        target = float(self.semantic.config.demote_recall_target)
+        if target <= 0.0:
+            return True
+        try:
+            nprobe, recall = self.semantic.tune_nprobe(
+                recall_target=target, k=10,
+                sample=min(64, self.semantic.size))
+        except Exception as exc:  # probe failure must not kill the tick
+            logger.exception("demotion recall probe failed")
+            actions["demotion_probe_error"] = str(exc)[:200]
+            return True
+        actions["demotion_recall"] = round(float(recall), 4)
+        if recall >= target:
+            return True
+        actions["demotion_blocked"] = {
+            "tier": tier, "recall": round(float(recall), 4),
+            "target": target, "nprobe": int(nprobe)}
+        logger.warning(
+            "maintenance: %s demotion BLOCKED — recall@10 %.3f < "
+            "target %.2f at nprobe %d; keeping previous tier",
+            tier, recall, target, nprobe)
+        return False
+
     def _maintenance_tick_locked(self, IndexConstants) -> Dict[str, Any]:
         """Body of maintenance_tick, under the write lock: tier builds
         swap `semantic.emb` (bf16 staging -> codes), which must never
@@ -1094,13 +1132,25 @@ class MultiIndexManager:
             # the residual IVF-PQ partitions (nprobe-bounded dense path)
             if (not self.semantic.has_pq
                     and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
-                self.semantic.build_pq()
-                if self.semantic._pq_rot is None:
+                sem = self.semantic
+                prev = (sem.emb, sem._pq, sem._pq_rot, sem._ivfpq,
+                        sem._ivfpq_size, sem.config.nprobe)
+                sem.build_pq()
+                guarded = sem._pq_rot is None
+                if guarded:
                     # OPQ and IVF-PQ are mutually exclusive (residuals
                     # are near-isotropic); with OPQ on, the flat rotated
                     # codes ARE the scale tier
-                    self.semantic.build_ivfpq()
-                actions["pq_built"] = True
+                    sem.build_ivfpq()
+                if guarded and not self._demotion_recall_ok(
+                        actions, "pq+ivfpq"):
+                    # build-then-swap rollback: the bf16 staging array
+                    # is still alive in `prev`, so restoring it is one
+                    # assignment — no re-upload, no torn state
+                    (sem.emb, sem._pq, sem._pq_rot, sem._ivfpq,
+                     sem._ivfpq_size, sem.config.nprobe) = prev
+                else:
+                    actions["pq_built"] = True
             elif self.semantic.ivf_needs_rebuild:
                 # streaming tail outgrew the partitions: re-pack
                 # (build-then-swap, same discipline as the IVF branch)
@@ -1110,10 +1160,18 @@ class MultiIndexManager:
                 actions["ivf_rows"] = self.semantic._ivfpq_size
         elif (not self.semantic.has_ivf
                 and self.store.n_valid() >= IndexConstants.IVF_AUTO_THRESHOLD):
-            # first build once the corpus outgrows the exact scan
-            self.semantic.build_ivf()
-            actions["ivf_rebuilt"] = True
-            actions["ivf_rows"] = self.semantic._ivf_size
+            # first build once the corpus outgrows the exact scan —
+            # guarded: an IVF that can't hit the recall target at any
+            # swept nprobe is refused and the exact scan kept
+            sem = self.semantic
+            prev = (sem._ivf, getattr(sem, "_ivf_size", 0),
+                    sem.config.nprobe)
+            sem.build_ivf()
+            if self._demotion_recall_ok(actions, "ivf"):
+                actions["ivf_rebuilt"] = True
+                actions["ivf_rows"] = sem._ivf_size
+            else:
+                sem._ivf, sem._ivf_size, sem.config.nprobe = prev
         elif self.semantic.ivf_needs_rebuild:
             nlist = self.semantic._ivf.centroids.shape[0]
             self.semantic.build_ivf(nlist=nlist)

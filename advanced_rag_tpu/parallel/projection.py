@@ -34,7 +34,8 @@ from typing import Dict
 class MeasuredAnchors:
     """Single-chip measurements the projection extrapolates from
     (defaults = round-2 bench at 1M x 384 on v5e, batch-1 figures;
-    override from a fresh BENCH json when available)."""
+    ``from_bench`` re-derives them from the newest round artifact —
+    VERDICT r3 next #7)."""
 
     embed_ms: float = 3.6          # MiniLM-L6 bi-encoder forward
     dense_sq8_ms_per_mrow: float = 3.4   # SQ8 scan+topk per 1M rows
@@ -43,6 +44,55 @@ class MeasuredAnchors:
     rerank_ms: float = 6.0         # CE over 20 pairs (seq 80)
     eval_host_ms: float = 1.5
     jitter_p99_ms: float = 4.0     # measured p99 - p50 spread at 1M
+    source: str = "defaults (round-2 bench)"
+
+    @classmethod
+    def from_bench(cls, search_dir=None) -> "MeasuredAnchors":
+        """Anchors from the newest ``BENCH_r*.json`` driver artifact.
+
+        Maps the bench's scan-chained DEVICE stage timings (bench.py
+        "extra") onto the projection terms; any key a given round did
+        not emit falls back to the dataclass default.  Returns the
+        defaults unchanged when no artifact exists (fresh checkout)."""
+        import glob
+        import json
+        import os
+
+        base = search_dir or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
+        paths = sorted(glob.glob(os.path.join(base, "BENCH_r*.json")))
+        for path in reversed(paths):
+            try:
+                with open(path) as fh:
+                    doc = json.load(fh)
+                ex = (doc.get("parsed") or doc).get("extra") or {}
+                p50 = (doc.get("parsed") or doc).get("value")
+            except (OSError, json.JSONDecodeError, AttributeError):
+                continue
+            if not ex:
+                continue
+            mrow = max(ex.get("corpus_rows", 1_000_000), 1) / 1e6
+            kw = {"source": os.path.basename(path)}
+            if "stage_embed_us_b8" in ex:
+                kw["embed_ms"] = max(ex["stage_embed_us_b8"] / 1e3, 0.01)
+            if "dense_sq8_ms_b8" in ex:
+                kw["dense_sq8_ms_per_mrow"] = ex["dense_sq8_ms_b8"] / mrow
+            if "stage_sparse_ms_b8" in ex:
+                kw["sparse_postings_ms_per_mrow"] = (
+                    ex["stage_sparse_ms_b8"] / mrow)
+            if ("stage_hybrid_ms_b8" in ex and "dense_sq8_ms_b8" in ex):
+                kw["fuse_fixed_ms"] = max(
+                    ex["stage_hybrid_ms_b8"] - ex["dense_sq8_ms_b8"]
+                    - ex.get("stage_sparse_ms_b8", 0.0), 0.2)
+            if "stage_rerank_ms_b8" in ex:
+                kw["rerank_ms"] = ex["stage_rerank_ms_b8"]
+            if "eval_host_ms" in ex:
+                kw["eval_host_ms"] = ex["eval_host_ms"]
+            if "p99_ms" in ex and isinstance(p50, (int, float)):
+                kw["jitter_p99_ms"] = max(ex["p99_ms"] - p50, 0.5)
+            return cls(**kw)
+        return cls()
 
 
 def project_sharded_retrieve(

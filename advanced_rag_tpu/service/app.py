@@ -87,7 +87,8 @@ class ServiceState:
                  db: Optional[DatabasePool] = None):
         self._enable_compile_cache()
         self.config = config or self._config_from_env()
-        self.pipeline = pipeline or AdvancedRAGPipeline(self.config)
+        self.pipeline = pipeline or AdvancedRAGPipeline(
+            self.config, index_manager=self._make_manager())
         self._wire_rerankers()
         self.db = db or initialize_pool(
             os.environ.get("DATABASE_URL", ""),
@@ -139,6 +140,33 @@ class ServiceState:
             # RagSlaComplianceLow alert (0 < 0.95 for 10m) before it has
             # served a single retrieve
             SLA_COMPLIANCE.set(1.0)
+
+    def _make_manager(self):
+        """RAG_EMBEDDER=ckpt:<path>: serve a bi-encoder TRAINED
+        in-framework (train/loop.py save_biencoder) instead of the
+        training-free hashing embedder — the deployment path the
+        quality bench validates end-to-end through /retrieve
+        (scripts/bench_quality_service.py).  Unset -> default manager."""
+        kind = os.environ.get("RAG_EMBEDDER", "")
+        if not kind.startswith("ckpt:"):
+            return None
+        from ..index.manager import MultiIndexManager
+        from ..models.embedder import NeuralEmbedder
+        from ..models.tokenizer import HashingTokenizer, TokenizerConfig
+        from ..train.loop import load_biencoder
+
+        enc_cfg, out_dim, params = load_biencoder(kind[5:])
+        tok = HashingTokenizer(TokenizerConfig(
+            vocab_size=enc_cfg.vocab_size, max_len=enc_cfg.max_len))
+        emb = NeuralEmbedder(dim=out_dim, config=enc_cfg, params=params,
+                             tokenizer=tok)
+        self.config.semantic_dim = out_dim
+        logger.info("embedder from checkpoint %s (dim %d)", kind[5:],
+                    out_dim)
+        return MultiIndexManager(
+            self.config, embedder=emb,
+            enable_sparse=self.config.enable_sparse,
+            enable_domain=self.config.enable_domain)
 
     @staticmethod
     def _config_from_env() -> PipelineConfig:
@@ -217,6 +245,7 @@ class ServiceState:
     def _wire_rerankers(self) -> None:
         """RAG_RERANKER env: cross_encoder | ckpt:<trained-params-path>
         | hf:<checkpoint-path> | learned | passthrough."""
+        # (embedder counterpart: _make_manager / RAG_EMBEDDER)
         kind = os.environ.get("RAG_RERANKER", "").lower()
         retriever = self.pipeline.retriever
         if (self.config.fused_rerank and not kind

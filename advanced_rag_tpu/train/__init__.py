@@ -10,7 +10,14 @@ from .contrastive import (
     synthetic_pair_batch,
 )
 from .distill import DistillConfig, distill_cross_encoder
-from .loop import TrainLoopConfig, load_params, save_params, train_biencoder
+from .loop import (
+    TrainLoopConfig,
+    load_biencoder,
+    load_params,
+    save_biencoder,
+    save_params,
+    train_biencoder,
+)
 from .rerank import (
     RerankTrainConfig,
     filter_false_negatives,
@@ -34,7 +41,9 @@ __all__ = [
     "TrainLoopConfig",
     "distill_cross_encoder",
     "build_train_mesh",
+    "load_biencoder",
     "load_params",
+    "save_biencoder",
     "make_optimizer",
     "make_train_step",
     "param_partition_spec",

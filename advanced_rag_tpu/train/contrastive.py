@@ -87,15 +87,29 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     )
 
 
-def _info_nce(q: jnp.ndarray, d: jnp.ndarray, temperature: float):
+def _info_nce(q: jnp.ndarray, d: jnp.ndarray, temperature: float,
+              neg: Optional[jnp.ndarray] = None):
     """Symmetric InfoNCE with in-batch negatives; q/d are L2-normalized
-    [B, D] f32 (the BiEncoder normalizes its outputs)."""
+    [B, D] f32 (the BiEncoder normalizes its outputs).
+
+    ``neg`` ([B*H, D], optional): MINED hard negatives appended as
+    extra columns of the q->d direction (the ANCE/RocketQA recipe —
+    in-batch negatives teach topic separation, mined near-misses teach
+    the fine-grained ranking the retriever is actually scored on;
+    VERDICT r3 next #3).  The d->q direction stays in-batch only."""
     logits = jnp.dot(q, d.T, preferred_element_type=jnp.float32) / temperature
     labels = jnp.arange(logits.shape[0], dtype=jnp.int32)
-    loss_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    qd_logits = logits
+    if neg is not None:
+        extra = jnp.dot(q, neg.T,
+                        preferred_element_type=jnp.float32) / temperature
+        qd_logits = jnp.concatenate([logits, extra], axis=1)
+    loss_qd = optax.softmax_cross_entropy_with_integer_labels(qd_logits,
+                                                              labels)
     loss_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
     loss = 0.5 * (jnp.mean(loss_qd) + jnp.mean(loss_dq))
-    acc = jnp.mean((jnp.argmax(logits, axis=1) == labels).astype(jnp.float32))
+    acc = jnp.mean(
+        (jnp.argmax(qd_logits, axis=1) == labels).astype(jnp.float32))
     return loss, acc
 
 
@@ -111,7 +125,11 @@ def make_train_step(
     Returns ``(step_fn, sharded_params, sharded_opt_state)`` where
     ``step_fn(params, opt_state, batch) -> (params, opt_state, metrics)``
     and ``batch`` = dict of q_ids/q_mask/d_ids/d_mask [B, L] with B
-    divisible by the data-axis size.
+    divisible by the data-axis size.  Optional ``n_ids``/``n_mask``
+    ([B*H, L], flattened mined hard negatives, B*H divisible by the
+    data-axis size) switch the q->d objective to in-batch + hard
+    negatives; presence/absence is a static program distinction (two
+    compiles at most).
     """
     p_spec = param_partition_spec(params, mesh, config.model_axis)
     p_shard = jax.tree_util.tree_map(
@@ -126,7 +144,10 @@ def make_train_step(
     def loss_fn(p, batch):
         q = model.apply(p, batch["q_ids"], batch["q_mask"])
         d = model.apply(p, batch["d_ids"], batch["d_mask"])
-        return _info_nce(q, d, config.temperature)
+        neg = None
+        if "n_ids" in batch:
+            neg = model.apply(p, batch["n_ids"], batch["n_mask"])
+        return _info_nce(q, d, config.temperature, neg=neg)
 
     @functools.partial(
         jax.jit,

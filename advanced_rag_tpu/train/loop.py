@@ -62,9 +62,55 @@ def save_params(params: Any, path: str | Path) -> None:
 
 
 def load_params(path: str | Path) -> Any:
+    """Restore an orbax pytree and CANONICALIZE its array leaves.
+
+    Orbax restores leaves with the NamedSharding of the mesh they were
+    saved under (a 1x1 data/model mesh here).  Feeding such arrays to a
+    program jitted without shardings is numerically fine but poisons
+    CHAINED dispatch on this backend: measured 780 ms/round chained vs
+    14 ms with the same values rematerialized as plain single-device
+    arrays (blocking latency is unaffected, ~36 ms either way — the
+    round-trip hides the resharding stall).  Serving paths dispatch
+    pipelined, so every restored leaf is round-tripped through host
+    memory into a canonical SingleDeviceSharding array."""
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+    blob = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x))
+        if isinstance(x, jax.Array) else x, blob)
+
+
+def save_biencoder(params: Any, config: EncoderConfig, out_dim: int,
+                   path: str | Path) -> None:
+    """Persist trained bi-encoder params WITH their encoder geometry and
+    projection dim, so downstream benches/services restore the exact
+    serving model without out-of-band config (mirrors save_reranker;
+    consumed by scripts/bench_quality_100k.py and RAG_EMBEDDER=ckpt:)."""
+    from dataclasses import asdict
+
+    meta = {k: v for k, v in asdict(config).items() if k != "dtype"}
+    meta["out_dim"] = int(out_dim)
+    save_params({"encoder_config": meta, "params": params}, path)
+
+
+def load_biencoder(path: str | Path):
+    """-> (EncoderConfig, out_dim, params) from a save_biencoder ckpt."""
+    blob = load_params(path)
+    meta = blob["encoder_config"]
+    cfg = EncoderConfig(
+        vocab_size=int(meta["vocab_size"]),
+        hidden_dim=int(meta["hidden_dim"]),
+        num_layers=int(meta["num_layers"]),
+        num_heads=int(meta["num_heads"]),
+        mlp_dim=int(meta["mlp_dim"]),
+        max_len=int(meta["max_len"]),
+        num_segments=int(meta["num_segments"]),
+        dropout=float(meta["dropout"]),
+        lexical_match=bool(meta.get("lexical_match", False)),
+        num_reserved_ids=int(meta.get("num_reserved_ids", 8)),
+    )
+    return cfg, int(meta["out_dim"]), blob["params"]
 
 
 def train_biencoder(
@@ -130,4 +176,5 @@ def train_biencoder(
     return model, params, history
 
 
-__all__ = ["TrainLoopConfig", "train_biencoder", "save_params", "load_params"]
+__all__ = ["TrainLoopConfig", "train_biencoder", "save_params",
+           "load_params", "save_biencoder", "load_biencoder"]

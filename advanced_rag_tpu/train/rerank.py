@@ -69,6 +69,15 @@ class RerankTrainConfig:
     # residual) can only exploit signal retrieval missed.  Requires
     # base scores in the batch (make_rerank_batch base_scores=...).
     residual: bool = False
+    # Early stopping on the HELD-OUT half (VERDICT r3 weak #5 — the
+    # round-3 checkpoint overfit: train acc 0.875 vs held-out 0.3125):
+    # at every log_every eval, snapshot params when eval_loss improves;
+    # stop after `early_stop_patience` evals without improvement and
+    # return the BEST snapshot, not the last step.  0 disables.
+    # Train-time dropout follows encoder_config.dropout (> 0 enables
+    # stochastic trunk dropout in the listwise step; eval stays
+    # deterministic).
+    early_stop_patience: int = 0
 
 
 _JACCARD_WORD_RE = __import__("re").compile(r"[a-z0-9]+")
@@ -238,8 +247,17 @@ def make_rerank_step(
     label_sharding = NamedSharding(mesh, P(tcfg.data_axis))
     b, m = cfg.queries_per_batch, cfg.candidates_per_query
 
-    def loss_fn(p, batch):
-        s = student.apply(p, batch["ids"], batch["mask"], batch["segs"])
+    use_dropout = float(getattr(student.config, "dropout", 0.0)) > 0.0
+
+    def loss_fn(p, batch, rng=None):
+        kw = {}
+        if rng is not None:
+            # stochastic trunk dropout in the TRAIN step only (eval
+            # stays deterministic) — a regularizer against the slate
+            # overfit measured in round 3 (train 0.875 / held-out 0.31)
+            kw = {"deterministic": False, "rngs": {"dropout": rng}}
+        s = student.apply(p, batch["ids"], batch["mask"], batch["segs"],
+                          **kw)
         s = s.reshape(b, m)
         if cfg.residual:
             # boosting-style: CE corrects the retrieval order instead of
@@ -263,12 +281,13 @@ def make_rerank_step(
 
     @functools.partial(
         jax.jit,
-        in_shardings=(p_shard, None, batch_shardings),
+        in_shardings=(p_shard, None, batch_shardings, None),
         out_shardings=(p_shard, None, None),
         donate_argnums=(0, 1),
     )
-    def step(p, opt, batch):
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, batch)
+    def step(p, opt, batch, rng):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, rng if use_dropout else None)
         updates, opt = optimizer.update(grads, opt, p)
         p = optax.apply_updates(p, updates)
         return p, opt, {"loss": loss, "accuracy": acc}
@@ -372,10 +391,14 @@ def train_reranker(
 
     history: List[Dict[str, float]] = []
     t0 = time.perf_counter()
+    drop_key = jax.random.PRNGKey(rcfg.seed + 7)
+    best_loss, best_params, best_step, stale = float("inf"), None, 0, 0
+    early = rcfg.early_stop_patience > 0 and heldout
     for step_i in range(1, rcfg.steps + 1):
         batch = make_rerank_batch(tok, tr_pairs, tr_negs, rcfg, rng,
                                   base_scores=tr_base)
-        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, batch, jax.random.fold_in(drop_key, step_i))
         if step_i % rcfg.log_every == 0 or step_i == rcfg.steps:
             evs = [eval_fn(params, eb) for eb in ev_batches]
             row = {
@@ -391,6 +414,22 @@ def train_reranker(
             if base_acc is not None:
                 row["eval_base_accuracy"] = base_acc
             history.append(row)
+            if early:
+                # snapshot to HOST (params are donated into the next
+                # step — a device alias would be deleted under us)
+                if row["eval_loss"] < best_loss - 1e-4:
+                    best_loss, best_step, stale = row["eval_loss"], step_i, 0
+                    best_params = jax.tree_util.tree_map(
+                        lambda x: np.asarray(x), params)
+                else:
+                    stale += 1
+                    if stale >= rcfg.early_stop_patience:
+                        history[-1]["early_stopped"] = 1.0
+                        break
+    if early and best_params is not None:
+        history[-1]["best_step"] = best_step
+        history[-1]["best_eval_loss"] = best_loss
+        params = best_params
     return student, params, history
 
 

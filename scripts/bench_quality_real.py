@@ -38,7 +38,13 @@ from pathlib import Path
 import numpy as np
 
 PACKAGES = ["numpy", "scipy", "jax", "flax", "optax", "aiohttp",
-            "torch", "transformers", "chex", "einops"]
+            "torch", "transformers", "chex", "einops",
+            # round-4 harvest expansion (VERDICT r3 next #3/#5: the
+            # dense tower and the reranker were data-starved at 8k docs)
+            "pandas", "sklearn", "matplotlib", "sympy", "networkx",
+            "PIL", "cryptography", "rich", "click", "pydantic",
+            "datasets", "huggingface_hub", "tokenizers", "absl",
+            "requests", "setuptools"]
 
 
 def harvest_docstrings(max_docs: int, min_chars: int = 300) -> list:
@@ -136,12 +142,15 @@ def evaluate(search_fn, queries, truth_rows, k: int = 10) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--max-docs", type=int, default=8000)
-    ap.add_argument("--train-steps", type=int, default=2000)
+    ap.add_argument("--max-docs", type=int, default=24000)
+    ap.add_argument("--train-steps", type=int, default=3000)
+    ap.add_argument("--hard-neg-steps", type=int, default=1200,
+                    help="stage-2 contrastive steps with self-mined "
+                         "hard negatives (0 disables)")
     ap.add_argument("--no-train", action="store_true")
     ap.add_argument("--queries", type=int, default=384)
-    ap.add_argument("--rerank-steps", type=int, default=1500)
-    ap.add_argument("--rerank-pairs", type=int, default=8000)
+    ap.add_argument("--rerank-steps", type=int, default=4000)
+    ap.add_argument("--rerank-pairs", type=int, default=40000)
     ap.add_argument("--no-rerank", action="store_true")
     ap.add_argument("--skip-hash-tiers", action="store_true",
                     help="skip the training-free manager build (reuse "
@@ -292,6 +301,80 @@ def main() -> None:
                              tokenizer=tok)
         print("building trained-hybrid manager...", flush=True)
         mgr2 = build_manager(embedder=emb)
+
+        # ---- stage 2: hard-negative curriculum (VERDICT r3 next #3) --
+        # In-batch negatives teach topic separation; the dense tower's
+        # remaining gap to BM25 is NEAR-MISS ranking, so stage 2 mines
+        # each train query's top-k from the stage-1 retriever itself
+        # (ANCE-style self-negatives; BM25 in the hybrid mix supplies
+        # the lexical distractors dense keeps losing to), filters
+        # false negatives, and continues training with the mined docs
+        # as extra InfoNCE columns (train/contrastive.py _info_nce).
+        if args.hard_neg_steps > 0:
+            from advanced_rag_tpu.train import filter_false_negatives
+
+            H = 3                      # mined negatives per query
+            pool_rows = [i for i in range(len(docs)) if i not in eval_idx]
+            print(f"mining hard negatives for {len(pool_rows)} queries",
+                  flush=True)
+            t0 = time.perf_counter()
+            neg_rows = np.zeros((len(pool_rows), H), np.int64)
+            qtexts = [docs[i][1] for i in pool_rows]
+            for qi in range(0, len(qtexts), 32):
+                out = mgr2.hybrid_search_batch_sync(
+                    qtexts[qi:qi + 32], H + 5, use_mmr=False,
+                    dense_weight=0.5, sparse_weight=0.5)
+                for b_, hits in enumerate(out):
+                    gold = pool_rows[qi + b_]
+                    cands = [int(h["row"]) for h in hits
+                             if int(h["row"]) != gold
+                             and filter_false_negatives(
+                                 bodies[gold],
+                                 [bodies[int(h["row"])]], 0.8)]
+                    while len(cands) < H:    # degenerate slate top-up
+                        j = int(rng.integers(0, len(docs)))
+                        if j != gold:
+                            cands.append(j)
+                    neg_rows[qi + b_] = cands[:H]
+            print(f"  mined in {time.perf_counter()-t0:.0f}s", flush=True)
+
+            # all-corpus body tokens once (negatives may be any row);
+            # pq/pd tokenizations share pool_rows' order, so `sel`
+            # indexes pairs and mined slates alike
+            pb_ids, pb_mask = tok.encode_batch(bodies, 128)
+            t0 = time.perf_counter()
+            for s in range(args.hard_neg_steps):
+                sel = rng.integers(0, len(pool_rows), bsz)
+                nsel = neg_rows[sel].reshape(-1)
+                batch = {"q_ids": jnp.asarray(pq_ids[sel]),
+                         "q_mask": jnp.asarray(pq_mask[sel]),
+                         "d_ids": jnp.asarray(pd_ids[sel]),
+                         "d_mask": jnp.asarray(pd_mask[sel]),
+                         "n_ids": jnp.asarray(pb_ids[nsel]),
+                         "n_mask": jnp.asarray(pb_mask[nsel])}
+                params, opt_state, metrics = step(params, opt_state, batch)
+                if s % 100 == 0:
+                    print(f"  hard-neg step {s}: loss "
+                          f"{float(metrics['loss']):.3f} acc "
+                          f"{float(metrics.get('accuracy', 0.0)):.2f}",
+                          flush=True)
+            results["hard_neg_train_s"] = round(time.perf_counter() - t0, 1)
+            results["hard_neg_final_loss"] = round(float(metrics["loss"]), 4)
+            emb = NeuralEmbedder(dim=256, config=enc_cfg, params=params,
+                                 tokenizer=tok)
+            print("rebuilding trained-hybrid manager (stage-2 params)...",
+                  flush=True)
+            mgr2.close()
+            mgr2 = build_manager(embedder=emb)
+
+        # persist the serving bi-encoder (consumed by RAG_EMBEDDER=ckpt:
+        # and scripts/bench_quality_100k.py — the 100k-tier bench must
+        # evaluate the SAME model production serves)
+        from advanced_rag_tpu.train import save_biencoder
+        Path("artifacts").mkdir(exist_ok=True)
+        save_biencoder(params, enc_cfg, 256,
+                       Path("artifacts/biencoder_ckpt").resolve())
+        results["biencoder_ckpt"] = "artifacts/biencoder_ckpt"
         results["tiers"]["trained_hybrid"] = evaluate(
             searcher(mgr2), queries, truth)
         print("trained_hybrid:", results["tiers"]["trained_hybrid"],
@@ -370,24 +453,21 @@ def main() -> None:
                 s = v.std()
                 return (v - v.mean()) / (s if s > 1e-9 else 1.0)
 
-            def exact_base(mgr_, query, rows_, mix=MIX):
-                """z(mix*z(dense)+(1-mix)*z(bm25)) over one slate.
-                Pads to a fixed width so the jitted rescore compiles
-                once (slate sizes vary query to query)."""
-                n_ = len(rows_)
-                padded = np.full((1, DEPTH + 1), -1, np.int32)
-                padded[0, :n_] = rows_
-                d_, s_ = mgr_.rescore_candidates_sync([query], padded)
-                return _zv(mix * _zv(d_[0, :n_])
-                           + (1.0 - mix) * _zv(s_[0, :n_]))
-
-            def mine_with(mgr_, rows):
+            def mine_with(mgr_, rows, bs=64):
+                """Mined slates + their exact-rescore base scores, fully
+                BATCHED: one search dispatch + one rescore dispatch per
+                ``bs`` queries.  (Round 3 rescored one query per
+                dispatch — at this round's 5x slate count that would be
+                tens of thousands of tunnel round-trips.)"""
                 mined_, based_ = [], []
                 qtexts = [docs[i][1] for i in rows]
-                for qi in range(0, len(qtexts), 8):
+                for qi in range(0, len(qtexts), bs):
+                    batch_q = qtexts[qi:qi + bs]
                     out = mgr_.hybrid_search_batch_sync(
-                        qtexts[qi:qi + 8], DEPTH, use_mmr=False,
+                        batch_q, DEPTH, use_mmr=False,
                         dense_weight=best[0], sparse_weight=best[1])
+                    slates = []
+                    rows_mat = np.full((len(out), DEPTH + 1), -1, np.int32)
                     for b, hits in enumerate(out):
                         gold = rows[qi + b]
                         # near-duplicates of the gold body (28% of this
@@ -399,7 +479,13 @@ def main() -> None:
                             and filter_false_negatives(
                                 bodies[gold], [bodies[int(h["row"])]], 0.8)]
                         slate = [gold] + neg_rows
-                        base = exact_base(mgr_, qtexts[qi + b], slate)
+                        rows_mat[b, :len(slate)] = slate
+                        slates.append((gold, neg_rows))
+                    d_, s_ = mgr_.rescore_candidates_sync(batch_q, rows_mat)
+                    for b, (gold, neg_rows) in enumerate(slates):
+                        n_ = 1 + len(neg_rows)
+                        base = _zv(MIX * _zv(d_[b, :n_])
+                                   + (1.0 - MIX) * _zv(s_[b, :n_]))
                         mined_.append([bodies[r_] for r_ in neg_rows])
                         based_.append((float(base[0]),
                                        [float(x) for x in base[1:]]))
@@ -451,10 +537,14 @@ def main() -> None:
             # vocab cannot recover from listwise supervision alone
             # (models/encoder.py cross_segment_match)
             from dataclasses import replace as _dc_replace
-            ce_cfg = _dc_replace(enc_cfg, lexical_match=True)
+            # dropout + early stop on the held-out half: the round-3
+            # checkpoint overfit (train 0.875 / held-out 0.3125,
+            # VERDICT r3 weak #5); this round also feeds ~5x the slates
+            ce_cfg = _dc_replace(enc_cfg, lexical_match=True, dropout=0.1)
             print(f"training reranker: {args.rerank_steps} steps "
                   f"(warm-started bi-encoder trunk, residual objective, "
-                  f"lexical-match channel)", flush=True)
+                  f"lexical-match channel, dropout 0.1, early stop)",
+                  flush=True)
             t0 = time.perf_counter()
             _, ce_params, hist = train_reranker(
                 pairs, mined,
@@ -466,7 +556,7 @@ def main() -> None:
                     steps=args.rerank_steps, queries_per_batch=8,
                     candidates_per_query=DEPTH, log_every=200,
                     q_len=Q_LEN, d_len=D_LEN, residual=True,
-                    label_smoothing=0.05),
+                    label_smoothing=0.05, early_stop_patience=4),
                 mesh=mesh, tokenizer=tok,
                 warm_start_params=params,
                 base_scores=based,

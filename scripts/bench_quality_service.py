@@ -1,0 +1,188 @@
+"""End-to-end retrieval quality THROUGH the HTTP service (VERDICT r3
+next #6).
+
+The manager-direct quality bench (bench_quality_real.py) exercises the
+kernels but not the serving stack: profiles, query rewriting,
+over-retrieve, MMR, adaptive weights, the evaluator, micro-batching.
+This script measures R@10 / MRR@10 of the SAME harvested corpus and
+query protocol through a real `python -m advanced_rag_tpu.service.app`
+process — the reference's pipeline-level quality path
+(/root/reference/src/advanced_rag/pipeline.py:217-309) — and reports
+the delta vs the manager-direct `fused_reranked` tier (target: within
+~0.02 R@10; a bigger gap means a profile/MMR/rewrite quality
+regression the kernel tests can't see).
+
+Protocol notes:
+- The service CHUNKS ingested documents (AdaptiveChunker), so ground
+  truth is doc-level: a hit counts when a returned chunk's ``doc_id``
+  equals the gold passage's qualname.
+- The serving model artifacts come from bench_quality_real.py
+  (artifacts/biencoder_ckpt + reranker_ckpt + the dev-picked rank-key
+  knobs recorded in QUALITY_REAL.json) — run that first.
+- Test half only (queries[1::2]), matching the artifact's protocol.
+
+Writes artifacts/QUALITY_SERVICE.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+from pathlib import Path as _Path
+_repo = str(_Path(__file__).resolve().parent.parent)
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(_repo)
+
+
+def _post(port: int, path: str, body: dict, timeout: float = 120.0) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8077)
+    ap.add_argument("--max-docs", type=int, default=24000)
+    ap.add_argument("--queries", type=int, default=384)
+    ap.add_argument("--keep-server", action="store_true")
+    args = ap.parse_args()
+
+    quality = json.loads((REPO / "QUALITY_REAL.json").read_text())
+    rk = quality["tiers"].get("fused_reranked") or \
+        quality["tiers"]["trained_reranked"]
+    bi_ckpt = REPO / "artifacts" / "biencoder_ckpt"
+    ce_ckpt = REPO / "artifacts" / "reranker_ckpt"
+    for p in (bi_ckpt, ce_ckpt):
+        if not p.exists():
+            raise SystemExit(f"missing {p}: run bench_quality_real.py first")
+
+    # identical harvest + split to bench_quality_real.py (same seed)
+    from scripts.bench_quality_real import harvest_docstrings
+
+    print("harvesting (same protocol as QUALITY_REAL)...", flush=True)
+    docs = harvest_docstrings(args.max_docs)
+    if len(docs) != quality["n_docs"]:
+        print(f"WARNING: harvest produced {len(docs)} docs vs "
+              f"{quality['n_docs']} in QUALITY_REAL.json — deltas are "
+              "indicative only", flush=True)
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(docs))
+    n_eval = min(args.queries, len(docs) // 4)
+    eval_idx = sorted(order[:n_eval].tolist())
+    queries = [docs[i][1] for i in eval_idx]
+    gold_doc = [docs[i][0] for i in eval_idx]
+    test_q, test_gold = queries[1::2], gold_doc[1::2]
+
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.environ.get("PYTHONPATH", "") + f":{REPO}",
+        RAG_FUSED_E2E="1",
+        RAG_EMBEDDER=f"ckpt:{bi_ckpt.resolve()}",
+        RAG_RERANKER=f"ckpt:{ce_ckpt.resolve()}",
+        RAG_RERANK_MODE=rk.get("mode", "residual"),
+        RAG_RERANK_BASE=rk.get("base", "exact"),
+        RAG_RERANK_ALPHA=str(rk.get("alpha", 0.25)),
+        RAG_RESCORE_MIX=str(rk.get("mix", 0.5)),
+        ENABLE_MMR="1",
+        ENABLE_ADAPTIVE_WEIGHTS="1",
+        PORT=str(args.port),
+    )
+    log = open("/tmp/quality_service.log", "w")
+    srv = subprocess.Popen(
+        [_sys.executable, "-m", "advanced_rag_tpu.service.app"],
+        env=env, cwd=str(REPO), stdout=log, stderr=log)
+    try:
+        for _ in range(120):
+            time.sleep(2)
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{args.port}/healthz", timeout=5)
+                break
+            except Exception:
+                if srv.poll() is not None:
+                    raise SystemExit(
+                        "service died on startup; /tmp/quality_service.log")
+        else:
+            raise SystemExit("service never became healthy")
+
+        print("ingesting corpus through /ingest...", flush=True)
+        t0 = time.perf_counter()
+        payload = [{"doc_id": d[0], "content": d[2]} for d in docs]
+        for i in range(0, len(payload), 256):
+            _post(args.port, "/ingest", {"documents": payload[i:i + 256]},
+                  timeout=600)
+        ingest_s = time.perf_counter() - t0
+        print(f"  ingested {len(payload)} docs in {ingest_s:.0f}s",
+              flush=True)
+        _post(args.port, "/admin/warmup", {}, timeout=1800)
+
+        print(f"querying {len(test_q)} test-half queries...", flush=True)
+        hits, rr, lat = 0, 0.0, []
+        for q, gold in zip(test_q, test_gold):
+            t0 = time.perf_counter()
+            out = _post(args.port, "/retrieve", {"query": q, "top_k": 10},
+                        timeout=60)
+            lat.append((time.perf_counter() - t0) * 1e3)
+            seen, ranked_docs = set(), []
+            for r in out["results"]:
+                if r["doc_id"] not in seen:
+                    seen.add(r["doc_id"])
+                    ranked_docs.append(r["doc_id"])
+            if gold in ranked_docs[:10]:
+                hits += 1
+                rr += 1.0 / (ranked_docs.index(gold) + 1)
+        n = len(test_q)
+        row = {
+            "recall_at_10": round(hits / n, 4),
+            "mrr_at_10": round(rr / n, 4),
+            "ms_per_query_p50": round(float(np.percentile(lat, 50)), 1),
+            "ms_per_query_p99": round(float(np.percentile(lat, 99)), 1),
+        }
+        ref = rk.get("recall_at_10")
+        result = {
+            "metric": "service_e2e_recall_at_10",
+            "value": row["recall_at_10"],
+            "unit": "recall",
+            "extra": {
+                "service_e2e": row,
+                "manager_direct_fused": {"recall_at_10": ref,
+                                         "mrr_at_10": rk.get("mrr_at_10")},
+                "delta_recall": (round(row["recall_at_10"] - ref, 4)
+                                 if ref is not None else None),
+                "n_docs": len(docs), "n_queries": n,
+                "ingest_s": round(ingest_s, 1),
+                "knobs": {k: rk.get(k) for k in
+                          ("base", "mix", "mode", "alpha", "weights")},
+            },
+        }
+        art = REPO / "artifacts" / "QUALITY_SERVICE.json"
+        art.write_text(json.dumps(result, indent=2))
+        print(json.dumps(result))
+    finally:
+        if not args.keep_server:
+            srv.send_signal(signal.SIGTERM)
+            try:
+                srv.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                srv.kill()
+        log.close()
+
+
+if __name__ == "__main__":
+    main()

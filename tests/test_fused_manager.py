@@ -244,3 +244,32 @@ def test_host_rerank_residual_key(manager, reranker):
         assert [h["row"] for h in out] == want[: len(out)]
     finally:
         manager.config.rerank_alpha = 0.5
+
+
+def test_fused_exact_postings_base_matches_exact(manager, reranker):
+    """rerank_base='exact_postings' serves the SAME rank key as 'exact'
+    once the inverted postings are built with an untruncated cap (the
+    ops/rescore.py equality contract) — the memory-scalable variant the
+    10M tier serves (no O(N) doc-major term table)."""
+    manager.sparse.build_postings(cap=len(DOCS))
+    try:
+        q = "sparse lexical matching"
+        K = 6
+        kw = dict(k_final=K, reranker=reranker, k_rerank=K,
+                  rerank_alpha=0.0, rerank_mode="residual",
+                  rescore_mix=0.5, use_mmr=False)
+        a = manager.fused_retrieve_batch_sync([q], rerank_base="exact", **kw)[0]
+        b = manager.fused_retrieve_batch_sync(
+            [q], rerank_base="exact_postings", **kw)[0]
+        assert [h["row"] for h in a] == [h["row"] for h in b]
+    finally:
+        manager.sparse._post_rows = None
+        manager.sparse._post_tf = None
+
+
+def test_fused_exact_postings_requires_postings(manager, reranker):
+    assert manager.sparse.post_rows is None
+    with pytest.raises(IndexingError, match="postings"):
+        manager.fused_retrieve_batch_sync(
+            ["anything"], k_final=4, reranker=reranker, k_rerank=4,
+            rerank_alpha=0.0, rerank_base="exact_postings")

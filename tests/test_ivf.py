@@ -280,3 +280,31 @@ def test_maintenance_auto_builds_ivf_at_threshold(rng, monkeypatch):
     qv = mgr.semantic._host[123:124]
     _, ids = mgr.semantic.search(qv, 3, mgr.store.valid_mask)
     assert int(np.asarray(ids)[0, 0]) == 123
+
+
+def test_maintenance_ivf_demotion_rollback(monkeypatch):
+    """IVF branch of the recall guardrail: when the probe reports a
+    recall below target, the freshly built partitions are discarded and
+    the exact-scan tier (no _ivf) kept, with nprobe untouched."""
+    from advanced_rag_tpu.config import PipelineConfig
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.dense_index import DenseIndex
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.utils import constants
+
+    monkeypatch.setattr(constants.IndexConstants, "IVF_AUTO_THRESHOLD", 32)
+    mgr = MultiIndexManager(config=PipelineConfig())
+    chunks = [ChunkRecord(chunk_id=f"c{j}", doc_id="d0",
+                          content=f"ivf guard row {j} term {j % 9}")
+              for j in range(48)]
+    mgr.index_chunks(chunks)
+    nprobe0 = mgr.semantic.config.nprobe
+    # deterministic low-recall probe: the guard must roll back on it
+    monkeypatch.setattr(DenseIndex, "tune_nprobe",
+                        lambda self, **kw: (99, 0.42))
+    actions = mgr.maintenance_tick()
+    assert actions.get("demotion_blocked", {}).get("tier") == "ivf"
+    assert not actions["ivf_rebuilt"]
+    assert not mgr.semantic.has_ivf
+    assert mgr.semantic.config.nprobe == nprobe0
+    assert mgr.search_sync("semantic", "ivf guard row 3", 3)

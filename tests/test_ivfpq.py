@@ -361,3 +361,44 @@ def test_maintenance_opq_skips_ivfpq(monkeypatch):
     assert not actions2.get("pq_built")
     hits = mgr.hybrid_search_batch_sync(["opq corpus row 7"], 3)[0]
     assert any(h["chunk_id"] == "c7" for h in hits)
+
+
+def test_maintenance_demotion_blocked_on_adversarial_recall(monkeypatch):
+    """Recall guardrail (VERDICT r3 weak #6): a corpus whose PQ tier
+    cannot hit the configured recall target at ANY swept nprobe must
+    NOT be auto-demoted — maintenance restores the bf16 staging tier
+    (same array object, build-then-swap rollback), records the refusal,
+    and retrieval keeps serving.  Hostile geometry here = 8 sub-
+    quantizers over 384 dims at 4 bits with NO exact refinement: raw
+    ADC ranks can't reach recall@10 0.999."""
+    from advanced_rag_tpu.config import PipelineConfig
+    from advanced_rag_tpu.index.corpus import ChunkRecord
+    from advanced_rag_tpu.index.manager import MultiIndexManager
+    from advanced_rag_tpu.utils import constants
+
+    monkeypatch.setattr(constants.IndexConstants, "IVF_AUTO_THRESHOLD", 32)
+    mgr = MultiIndexManager(config=PipelineConfig(semantic_dtype="pq"))
+    chunks = [
+        ChunkRecord(chunk_id=f"c{j}", doc_id=f"d{j % 5}",
+                    content=f"adversarial corpus row {j} topic {j % 11}")
+        for j in range(64)
+    ]
+    assert mgr.index_chunks(chunks)["indexed"] == 64
+    sem = mgr.semantic
+    sem.config.pq_m = 8             # 48 dims/subspace: hostile compression
+    sem.config.refine_factor = 1    # no refinement: probe raw ADC ranks
+    sem.config.demote_recall_target = 0.999
+    staged = sem.emb
+    actions = mgr.maintenance_tick()
+    blocked = actions.get("demotion_blocked")
+    assert blocked and blocked["tier"] == "pq+ivfpq"
+    assert blocked["recall"] < 0.999
+    assert not actions.get("pq_built")
+    assert not sem.has_pq and not sem.has_ivfpq
+    assert sem.emb is staged        # bf16 staging restored, no re-upload
+    hits = mgr.search_sync("semantic", "adversarial corpus row 7", 3)
+    assert hits
+    # operator relaxes the target: the SAME corpus now demotes
+    sem.config.demote_recall_target = 0.0
+    actions2 = mgr.maintenance_tick()
+    assert actions2.get("pq_built") and sem.has_pq and sem.has_ivfpq

@@ -94,3 +94,64 @@ def test_hybrid_respects_mask(rng):
     ids = np.asarray(res.ids)
     assert ((ids < 10) | (ids == -1)).all()
     assert (ids >= 0).sum() <= 10
+
+
+def test_rescore_postings_matches_doc_table(rng):
+    """exact_tier_scores_postings == exact_tier_scores whenever the
+    postings cap covers every (doc, term) occurrence (the equality
+    contract in ops/rescore.py): the inverted layout carries exactly
+    the information the doc-major table does, so the candidate-local
+    gather must reproduce the full-body BM25 bit-for-bit (f32)."""
+    from advanced_rag_tpu.ops.postings import build_postings
+    from advanced_rag_tpu.ops.rescore import (
+        exact_tier_scores, exact_tier_scores_postings)
+
+    _, emb, doc_idx, doc_tf, doc_len, df = _corpus(rng, n=200)
+    n = emb.shape[0]
+    post_rows, post_tf = build_postings(doc_idx, doc_tf, 2048, cap=n)
+    q_dense = rng.standard_normal((3, emb.shape[1])).astype(np.float32)
+    q_dense /= np.linalg.norm(q_dense, axis=1, keepdims=True)
+    q_idx, q_tf = encode_queries(
+        ["alpha fox query", "beta gamma doc", "delta"], 2048, 16)
+    cand = rng.integers(0, n, (3, 8)).astype(np.int32)
+    cand[0, 3] = -1                                  # padded candidate
+    valid = np.ones(n, bool)
+    valid[n - 5:] = False                            # some deleted rows
+
+    common = (jnp.asarray(cand), jnp.asarray(q_dense), jnp.asarray(q_idx),
+              jnp.asarray(q_tf), jnp.asarray(emb))
+    tail = (jnp.asarray(doc_len), jnp.asarray(df), jnp.float32(n - 5))
+    d1, s1 = exact_tier_scores(
+        *common, jnp.asarray(doc_idx), jnp.asarray(doc_tf), *tail,
+        valid=jnp.asarray(valid))
+    d2, s2 = exact_tier_scores_postings(
+        *common, jnp.asarray(post_rows), jnp.asarray(post_tf), *tail,
+        valid=jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+    assert s1[0, 3] == 0.0 and d2[0, 3] == 0.0       # pads score 0
+
+
+def test_rescore_postings_truncation_underestimates(rng):
+    """With a cap smaller than a term's df, dropped (doc, term) slots
+    score 0 — the same documented underestimate as the postings scan
+    tier, never an overestimate."""
+    from advanced_rag_tpu.ops.postings import build_postings
+    from advanced_rag_tpu.ops.rescore import (
+        exact_tier_scores, exact_tier_scores_postings)
+
+    _, emb, doc_idx, doc_tf, doc_len, df = _corpus(rng, n=200)
+    n = emb.shape[0]
+    post_rows, post_tf = build_postings(doc_idx, doc_tf, 2048, cap=4)
+    q_dense = rng.standard_normal((2, emb.shape[1])).astype(np.float32)
+    q_idx, q_tf = encode_queries(["alpha beta gamma", "fox query"], 2048, 16)
+    cand = rng.integers(0, n, (2, 10)).astype(np.int32)
+    common = (jnp.asarray(cand), jnp.asarray(q_dense), jnp.asarray(q_idx),
+              jnp.asarray(q_tf), jnp.asarray(emb))
+    tail = (jnp.asarray(doc_len), jnp.asarray(df), jnp.float32(n))
+    _, s_full = exact_tier_scores(
+        *common, jnp.asarray(doc_idx), jnp.asarray(doc_tf), *tail)
+    _, s_trunc = exact_tier_scores_postings(
+        *common, jnp.asarray(post_rows), jnp.asarray(post_tf), *tail)
+    assert (np.asarray(s_trunc) <= np.asarray(s_full) + 1e-5).all()

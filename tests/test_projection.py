@@ -65,3 +65,33 @@ def test_custom_anchors_flow_through():
     assert out["t_embed_ms"] == 1.0 and out["t_rerank_ms"] == 2.0
     assert out["projected_p99_ms"] == pytest.approx(
         out["projected_p50_ms"] + 1.0, abs=0.02)
+
+
+def test_anchors_from_bench_artifact(tmp_path):
+    """from_bench maps the round artifact's device stage timings onto
+    the projection terms, falling back to defaults for absent keys."""
+    import json
+
+    from advanced_rag_tpu.parallel.projection import MeasuredAnchors
+
+    doc = {"parsed": {"value": 40.0, "extra": {
+        "corpus_rows": 2_000_000, "p99_ms": 44.0,
+        "stage_embed_us_b8": 60.0, "dense_sq8_ms_b8": 1.0,
+        "stage_sparse_ms_b8": 0.5, "stage_hybrid_ms_b8": 2.0,
+        "stage_rerank_ms_b8": 5.0, "eval_host_ms": 1.0}}}
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(doc))
+    a = MeasuredAnchors.from_bench(str(tmp_path))
+    assert a.source == "BENCH_r07.json"
+    assert a.embed_ms == 0.06
+    assert a.dense_sq8_ms_per_mrow == 0.5     # 1.0 ms / 2 Mrow
+    assert a.sparse_postings_ms_per_mrow == 0.25
+    assert abs(a.fuse_fixed_ms - 0.5) < 1e-9  # 2.0 - 1.0 - 0.5
+    assert a.rerank_ms == 5.0 and a.eval_host_ms == 1.0
+    assert a.jitter_p99_ms == 4.0
+
+
+def test_anchors_from_bench_defaults_when_absent(tmp_path):
+    from advanced_rag_tpu.parallel.projection import MeasuredAnchors
+
+    a = MeasuredAnchors.from_bench(str(tmp_path))
+    assert a == MeasuredAnchors()
