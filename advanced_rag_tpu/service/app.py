@@ -200,6 +200,15 @@ class ServiceState:
             cfg.rerank_alpha = float(os.environ["RAG_RERANK_ALPHA"])
         if os.environ.get("RAG_RESCORE_MIX"):
             cfg.rescore_mix = float(os.environ["RAG_RESCORE_MIX"])
+        # fusion operating point (RetrievalConfig defaults 0.7/0.3 are
+        # dense-leaning; the quality bench picks the corpus's weights on
+        # a dev split — scripts/bench_quality_real.py prints them)
+        if os.environ.get("RAG_DENSE_WEIGHT"):
+            cfg.retrieval.dense_weight = float(
+                os.environ["RAG_DENSE_WEIGHT"])
+        if os.environ.get("RAG_SPARSE_WEIGHT"):
+            cfg.retrieval.sparse_weight = float(
+                os.environ["RAG_SPARSE_WEIGHT"])
         # RAG_MICRO_BATCH: device query-batch cap for continuous
         # batching (pow2; each bucket compiles once at warm-up)
         mb = os.environ.get("RAG_MICRO_BATCH")

@@ -67,7 +67,7 @@ def child() -> None:
         ms = (time.perf_counter() - t0) * 1e3
         if first_query_ms is None:
             first_query_ms = ms
-        if ms <= SLA_MS and res.chunks:
+        if ms <= SLA_MS and res["results"]:
             first_sla_s = time.time() - t_start
             break
     pipe.close()

@@ -99,6 +99,8 @@ def main() -> None:
         RAG_RERANK_BASE=rk.get("base", "exact"),
         RAG_RERANK_ALPHA=str(rk.get("alpha", 0.25)),
         RAG_RESCORE_MIX=str(rk.get("mix", 0.5)),
+        RAG_DENSE_WEIGHT=str(rk.get("weights", [0.7, 0.3])[0]),
+        RAG_SPARSE_WEIGHT=str(rk.get("weights", [0.7, 0.3])[1]),
         ENABLE_MMR="1",
         ENABLE_ADAPTIVE_WEIGHTS="1",
         PORT=str(args.port),

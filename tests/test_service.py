@@ -209,6 +209,18 @@ class TestAuthAndLimits:
 
 
 class TestEnvFlags:
+    async def test_env_weight_knobs(self, loop, tmp_path, monkeypatch):
+        """RAG_DENSE_WEIGHT/RAG_SPARSE_WEIGHT set the fusion operating
+        point (the dev-picked weights bench_quality_service.py deploys
+        with; defaults 0.7/0.3 otherwise)."""
+        monkeypatch.delenv("API_KEY", raising=False)
+        monkeypatch.setenv("RAG_DENSE_WEIGHT", "0.2")
+        monkeypatch.setenv("RAG_SPARSE_WEIGHT", "0.8")
+        db = DatabasePool(sqlite_path=str(tmp_path / "w.db"))
+        app = create_app(db=db)
+        cfg = app["state"].config.retrieval
+        assert cfg.dense_weight == 0.2 and cfg.sparse_weight == 0.8
+
     async def test_env_flags_and_learned_reranker(self, loop, tmp_path,
                                                   monkeypatch):
         monkeypatch.delenv("API_KEY", raising=False)
