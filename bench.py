@@ -298,11 +298,13 @@ def main() -> None:
     q_ids, q_mask, q_idx, q_tf = encode_queries(_queries(rng, q_batch))
     bi_jit = jax.jit(bi.apply)
     # microsecond-scale stage: 2-decimal ms rounding swallowed it in
-    # BENCH_r02 ("0.0" read as unmeasured) — report in µs
+    # BENCH_r02 ("0.0" read as unmeasured) — report in µs, and scan 200
+    # rounds: at ~50 µs/call a 20-round chain differences ~1 ms, inside
+    # the tunnel's fetch jitter (BENCH r4 first run read 0.0)
     extra["stage_embed_us_b8"] = round(scanned_ms(
         lambda eps, p, ids, mask: bi_jit(p, ids + eps.astype(jnp.int32),
                                          mask),
-        rounds=20, operands=(p_bi, q_ids, q_mask)) * 1e3, 1)
+        rounds=200, operands=(p_bi, q_ids, q_mask)) * 1e3, 1)
 
     from advanced_rag_tpu.ops import hybrid_retrieve
     q_dense = bi_jit(p_bi, q_ids, q_mask)
