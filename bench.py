@@ -172,7 +172,10 @@ def main() -> None:
             from advanced_rag_tpu.train.rerank import load_reranker
 
             ce_cfg, p_ce, _layout = load_reranker(ckpt)
-            if ce_cfg.max_len >= lq + ld + 1 and ce_cfg.vocab_size == 32768:
+            # vocab >= the bench's 32768 token space keeps every
+            # synthetic doc/query id in range (a SMALLER ckpt vocab
+            # would index out of bounds)
+            if ce_cfg.max_len >= lq + ld + 1 and ce_cfg.vocab_size >= 32768:
                 ce = CrossEncoder(ce_cfg)
                 extra["reranker"] = "trained_ckpt"
             else:

@@ -148,6 +148,18 @@ def main() -> None:
                     help="stage-2 contrastive steps with self-mined "
                          "hard negatives (0 disables)")
     ap.add_argument("--no-train", action="store_true")
+    # bi-encoder geometry (VERDICT r3 next #3: the dense tower was
+    # capacity- and truncation-limited — BM25 scores the FULL body while
+    # a 128-token encoder sees its head; defaults match round 3)
+    ap.add_argument("--hidden-dim", type=int, default=128)
+    ap.add_argument("--num-layers", type=int, default=4)
+    ap.add_argument("--num-heads", type=int, default=4)
+    ap.add_argument("--mlp-dim", type=int, default=512)
+    ap.add_argument("--max-len", type=int, default=128)
+    ap.add_argument("--vocab", type=int, default=32768)
+    ap.add_argument("--out-dim", type=int, default=256)
+    ap.add_argument("--hard-neg-rounds", type=int, default=1,
+                    help="ANCE-style re-mine+retrain iterations")
     ap.add_argument("--queries", type=int, default=384)
     ap.add_argument("--rerank-steps", type=int, default=4000)
     ap.add_argument("--rerank-pairs", type=int, default=40000)
@@ -264,15 +276,19 @@ def main() -> None:
         # (queries are the bodies' SUMMARY lines — the distinguishing
         # content sits deep in the body); 128 tokens + a 32k hash vocab
         # (fewer collisions) measurably lift dense recall
-        enc_cfg = EncoderConfig(vocab_size=32768, hidden_dim=128,
-                                num_layers=4, num_heads=4, mlp_dim=512,
-                                max_len=128)
-        tok = HashingTokenizer(TokenizerConfig(vocab_size=32768,
-                                               max_len=128))
+        L = args.max_len
+        enc_cfg = EncoderConfig(vocab_size=args.vocab,
+                                hidden_dim=args.hidden_dim,
+                                num_layers=args.num_layers,
+                                num_heads=args.num_heads,
+                                mlp_dim=args.mlp_dim,
+                                max_len=L)
+        tok = HashingTokenizer(TokenizerConfig(vocab_size=args.vocab,
+                                               max_len=L))
         tcfg = TrainConfig(learning_rate=5e-4, warmup_steps=50,
                            total_steps=args.train_steps)
         mesh = build_train_mesh(1, tcfg)
-        model, params = init_bi_encoder(enc_cfg, out_dim=256, seed=0)
+        model, params = init_bi_encoder(enc_cfg, out_dim=args.out_dim, seed=0)
         step, params, opt_state = make_train_step(
             model, make_optimizer(tcfg), tcfg, mesh, params)
         # train pairs: (summary -> body) from NON-eval passages only
@@ -283,8 +299,8 @@ def main() -> None:
 
         # pre-tokenize the whole pool ONCE (the per-step Python tokenize
         # loop was the wall-clock bottleneck, not the TPU)
-        pq_ids, pq_mask = tok.encode_batch([p[0] for p in train_pool], 128)
-        pd_ids, pd_mask = tok.encode_batch([p[1] for p in train_pool], 128)
+        pq_ids, pq_mask = tok.encode_batch([p[0] for p in train_pool], L)
+        pd_ids, pd_mask = tok.encode_batch([p[1] for p in train_pool], L)
 
         def pair_batch(sel):
             return {"q_ids": jnp.asarray(pq_ids[sel]),
@@ -305,7 +321,7 @@ def main() -> None:
         results["train_s"] = round(time.perf_counter() - t0, 1)
         results["final_loss"] = round(float(metrics["loss"]), 4)
 
-        emb = NeuralEmbedder(dim=256, config=enc_cfg, params=params,
+        emb = NeuralEmbedder(dim=args.out_dim, config=enc_cfg, params=params,
                              tokenizer=tok)
         print("building trained-hybrid manager...", flush=True)
         mgr2 = build_manager(embedder=emb)
@@ -323,64 +339,72 @@ def main() -> None:
 
             H = 3                      # mined negatives per query
             pool_rows = [i for i in range(len(docs)) if i not in eval_idx]
-            print(f"mining hard negatives for {len(pool_rows)} queries",
-                  flush=True)
-            t0 = time.perf_counter()
-            neg_rows = np.zeros((len(pool_rows), H), np.int64)
             qtexts = [docs[i][1] for i in pool_rows]
-            for qi in range(0, len(qtexts), 32):
-                out = mgr2.hybrid_search_batch_sync(
-                    qtexts[qi:qi + 32], H + 5, use_mmr=False,
-                    dense_weight=0.5, sparse_weight=0.5)
-                for b_, hits in enumerate(out):
-                    gold = pool_rows[qi + b_]
-                    cands = [int(h["row"]) for h in hits
-                             if int(h["row"]) != gold
-                             and filter_false_negatives(
-                                 bodies[gold],
-                                 [bodies[int(h["row"])]], 0.8)]
-                    while len(cands) < H:    # degenerate slate top-up
-                        j = int(rng.integers(0, len(docs)))
-                        if j != gold:
-                            cands.append(j)
-                    neg_rows[qi + b_] = cands[:H]
-            print(f"  mined in {time.perf_counter()-t0:.0f}s", flush=True)
-
             # all-corpus body tokens once (negatives may be any row);
             # pq/pd tokenizations share pool_rows' order, so `sel`
             # indexes pairs and mined slates alike
-            pb_ids, pb_mask = tok.encode_batch(bodies, 128)
-            t0 = time.perf_counter()
-            for s in range(args.hard_neg_steps):
-                sel = rng.integers(0, len(pool_rows), bsz)
-                nsel = neg_rows[sel].reshape(-1)
-                batch = {"q_ids": jnp.asarray(pq_ids[sel]),
-                         "q_mask": jnp.asarray(pq_mask[sel]),
-                         "d_ids": jnp.asarray(pd_ids[sel]),
-                         "d_mask": jnp.asarray(pd_mask[sel]),
-                         "n_ids": jnp.asarray(pb_ids[nsel]),
-                         "n_mask": jnp.asarray(pb_mask[nsel])}
-                params, opt_state, metrics = step(params, opt_state, batch)
-                if s % 100 == 0:
-                    print(f"  hard-neg step {s}: loss "
-                          f"{float(metrics['loss']):.3f} acc "
-                          f"{float(metrics.get('accuracy', 0.0)):.2f}",
-                          flush=True)
-            results["hard_neg_train_s"] = round(time.perf_counter() - t0, 1)
+            pb_ids, pb_mask = tok.encode_batch(bodies, L)
+            hn_t0 = time.perf_counter()
+            for rnd in range(max(args.hard_neg_rounds, 1)):
+                # each round re-mines from the CURRENT model (the ANCE
+                # loop: negatives track the decision boundary as it
+                # moves; one-shot mining goes stale after ~1k steps)
+                print(f"mining hard negatives round {rnd} for "
+                      f"{len(pool_rows)} queries", flush=True)
+                t0 = time.perf_counter()
+                neg_rows = np.zeros((len(pool_rows), H), np.int64)
+                for qi in range(0, len(qtexts), 64):
+                    out = mgr2.hybrid_search_batch_sync(
+                        qtexts[qi:qi + 64], H + 5, use_mmr=False,
+                        dense_weight=0.5, sparse_weight=0.5)
+                    for b_, hits in enumerate(out):
+                        gold = pool_rows[qi + b_]
+                        cands = [int(h["row"]) for h in hits
+                                 if int(h["row"]) != gold
+                                 and filter_false_negatives(
+                                     bodies[gold],
+                                     [bodies[int(h["row"])]], 0.8)]
+                        while len(cands) < H:    # degenerate slate top-up
+                            j = int(rng.integers(0, len(docs)))
+                            if j != gold:
+                                cands.append(j)
+                        neg_rows[qi + b_] = cands[:H]
+                print(f"  mined in {time.perf_counter()-t0:.0f}s",
+                      flush=True)
+
+                for s in range(args.hard_neg_steps):
+                    sel = rng.integers(0, len(pool_rows), bsz)
+                    nsel = neg_rows[sel].reshape(-1)
+                    batch = {"q_ids": jnp.asarray(pq_ids[sel]),
+                             "q_mask": jnp.asarray(pq_mask[sel]),
+                             "d_ids": jnp.asarray(pd_ids[sel]),
+                             "d_mask": jnp.asarray(pd_mask[sel]),
+                             "n_ids": jnp.asarray(pb_ids[nsel]),
+                             "n_mask": jnp.asarray(pb_mask[nsel])}
+                    params, opt_state, metrics = step(params, opt_state,
+                                                      batch)
+                    if s % 200 == 0:
+                        print(f"  hard-neg r{rnd} step {s}: loss "
+                              f"{float(metrics['loss']):.3f} acc "
+                              f"{float(metrics.get('accuracy', 0.0)):.2f}",
+                              flush=True)
+                emb = NeuralEmbedder(dim=args.out_dim, config=enc_cfg,
+                                     params=params, tokenizer=tok)
+                print(f"rebuilding trained-hybrid manager (round {rnd} "
+                      "params)...", flush=True)
+                mgr2.close()
+                mgr2 = build_manager(embedder=emb)
+            results["hard_neg_train_s"] = round(
+                time.perf_counter() - hn_t0, 1)
+            results["hard_neg_rounds"] = max(args.hard_neg_rounds, 1)
             results["hard_neg_final_loss"] = round(float(metrics["loss"]), 4)
-            emb = NeuralEmbedder(dim=256, config=enc_cfg, params=params,
-                                 tokenizer=tok)
-            print("rebuilding trained-hybrid manager (stage-2 params)...",
-                  flush=True)
-            mgr2.close()
-            mgr2 = build_manager(embedder=emb)
 
         # persist the serving bi-encoder (consumed by RAG_EMBEDDER=ckpt:
         # and scripts/bench_quality_100k.py — the 100k-tier bench must
         # evaluate the SAME model production serves)
         from advanced_rag_tpu.train import save_biencoder
         Path("artifacts").mkdir(exist_ok=True)
-        save_biencoder(params, enc_cfg, 256,
+        save_biencoder(params, enc_cfg, args.out_dim,
                        Path("artifacts/biencoder_ckpt").resolve())
         results["biencoder_ckpt"] = "artifacts/biencoder_ckpt"
         results["tiers"]["trained_hybrid"] = evaluate(
@@ -435,7 +459,12 @@ def main() -> None:
             # Static-slot pair layout shared by training, the host
             # reranker, and the fused on-device program: 32 query slots
             # + 88 doc slots + [SEP] = 121 <= max_len 128.
-            Q_LEN, D_LEN = 32, 88
+            # static-slot pair layout scales with the encoder window:
+            # 32 query slots + doc slots + [SEP] <= max_len (88 doc
+            # tokens at the round-3 default 128; 216 at 256 — the CE
+            # then reads 2.5x more of the body it is ranking)
+            Q_LEN = 32
+            D_LEN = L - Q_LEN - 8
             DEPTH = 20   # mining depth == serve-time rerank depth
 
             train_rows = [i for i in range(len(docs)) if i not in eval_idx]
@@ -500,14 +529,14 @@ def main() -> None:
                 return mined_, based_
 
             def train_fold_bi(rows, seed):
-                m_, p_ = init_bi_encoder(enc_cfg, out_dim=256, seed=seed)
+                m_, p_ = init_bi_encoder(enc_cfg, out_dim=args.out_dim, seed=seed)
                 st_, p_, os_ = make_train_step(
                     m_, make_optimizer(tcfg), tcfg, mesh, p_)
                 pool_rows = list(rows)
                 fq_ids, fq_mask = tok.encode_batch(
-                    [docs[i][1] for i in pool_rows], 128)
+                    [docs[i][1] for i in pool_rows], L)
                 fd_ids, fd_mask = tok.encode_batch(
-                    [bodies[i] for i in pool_rows], 128)
+                    [bodies[i] for i in pool_rows], L)
                 r_ = np.random.default_rng(seed)
                 for _s in range(args.train_steps):
                     sel_ = r_.integers(0, len(pool_rows), 128)
@@ -528,7 +557,7 @@ def main() -> None:
                       f"mine {len(mine_f)}", flush=True)
                 pk = train_fold_bi(tr_f, seed=30 + k_)
                 mgrk = build_manager(embedder=NeuralEmbedder(
-                    dim=256, config=enc_cfg, params=pk, tokenizer=tok))
+                    dim=args.out_dim, config=enc_cfg, params=pk, tokenizer=tok))
                 negk, basek = mine_with(mgrk, mine_f)
                 for i_, r_ in enumerate(mine_f):
                     negs_by_row[r_] = negk[i_]
