@@ -17,6 +17,7 @@ from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 from .utils.constants import (
+    ChunkingConstants,
     IndexConstants,
     PerformanceConstants,
     RetrievalConstants,
@@ -152,6 +153,14 @@ class PipelineConfig:
     compliance_tenant: str = "default"
     retention_days: int = 365
     embed_batch_size: int = PerformanceConstants.EMBED_BATCH_SIZE
+    # ingest chunking window (word tokens).  Production should size
+    # chunks to the serving encoder's window: a 512-word chunk in front
+    # of a 128-token encoder silently truncates 75% of the text the
+    # dense tier is supposed to rank (reference exposes the same knobs
+    # via its chunking config section, chunking.py:74-96)
+    chunk_base_size: int = ChunkingConstants.BASE_CHUNK_SIZE
+    chunk_max_size: int = ChunkingConstants.MAX_CHUNK_SIZE
+    chunk_min_size: int = ChunkingConstants.MIN_CHUNK_SIZE
     # storage dtype for the semantic embedding matrix: "bfloat16" (default),
     # "float32", "int8" (SQ8 tier, ops/quant.py — ~30M rows/chip), or
     # "pq" (product-quantized tier, ops/pq.py — ~250M rows/chip)

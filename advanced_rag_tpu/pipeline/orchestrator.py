@@ -82,7 +82,11 @@ class AdvancedRAGPipeline:
     ):
         self.config = config or PipelineConfig()
         self.diagnostics = DocumentDiagnostics()
-        self.chunker = AdaptiveChunker()
+        self.chunker = AdaptiveChunker(
+            base_chunk_size=self.config.chunk_base_size,
+            max_chunk_size=self.config.chunk_max_size,
+            min_chunk_size=self.config.chunk_min_size,
+        )
         self.enricher = SemanticEnricher()
         self.rewriter = QueryRewriter()
         self.decomposer = QueryDecomposer()

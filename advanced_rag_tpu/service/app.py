@@ -209,6 +209,14 @@ class ServiceState:
         if os.environ.get("RAG_SPARSE_WEIGHT"):
             cfg.retrieval.sparse_weight = float(
                 os.environ["RAG_SPARSE_WEIGHT"])
+        # ingest chunk window (word tokens) — size to the serving
+        # encoder's window so the dense tier ranks the text it can read
+        if os.environ.get("RAG_CHUNK_BASE"):
+            cfg.chunk_base_size = int(os.environ["RAG_CHUNK_BASE"])
+        if os.environ.get("RAG_CHUNK_MAX"):
+            cfg.chunk_max_size = int(os.environ["RAG_CHUNK_MAX"])
+        if os.environ.get("RAG_CHUNK_MIN"):
+            cfg.chunk_min_size = int(os.environ["RAG_CHUNK_MIN"])
         # RAG_MICRO_BATCH: device query-batch cap for continuous
         # batching (pow2; each bucket compiles once at warm-up)
         mb = os.environ.get("RAG_MICRO_BATCH")

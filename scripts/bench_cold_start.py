@@ -27,6 +27,12 @@ Env knobs: COLD_DOCS (default 2000), COLD_SLA_MS (80).
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+_repo = str(_Path(__file__).resolve().parent.parent)
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import json
 import os
 import subprocess

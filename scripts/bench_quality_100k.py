@@ -51,7 +51,8 @@ from pathlib import Path
 
 import numpy as np
 
-from scripts.bench_quality_real import evaluate, harvest_docstrings
+from scripts.bench_quality_real import (
+    evaluate, harvest_docstrings, window_corpus)
 
 REPO = Path(_repo)
 
@@ -74,7 +75,10 @@ def make_distractors(bodies: list, n: int, rng) -> list:
     out = []
     for i in range(n):
         take = rng.choice(len(pools), size=5, replace=False)
-        out.append(" ".join(str(pools[j]) for j in take)[:1500])
+        # one encoder-window's worth of text: distractors compete at
+        # the same granularity the real corpus is indexed at
+        words = " ".join(str(pools[j]) for j in take).split()
+        out.append(" ".join(words[:110]))
     return out
 
 
@@ -113,11 +117,19 @@ def main() -> None:
     docs = harvest_docstrings(args.real_docs)
     n_real = len(docs)
     bodies = [d[2] for d in docs]
-    n_pad = max(args.rows - n_real, 0)
-    print(f"{n_real} real passages; assembling {n_pad} distractors",
-          flush=True)
+    # chunked protocol (matches bench_quality_real.py and the serving
+    # chunker): real bodies index as encoder-sized windows, distractors
+    # as single-window docs of their own; --rows targets CHUNK rows
+    # (the vectors the tier actually holds)
+    real_chunks, real_row_doc, _ = window_corpus(bodies)
+    n_pad = max(args.rows - len(real_chunks), 0)
+    print(f"{n_real} real passages -> {len(real_chunks)} windows; "
+          f"assembling {n_pad} distractors", flush=True)
     t0 = time.perf_counter()
-    texts = bodies + make_distractors(bodies, n_pad, rng)
+    texts = list(real_chunks) + make_distractors(bodies, n_pad, rng)
+    row_doc = np.concatenate([
+        real_row_doc,
+        n_real + np.arange(n_pad, dtype=np.int32)]).astype(np.int32)
     print(f"  distractors {time.perf_counter()-t0:.0f}s", flush=True)
 
     # same query protocol as QUALITY_REAL: summary line -> its body,
@@ -193,10 +205,22 @@ def main() -> None:
 
         def run(batch):
             out = mgr.hybrid_search_batch_sync(
-                list(batch), DEPTH, use_mmr=False,
+                list(batch), DEPTH * 3, use_mmr=False,
                 dense_weight=dw, sparse_weight=sw)
-            cand = [[(int(h["row"]), float(h["score"])) for h in hits]
-                    for hits in out]
+            # slate = best-ranked chunk row per distinct parent doc
+            # (the app-layer dedupe production applies above the index)
+            cand = []
+            for hits in out:
+                c_, cd_ = [], set()
+                for h in hits:
+                    r_ = int(h["row"])
+                    d_ = int(row_doc[r_])
+                    if d_ not in cd_:
+                        cd_.add(d_)
+                        c_.append((r_, float(h["score"])))
+                        if len(c_) >= DEPTH:
+                            break
+                cand.append(c_)
             flat_q = [batch[b] for b, c in enumerate(cand) for _ in c]
             flat_d = [texts[r] for c in cand for r, _ in c]
             ce = reranker.score_pairs(flat_q, flat_d)
@@ -223,12 +247,14 @@ def main() -> None:
                 else:
                     s = alpha * _z(ce_q) + (1.0 - alpha) * base
                 ranked_out.append(
-                    [c[j][0] for j in np.argsort(-s)[:10]])
+                    [int(row_doc[c[j][0]]) for j in np.argsort(-s)[:10]])
             return ranked_out
         return run
 
     results = {"rows": len(texts), "n_real": n_real, "n_queries": n_eval,
-               "model": model_tag, "knobs": knobs, "tiers": {}}
+               "model": model_tag, "knobs": knobs, "tiers": {},
+               "protocol": {"chunked": True, "doc_level_eval": True,
+                            "real_windows": len(real_chunks)}}
     dtype_of = {"bf16": "bfloat16", "sq8": "int8", "ivfpq": "pq"}
 
     for tier in args.tiers.split(","):
@@ -238,7 +264,9 @@ def main() -> None:
                                 semantic_cache_=shared_cache)
         t0 = time.perf_counter()
         recs = [ChunkRecord(chunk_id=str(i),
-                            doc_id=docs[i][0] if i < n_real else f"pad{i}",
+                            doc_id=(docs[int(row_doc[i])][0]
+                                    if row_doc[i] < n_real
+                                    else f"pad{int(row_doc[i])}"),
                             content=texts[i])
                 for i in range(len(texts))]
         for i in range(0, len(recs), 2048):
@@ -261,9 +289,20 @@ def main() -> None:
 
         def hybrid_run(batch, mgr=mgr):
             out = mgr.hybrid_search_batch_sync(
-                list(batch), 10, use_mmr=False,
+                list(batch), 48, use_mmr=False,
                 dense_weight=dw, sparse_weight=sw)
-            return [[int(h["row"]) for h in hits] for hits in out]
+            ranked = []
+            for hits in out:
+                seen, docs_r = set(), []
+                for h in hits:
+                    d_ = int(row_doc[int(h["row"])])
+                    if d_ not in seen:
+                        seen.add(d_)
+                        docs_r.append(d_)
+                        if len(docs_r) >= 10:
+                            break
+                ranked.append(docs_r)
+            return ranked
 
         row["hybrid"] = evaluate(hybrid_run, queries, truth)
         print(f"  hybrid: {row['hybrid']}", flush=True)

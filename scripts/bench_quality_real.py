@@ -119,6 +119,48 @@ def harvest_docstrings(max_docs: int, min_chars: int = 300) -> list:
     return out[:max_docs]
 
 
+def window_corpus(bodies, summaries=None, window_words: int = 110,
+                  window_stride: int = 80, max_windows: int = 8):
+    """Passage windows + parent map: (chunk_texts, row_doc, gold_rows).
+
+    Production ingests documents through the chunker into windows sized
+    to the encoder (reference pipeline.py chunk stage); quality benches
+    index the same windows and evaluate at the document level.
+    ``gold_rows[i]`` is doc *i*'s window sharing the most content terms
+    with ``summaries[i]`` — the distant-supervision training positive —
+    or the first window when ``summaries`` is None (eval-only corpora).
+    """
+    stop = set("the a an of to in for and or is are with on from by"
+               " as at this that be it its if not".split())
+    term_re = re.compile(r"[a-z0-9_]+")
+    W, S = window_words, window_stride
+    chunk_texts: list = []
+    row_doc: list = []
+    gold_rows: list = []
+    for i, body in enumerate(bodies):
+        words = body.split()
+        starts = list(range(0, max(len(words) - W // 2, 1),
+                            S))[:max_windows]
+        qterms = set()
+        if summaries is not None:
+            qterms = {w for w in term_re.findall(summaries[i].lower())
+                      if len(w) > 3 and w not in stop}
+        best_row, best_ov = len(chunk_texts), -1.0
+        for st in starts:
+            text = " ".join(words[st:st + W])
+            row = len(chunk_texts)
+            chunk_texts.append(text)
+            row_doc.append(i)
+            if qterms:
+                cterms = set(term_re.findall(text.lower()))
+                ov = len(qterms & cterms) / max(len(qterms), 1)
+                if ov > best_ov:
+                    best_ov, best_row = ov, row
+        gold_rows.append(best_row)
+    return (chunk_texts, np.asarray(row_doc, np.int32),
+            np.asarray(gold_rows, np.int32))
+
+
 def evaluate(search_fn, queries, truth_rows, k: int = 10) -> dict:
     hits, rr = 0, 0.0
     lat = []
@@ -167,6 +209,15 @@ def main() -> None:
     ap.add_argument("--skip-hash-tiers", action="store_true",
                     help="skip the training-free manager build (reuse "
                          "previously recorded bm25/hash_hybrid rows)")
+    # production chunking protocol (VERDICT r3 next #3): index passage
+    # WINDOWS sized to the encoder, evaluate at the DOCUMENT level.
+    # --whole-doc restores the round-3 one-chunk-per-doc protocol.
+    ap.add_argument("--whole-doc", action="store_true",
+                    help="index whole bodies as single chunks "
+                         "(round-3 protocol)")
+    ap.add_argument("--window-words", type=int, default=110)
+    ap.add_argument("--window-stride", type=int, default=80)
+    ap.add_argument("--max-windows", type=int, default=8)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -193,8 +244,44 @@ def main() -> None:
     bodies = [d[2] for d in docs]
     queries = [docs[i][1] for i in sorted(eval_idx)]
     truth = list(sorted(eval_idx))
+
+    # ---- passage windows (production chunking protocol) ---------------
+    # The round-3 protocol indexed each whole body as ONE chunk: BM25
+    # scored every term of a 4000-char body while the encoder read only
+    # its first max_len tokens — a structural handicap no training run
+    # fixes.  Production ingests documents through the chunker into
+    # windows sized to the encoder (reference pipeline.py chunk stage,
+    # chunking.py); this bench now does the same and evaluates at the
+    # DOCUMENT level: chunk hits dedupe to their parent doc, truth stays
+    # "retrieve the right document".  BM25 keeps full coverage (every
+    # window is indexed); the dense tower now sees every window too.
+    chunked = not args.whole_doc
+    if chunked:
+        # training positives (gold windows) are distant supervision;
+        # used ONLY to pick training pairs/slate golds, never in eval
+        chunk_texts, row_doc, doc_gold_row = window_corpus(
+            bodies, summaries=[d[1] for d in docs],
+            window_words=args.window_words,
+            window_stride=args.window_stride,
+            max_windows=args.max_windows)
+        print(f"chunked protocol: {len(chunk_texts)} windows over "
+              f"{len(docs)} docs ({len(chunk_texts) / len(docs):.1f}/doc)",
+              flush=True)
+    else:
+        chunk_texts = bodies
+        row_doc = np.arange(len(docs), dtype=np.int32)
+        doc_gold_row = np.arange(len(docs), dtype=np.int32)
+    # per-doc training/gold passage text (== body in --whole-doc mode)
+    gold_texts = [chunk_texts[int(doc_gold_row[i])]
+                  for i in range(len(docs))]
+
     results = {"corpus": "installed-package docstrings",
                "n_docs": len(docs), "n_queries": n_eval, "tiers": {},
+               "protocol": {"chunked": chunked,
+                            "n_chunks": len(chunk_texts),
+                            "window_words": args.window_words,
+                            "window_stride": args.window_stride,
+                            "doc_level_eval": chunked},
                # VERDICT r3 weak #8: attribution belongs in the artifact
                "latency_note": (
                    "ms_per_query columns amortize first-call XLA compiles"
@@ -212,22 +299,36 @@ def main() -> None:
     def build_manager(embedder=None, **cfg_kw):
         cfg = PipelineConfig(**cfg_kw)
         mgr = MultiIndexManager(cfg, embedder=embedder)
-        recs = [ChunkRecord(chunk_id=str(i), doc_id=docs[i][0],
-                            content=bodies[i])
-                for i in range(len(docs))]
+        recs = [ChunkRecord(chunk_id=str(r),
+                            doc_id=docs[int(row_doc[r])][0],
+                            content=chunk_texts[r])
+                for r in range(len(chunk_texts))]
         for i in range(0, len(recs), 512):
             mgr.index_chunks(recs[i:i + 512])
         return mgr
+
+    def dedupe_docs(hits, limit):
+        """Chunk hits -> ranked distinct parent-doc indices."""
+        seen, out = set(), []
+        for h in hits:
+            d_ = int(row_doc[int(h["row"])])
+            if d_ not in seen:
+                seen.add(d_)
+                out.append(d_)
+                if len(out) >= limit:
+                    break
+        return out
 
     def searcher(mgr, weights=None):
         kw = {}
         if weights is not None:
             kw = {"dense_weight": weights[0], "sparse_weight": weights[1]}
+        k_chunks = 48 if chunked else 10
 
         def run(batch):
-            out = mgr.hybrid_search_batch_sync(list(batch), 10,
+            out = mgr.hybrid_search_batch_sync(list(batch), k_chunks,
                                                use_mmr=False, **kw)
-            return [[int(h["row"]) for h in hits] for hits in out]
+            return [dedupe_docs(hits, 10) for hits in out]
         return run
 
     if args.skip_hash_tiers:
@@ -238,7 +339,9 @@ def main() -> None:
             # with different --max-docs/--queries must not silently mix
             # incomparable tiers in one artifact
             if (old.get("n_docs") == len(docs)
-                    and old.get("n_queries") == n_eval):
+                    and old.get("n_queries") == n_eval
+                    and old.get("protocol", {}).get("chunked")
+                    == chunked):
                 for tier in ("bm25", "hash_hybrid"):
                     if tier in old.get("tiers", {}):
                         row = dict(old["tiers"][tier])
@@ -291,8 +394,10 @@ def main() -> None:
         model, params = init_bi_encoder(enc_cfg, out_dim=args.out_dim, seed=0)
         step, params, opt_state = make_train_step(
             model, make_optimizer(tcfg), tcfg, mesh, params)
-        # train pairs: (summary -> body) from NON-eval passages only
-        train_pool = [(docs[i][1], bodies[i]) for i in range(len(docs))
+        # train pairs: (summary -> gold passage) from NON-eval docs only
+        # (gold passage == whole body in --whole-doc mode, else the
+        # window sharing the most content terms with the summary)
+        train_pool = [(docs[i][1], gold_texts[i]) for i in range(len(docs))
                       if i not in eval_idx]
         print(f"training bi-encoder: {args.train_steps} steps over "
               f"{len(train_pool)} pairs", flush=True)
@@ -340,10 +445,10 @@ def main() -> None:
             H = 3                      # mined negatives per query
             pool_rows = [i for i in range(len(docs)) if i not in eval_idx]
             qtexts = [docs[i][1] for i in pool_rows]
-            # all-corpus body tokens once (negatives may be any row);
-            # pq/pd tokenizations share pool_rows' order, so `sel`
+            # all-corpus chunk tokens once (negatives may be any chunk
+            # row); pq/pd tokenizations share pool_rows' order, so `sel`
             # indexes pairs and mined slates alike
-            pb_ids, pb_mask = tok.encode_batch(bodies, L)
+            pb_ids, pb_mask = tok.encode_batch(chunk_texts, L)
             hn_t0 = time.perf_counter()
             for rnd in range(max(args.hard_neg_rounds, 1)):
                 # each round re-mines from the CURRENT model (the ANCE
@@ -353,20 +458,26 @@ def main() -> None:
                       f"{len(pool_rows)} queries", flush=True)
                 t0 = time.perf_counter()
                 neg_rows = np.zeros((len(pool_rows), H), np.int64)
+                k_mine = (H + 5) * (3 if chunked else 1)
                 for qi in range(0, len(qtexts), 64):
                     out = mgr2.hybrid_search_batch_sync(
-                        qtexts[qi:qi + 64], H + 5, use_mmr=False,
+                        qtexts[qi:qi + 64], k_mine, use_mmr=False,
                         dense_weight=0.5, sparse_weight=0.5)
                     for b_, hits in enumerate(out):
                         gold = pool_rows[qi + b_]
-                        cands = [int(h["row"]) for h in hits
-                                 if int(h["row"]) != gold
-                                 and filter_false_negatives(
-                                     bodies[gold],
-                                     [bodies[int(h["row"])]], 0.8)]
+                        cands, cdocs = [], set()
+                        for h in hits:
+                            r_ = int(h["row"])
+                            d_ = int(row_doc[r_])
+                            if (d_ != gold and d_ not in cdocs
+                                    and filter_false_negatives(
+                                        gold_texts[gold],
+                                        [chunk_texts[r_]], 0.8)):
+                                cands.append(r_)   # chunk row
+                                cdocs.add(d_)
                         while len(cands) < H:    # degenerate slate top-up
-                            j = int(rng.integers(0, len(docs)))
-                            if j != gold:
+                            j = int(rng.integers(0, len(chunk_texts)))
+                            if int(row_doc[j]) != gold:
                                 cands.append(j)
                         neg_rows[qi + b_] = cands[:H]
                 print(f"  mined in {time.perf_counter()-t0:.0f}s",
@@ -498,24 +609,35 @@ def main() -> None:
                 tens of thousands of tunnel round-trips.)"""
                 mined_, based_ = [], []
                 qtexts = [docs[i][1] for i in rows]
+                k_mine = DEPTH * (3 if chunked else 1)
                 for qi in range(0, len(qtexts), bs):
                     batch_q = qtexts[qi:qi + bs]
                     out = mgr_.hybrid_search_batch_sync(
-                        batch_q, DEPTH, use_mmr=False,
+                        batch_q, k_mine, use_mmr=False,
                         dense_weight=best[0], sparse_weight=best[1])
                     slates = []
                     rows_mat = np.full((len(out), DEPTH + 1), -1, np.int32)
                     for b, hits in enumerate(out):
-                        gold = rows[qi + b]
+                        gold = rows[qi + b]          # doc index
+                        gold_row = int(doc_gold_row[gold])
                         # near-duplicates of the gold body (28% of this
                         # corpus has a Jaccard>0.8 twin) are FALSE
-                        # negatives — the round-2 coin-flip accuracy
-                        neg_rows = [
-                            int(h["row"]) for h in hits
-                            if int(h["row"]) != gold
-                            and filter_false_negatives(
-                                bodies[gold], [bodies[int(h["row"])]], 0.8)]
-                        slate = [gold] + neg_rows
+                        # negatives — the round-2 coin-flip accuracy.
+                        # Chunked: one representative (best-ranked)
+                        # chunk row per distinct non-gold doc.
+                        neg_rows, nd_ = [], set()
+                        for h in hits:
+                            r_ = int(h["row"])
+                            d_ = int(row_doc[r_])
+                            if (d_ != gold and d_ not in nd_
+                                    and filter_false_negatives(
+                                        gold_texts[gold],
+                                        [chunk_texts[r_]], 0.8)):
+                                neg_rows.append(r_)
+                                nd_.add(d_)
+                                if len(neg_rows) >= DEPTH - 1:
+                                    break
+                        slate = [gold_row] + neg_rows
                         rows_mat[b, :len(slate)] = slate
                         slates.append((gold, neg_rows))
                     d_, s_ = mgr_.rescore_candidates_sync(batch_q, rows_mat)
@@ -523,7 +645,7 @@ def main() -> None:
                         n_ = 1 + len(neg_rows)
                         base = _zv(MIX * _zv(d_[b, :n_])
                                    + (1.0 - MIX) * _zv(s_[b, :n_]))
-                        mined_.append([bodies[r_] for r_ in neg_rows])
+                        mined_.append([chunk_texts[r_] for r_ in neg_rows])
                         based_.append((float(base[0]),
                                        [float(x) for x in base[1:]]))
                 return mined_, based_
@@ -536,7 +658,7 @@ def main() -> None:
                 fq_ids, fq_mask = tok.encode_batch(
                     [docs[i][1] for i in pool_rows], L)
                 fd_ids, fd_mask = tok.encode_batch(
-                    [bodies[i] for i in pool_rows], L)
+                    [gold_texts[i] for i in pool_rows], L)
                 r_ = np.random.default_rng(seed)
                 for _s in range(args.train_steps):
                     sel_ = r_.integers(0, len(pool_rows), 128)
@@ -566,7 +688,7 @@ def main() -> None:
             print(f"  cross-fit mining {time.perf_counter()-t0:.0f}s",
                   flush=True)
 
-            pairs = [(docs[i][1], bodies[i]) for i in train_rows]
+            pairs = [(docs[i][1], gold_texts[i]) for i in train_rows]
             mined = [negs_by_row[i] for i in train_rows]
             based = [base_by_row[i] for i in train_rows]
             # lexical_match: DrQA-style exact-match channel — the
@@ -625,17 +747,31 @@ def main() -> None:
                 """Per query: (rows, z(fused), z(dense), z(bm25),
                 z(CE), raw CE, gold) over the hybrid top-``depth``."""
                 rows_out, lat = [], []
+                k_coll = depth * (3 if chunked else 1)
                 for qi in range(0, len(queries_), 8):
                     batch = queries_[qi:qi + 8]
                     t0 = time.perf_counter()
                     out = mgr2.hybrid_search_batch_sync(
-                        list(batch), depth, use_mmr=False,
+                        list(batch), k_coll, use_mmr=False,
                         dense_weight=best[0], sparse_weight=best[1])
-                    cand = [[(int(h["row"]), float(h["score"]))
-                             for h in hitrow] for hitrow in out]
+                    # chunked: slate = best-ranked chunk row per
+                    # distinct doc (the app-layer dedupe production
+                    # applies above the chunk index)
+                    cand = []
+                    for hitrow in out:
+                        c_, cd_ = [], set()
+                        for h in hitrow:
+                            r_ = int(h["row"])
+                            d_ = int(row_doc[r_])
+                            if d_ not in cd_:
+                                cd_.add(d_)
+                                c_.append((r_, float(h["score"])))
+                                if len(c_) >= depth:
+                                    break
+                        cand.append(c_)
                     flat_q = [batch[b] for b, c in enumerate(cand)
                               for _ in c]
-                    flat_d = [bodies[r] for c in cand for r, _ in c]
+                    flat_d = [chunk_texts[r] for c in cand for r, _ in c]
                     ce = rr.score_pairs(flat_q, flat_d)
                     # exact per-tier rescore of every slate (the serve
                     # base key, ops/rescore.py)
@@ -675,7 +811,8 @@ def main() -> None:
                         s = ce_raw
                     else:
                         s = alpha * zc + (1.0 - alpha) * zr
-                    ranked = [rows_[j] for j in np.argsort(-s)[:k]]
+                    ranked = [int(row_doc[rows_[j]])
+                              for j in np.argsort(-s)[:k]]
                     if want in ranked:
                         hits += 1
                         rrsum += 1.0 / (ranked.index(want) + 1)
@@ -738,14 +875,18 @@ def main() -> None:
                                  fused_token_len=D_LEN)
 
             def fused_search(batch):
+                # chunked: the device program ranks chunk rows; doc
+                # dedupe is the app layer's job, so ask for the full
+                # reranked slate and dedupe host-side
                 out = mgr3.fused_retrieve_batch_sync(
-                    list(batch), k_final=10, k_rerank=DEPTH, reranker=rr,
+                    list(batch), k_final=(DEPTH if chunked else 10),
+                    k_rerank=DEPTH, reranker=rr,
                     dense_weight=best[0], sparse_weight=best[1],
                     use_mmr=False, rerank_alpha=best_alpha,
                     rerank_mode=("residual" if best_mode == "residual"
                                  else "zblend"),
                     rerank_base=base_kind, rescore_mix=best_mix)
-                return [[int(h["row"]) for h in hits] for hits in out]
+                return [dedupe_docs(hits, 10) for hits in out]
 
             fused_row = evaluate(fused_search, test_q, test_t)
             fused_row.update({"weights": list(best), "base": base_kind,

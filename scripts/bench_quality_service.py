@@ -103,6 +103,12 @@ def main() -> None:
         RAG_SPARSE_WEIGHT=str(rk.get("weights", [0.7, 0.3])[1]),
         ENABLE_MMR="1",
         ENABLE_ADAPTIVE_WEIGHTS="1",
+        # chunk the served corpus at the encoder's window (the manager-
+        # direct protocol indexes ~110-word windows; default 512-word
+        # chunks would truncate 75% of each chunk at the dense tower)
+        RAG_CHUNK_BASE="110",
+        RAG_CHUNK_MAX="160",
+        RAG_CHUNK_MIN="32",
         PORT=str(args.port),
     )
     log = open("/tmp/quality_service.log", "w")
@@ -138,7 +144,9 @@ def main() -> None:
         hits, rr, lat = 0, 0.0, []
         for q, gold in zip(test_q, test_gold):
             t0 = time.perf_counter()
-            out = _post(args.port, "/retrieve", {"query": q, "top_k": 10},
+            # top_k=20 chunks -> top-10 DISTINCT docs: matches the
+            # manager-direct depth-20 slate + doc-dedupe protocol
+            out = _post(args.port, "/retrieve", {"query": q, "top_k": 20},
                         timeout=60)
             lat.append((time.perf_counter() - t0) * 1e3)
             seen, ranked_docs = set(), []
@@ -146,6 +154,7 @@ def main() -> None:
                 if r["doc_id"] not in seen:
                     seen.add(r["doc_id"])
                     ranked_docs.append(r["doc_id"])
+            ranked_docs = ranked_docs[:10]
             if gold in ranked_docs[:10]:
                 hits += 1
                 rr += 1.0 / (ranked_docs.index(gold) + 1)

@@ -221,6 +221,26 @@ class TestEnvFlags:
         cfg = app["state"].config.retrieval
         assert cfg.dense_weight == 0.2 and cfg.sparse_weight == 0.8
 
+    async def test_env_chunk_window_knobs(self, loop, tmp_path,
+                                          monkeypatch):
+        """RAG_CHUNK_BASE/MAX/MIN size ingest chunks to the serving
+        encoder's window, and the orchestrator's chunker honors them."""
+        monkeypatch.delenv("API_KEY", raising=False)
+        monkeypatch.setenv("RAG_CHUNK_BASE", "110")
+        monkeypatch.setenv("RAG_CHUNK_MAX", "160")
+        monkeypatch.setenv("RAG_CHUNK_MIN", "32")
+        db = DatabasePool(sqlite_path=str(tmp_path / "c.db"))
+        app = create_app(db=db)
+        state = app["state"]
+        assert state.config.chunk_base_size == 110
+        chunker = state.pipeline.chunker
+        assert (chunker.base_chunk_size, chunker.max_chunk_size,
+                chunker.min_chunk_size) == (110, 160, 32)
+        text = " ".join(f"word{i} token." for i in range(600))
+        chunks = chunker.chunk_document(text, doc_id="d1")
+        assert len(chunks) >= 3     # 600 words can't fit 1-2 110-word chunks
+        assert all(c.metadata.token_count <= 2 * 160 for c in chunks)
+
     async def test_env_flags_and_learned_reranker(self, loop, tmp_path,
                                                   monkeypatch):
         monkeypatch.delenv("API_KEY", raising=False)
