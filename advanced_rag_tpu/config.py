@@ -198,6 +198,15 @@ class PipelineConfig:
     retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
+    def __post_init__(self) -> None:
+        # enable_mmr is the pipeline-level switch (reference
+        # pipeline.py:37-57); it previously only reached the retriever
+        # through the service's env wiring, so
+        # PipelineConfig(enable_mmr=False) silently kept MMR on in
+        # library use.  AND-combine so an explicit retrieval.use_mmr
+        # False also sticks.
+        self.retrieval.use_mmr = self.retrieval.use_mmr and self.enable_mmr
+
 
 def _apply_section(cfg: Any, section: Dict[str, Any]) -> Any:
     """Overlay a dict onto a dataclass, ignoring unknown keys."""

@@ -98,7 +98,21 @@ def mmr_select(
     e = l2_normalize(cand_emb) if normalize else cand_emb.astype(jnp.float32)
     sim = jnp.dot(e, e.T, preferred_element_type=jnp.float32)  # [C, C]
     ok = valid.astype(jnp.bool_) if valid is not None else jnp.ones((c,), jnp.bool_)
-    rel = jnp.where(ok, rel.astype(jnp.float32), NEG_INF)
+    # Min-max relevance to [0, 1] over the valid candidates BEFORE
+    # blending: fused RRF scores have ~1/rrf_k dynamic range
+    # (top-vs-bottom gap ~0.002), so on the raw scale the
+    # (1-lambda)*sim term dominates and MMR picks off-topic docs from
+    # rank 2 on near-duplicate corpora (observed: 4/10 on-topic at
+    # lambda=0.8 where the fused order was 10/10).  [0, 1] is the scale
+    # the reference formula assumes (its rel are cosine-like scores,
+    # retrieval.py:493-516) and keeps lambda's meaning against cosine
+    # similarities; the transform is monotone, so the first
+    # (pure-relevance) pick is unchanged.
+    relf = rel.astype(jnp.float32)
+    lo = jnp.min(jnp.where(ok, relf, jnp.inf))
+    hi = jnp.max(jnp.where(ok, relf, -jnp.inf))
+    rel01 = (relf - lo) / jnp.maximum(hi - lo, 1e-12)
+    rel = jnp.where(ok, rel01, NEG_INF)
 
     lam = jnp.float32(lambda_mult)
 

@@ -110,6 +110,13 @@ class AdvancedRAGPipeline:
         self._retrieve_latencies: List[float] = []
         self._sla_met = 0
         self._sla_total = 0
+        # fused program shapes compiled so far: {(k_out, k_rerank)}.
+        # The service's strict latency budget must not apply to a
+        # signature whose one-dispatch program hasn't compiled yet —
+        # retriever.is_warm only tracks the UNFUSED shapes, and trusting
+        # it in fused mode 504'd the first live query while its program
+        # compiled under the warm budget.
+        self._fused_warm: set = set()
 
     def _use_fused_path(self) -> bool:
         """One-dispatch retrieve+rerank is used when configured AND all
@@ -123,6 +130,30 @@ class AdvancedRAGPipeline:
                 and hasattr(self.retriever.reranker, "model")
                 and not self.index_manager.semantic.has_ivf
                 and not self.index_manager.semantic._pq_mode)
+
+    def _fused_sig(self, top_k: Optional[int]) -> tuple:
+        """(k_out, k_rerank) compile statics for a retrieve request.
+
+        An EXPLICIT top_k is honored in the response (the reference
+        service returns the requested top_k, service.py:378-426);
+        without one the pipeline serves its configured rerank_top_k.
+        k-shapes bucket to multiples of 8 so distinct requests share
+        compiled programs."""
+        if top_k is not None:
+            k_out = max(1, min(int(top_k), 64))
+            k_rerank = -(-max(k_out, 16) // 8) * 8
+        else:
+            k_out = self.config.rerank_top_k
+            k_rerank = min(self.config.top_k, 16)
+        return k_out, k_rerank
+
+    def is_warm(self, query: str, top_k: Optional[int] = None) -> bool:
+        """Service-facing warm check covering the path retrieve() will
+        actually take: the fused one-dispatch program's signature in
+        fused mode, the retriever's program shapes otherwise."""
+        if self._use_fused_path():
+            return self._fused_sig(top_k) in self._fused_warm
+        return self.retriever.is_warm(query, top_k)
 
     # -- telemetry ---------------------------------------------------------------
 
@@ -235,6 +266,7 @@ class AdvancedRAGPipeline:
         """Returns {'results': [RetrievalResult...], 'metrics': EvaluationMetrics,
         'latency_ms': float, 'sla_met': bool, 'rewritten_query': str}."""
         start = time.perf_counter()
+        k_out, k_rerank = self._fused_sig(top_k)
         top_k = top_k or self.config.top_k
 
         t0 = time.perf_counter()
@@ -250,27 +282,31 @@ class AdvancedRAGPipeline:
             # stages collapse into one timed record each side
             t0 = time.perf_counter()
             hits = self.index_manager.fused_retrieve_batch_sync(
-                [rewritten], self.config.rerank_top_k, filters,
+                [rewritten], k_out, filters,
                 reranker=self.retriever.reranker,
-                k_rerank=min(top_k, 16),
+                k_rerank=k_rerank,
+                dense_weight=self.config.retrieval.dense_weight,
+                sparse_weight=self.config.retrieval.sparse_weight,
+                use_mmr=self.config.retrieval.use_mmr,
+                mmr_lambda=self.config.retrieval.mmr_lambda,
                 rerank_alpha=(None
                               if self.config.rerank_mode == "replace"
                               else self.config.rerank_alpha),
                 rerank_mode=self.config.rerank_mode,
                 rerank_base=self.config.rerank_base,
                 rescore_mix=self.config.rescore_mix)[0]
+            self._fused_warm.add((k_out, k_rerank))
             self._record(PipelineStage.RETRIEVAL, t0)
             self._record(PipelineStage.RERANKING, t0)
         else:
             t0 = time.perf_counter()
             hits, degraded = self.retriever.retrieve_sync_ex(
-                rewritten, top_k, filters)
+                rewritten, max(top_k, k_out), filters)
             self._record(PipelineStage.RETRIEVAL, t0)
 
             if self.config.enable_reranking and hits:
                 t0 = time.perf_counter()
-                hits = self.retriever.rerank_sync(rewritten, hits,
-                                                  self.config.rerank_top_k)
+                hits = self.retriever.rerank_sync(rewritten, hits, k_out)
                 self._record(PipelineStage.RERANKING, t0)
 
         t0 = time.perf_counter()
@@ -359,6 +395,31 @@ class AdvancedRAGPipeline:
         ks = {top_k or self.config.top_k, self.config.rerank_top_k}
         for k in sorted(ks):
             self.retriever.warm_up(k)
+        if self._use_fused_path():
+            # compile the one-dispatch serving programs: the default
+            # signature (no explicit top_k) and each warmed k as an
+            # explicit request — these are the exact statics retrieve()
+            # derives, so the strict budget holds from the first query
+            for sig_k in [None] + sorted(ks):
+                sig = self._fused_sig(sig_k)
+                if sig in self._fused_warm:
+                    continue
+                k_out, k_rerank = sig
+                self.index_manager.fused_retrieve_batch_sync(
+                    ["warm up"], k_out,
+                    reranker=self.retriever.reranker,
+                    k_rerank=k_rerank,
+                    dense_weight=self.config.retrieval.dense_weight,
+                    sparse_weight=self.config.retrieval.sparse_weight,
+                    use_mmr=self.config.retrieval.use_mmr,
+                    mmr_lambda=self.config.retrieval.mmr_lambda,
+                    rerank_alpha=(None
+                                  if self.config.rerank_mode == "replace"
+                                  else self.config.rerank_alpha),
+                    rerank_mode=self.config.rerank_mode,
+                    rerank_base=self.config.rerank_base,
+                    rescore_mix=self.config.rescore_mix)
+                self._fused_warm.add(sig)
 
     # -- drift & report ---------------------------------------------------------------------
 

@@ -246,6 +246,14 @@ class HybridRetriever:
         k = min(top_k or profile.top_k, self.config.max_top_k)
 
         dense_w, sparse_w = profile.dense_weight, profile.sparse_weight
+        if (dense_w, sparse_w) == (RC.DENSE_WEIGHT, RC.SPARSE_WEIGHT):
+            # profiles that don't specialize the fusion weights follow
+            # the deployment's configured operating point (RAG_DENSE_/
+            # SPARSE_WEIGHT env -> RetrievalConfig); previously the
+            # class constants silently overrode the config and the
+            # dev-picked weights never reached the search
+            dense_w = self.config.dense_weight
+            sparse_w = self.config.sparse_weight
         if self.weight_adapter is not None and self.config.adaptive_weights:
             dense_w, sparse_w = self.weight_adapter(query, dense_w, sparse_w)
 

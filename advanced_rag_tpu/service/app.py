@@ -87,6 +87,28 @@ class ServiceState:
                  db: Optional[DatabasePool] = None):
         self._enable_compile_cache()
         self.config = config or self._config_from_env()
+        # Preload a ckpt reranker BEFORE the manager builds the device
+        # token table: the table truncates every chunk to
+        # fused_token_len tokens, so it must cover the checkpoint's
+        # trained doc window (pair_d_len) — a 48-token table in front
+        # of an 88-slot CE silently halves what the reranker reads.
+        self._preloaded_reranker = None
+        rk_env = os.environ.get("RAG_RERANKER", "")
+        if (pipeline is None and self.config.fused_rerank
+                and rk_env.lower().startswith("ckpt:")):
+            from ..models.cross_encoder import CrossEncoderReranker
+            from ..train.rerank import load_reranker
+
+            ce_cfg, ce_params, layout = load_reranker(rk_env[5:])
+            self._preloaded_reranker = CrossEncoderReranker(
+                config=ce_cfg, params=ce_params, **layout)
+            d_len = layout.get("d_len")
+            if d_len and not os.environ.get("RAG_FUSED_TOKEN_LEN"):
+                self.config.fused_token_len = max(
+                    self.config.fused_token_len, int(d_len))
+        if os.environ.get("RAG_FUSED_TOKEN_LEN"):
+            self.config.fused_token_len = int(
+                os.environ["RAG_FUSED_TOKEN_LEN"])
         self.pipeline = pipeline or AdvancedRAGPipeline(
             self.config, index_manager=self._make_manager())
         self._wire_rerankers()
@@ -127,10 +149,16 @@ class ServiceState:
         self.experiments.register("baseline", {})
         self.experiments.register("lexical_lean",
                                   {"dense_weight": 0.55, "sparse_weight": 0.45})
+        # per-route token buckets; RAG_*_RPM envs let a deployment pick
+        # its own admission points (e.g. raise ingest for a bulk load,
+        # then roll back to the default for steady-state serving)
         self.limiters = {
-            "ingest": RateLimiter(API.INGEST_RATE_LIMIT_PER_MIN),
-            "retrieve": RateLimiter(API.RETRIEVE_RATE_LIMIT_PER_MIN),
-            "chat": RateLimiter(API.CHAT_RATE_LIMIT_PER_MIN),
+            "ingest": RateLimiter(int(os.environ.get(
+                "RAG_INGEST_RPM", API.INGEST_RATE_LIMIT_PER_MIN))),
+            "retrieve": RateLimiter(int(os.environ.get(
+                "RAG_RETRIEVE_RPM", API.RETRIEVE_RATE_LIMIT_PER_MIN))),
+            "chat": RateLimiter(int(os.environ.get(
+                "RAG_CHAT_RPM", API.CHAT_RATE_LIMIT_PER_MIN))),
         }
         self.draining = False
         self._init_db()
@@ -275,6 +303,10 @@ class ServiceState:
 
             retriever.reranker = CrossEncoderReranker()
         elif kind.startswith("ckpt:") and retriever.reranker is None:
+            if self._preloaded_reranker is not None:
+                # loaded in __init__ to size the token table
+                retriever.reranker = self._preloaded_reranker
+                return
             from ..models.cross_encoder import CrossEncoderReranker
             from ..train.rerank import load_reranker
 
@@ -475,8 +507,9 @@ async def _guarded_retrieve(state: ServiceState, query: str,
         raise OverloadError("request queue full")
     variant, _overrides = _variant_overrides(state)
     # strict budget only once THIS query's program signature is compiled
-    # (each profile class compiles its own fused program)
-    warm = state.pipeline.retriever.is_warm(query, top_k)
+    # (each profile class compiles its own program; in fused mode the
+    # one-dispatch program's (k_out, k_rerank) statics are the key)
+    warm = state.pipeline.is_warm(query, top_k)
     state.waiting += 1
     in_queue = True
     try:

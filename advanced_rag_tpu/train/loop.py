@@ -75,10 +75,25 @@ def load_params(path: str | Path) -> Any:
     memory into a canonical SingleDeviceSharding array."""
     import orbax.checkpoint as ocp
 
-    blob = ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+    ckptr = ocp.PyTreeCheckpointer()
+    p = Path(path).absolute()
+    # Restore to HOST numpy, then upload: the naive restore-to-device +
+    # per-leaf np.asarray pays one device->host tunnel round trip PER
+    # LEAF — measured 150 s for a 66 MB checkpoint on the tunneled dev
+    # chip vs ~4 s this way (uploads pipeline; downloads serialize).
+    try:
+        meta = ckptr.metadata(p).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        blob = ckptr.restore(p, restore_args=restore_args)
+    except Exception:
+        # fallback: device restore + per-leaf host round trip (slow
+        # but always correct)
+        blob = ckptr.restore(p)
     return jax.tree_util.tree_map(
         lambda x: jnp.asarray(np.asarray(x))
-        if isinstance(x, jax.Array) else x, blob)
+        if isinstance(x, (jax.Array, np.ndarray)) else x, blob)
 
 
 def save_biencoder(params: Any, config: EncoderConfig, out_dim: int,

@@ -47,12 +47,24 @@ REPO = Path(_repo)
 
 
 def _post(port: int, path: str, body: dict, timeout: float = 120.0) -> dict:
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{port}{path}",
-        data=json.dumps(body).encode(),
-        headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        return json.loads(resp.read())
+    """POST with 429/503 backoff — the service's admission control
+    (rate limits, load shedding) answers 429 under burst; a production
+    bulk loader backs off and retries rather than failing the batch."""
+    delay = 0.5
+    for attempt in range(12):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            if e.code not in (429, 503) or attempt == 11:
+                raise
+            retry_after = e.headers.get("Retry-After")
+            time.sleep(float(retry_after) if retry_after else delay)
+            delay = min(delay * 2, 15.0)
 
 
 def main() -> None:
@@ -89,7 +101,8 @@ def main() -> None:
     gold_doc = [docs[i][0] for i in eval_idx]
     test_q, test_gold = queries[1::2], gold_doc[1::2]
 
-    env = dict(
+    def make_env(mmr_on: bool) -> dict:
+        return dict(
         os.environ,
         PYTHONPATH=os.environ.get("PYTHONPATH", "") + f":{REPO}",
         RAG_FUSED_E2E="1",
@@ -101,7 +114,7 @@ def main() -> None:
         RAG_RESCORE_MIX=str(rk.get("mix", 0.5)),
         RAG_DENSE_WEIGHT=str(rk.get("weights", [0.7, 0.3])[0]),
         RAG_SPARSE_WEIGHT=str(rk.get("weights", [0.7, 0.3])[1]),
-        ENABLE_MMR="1",
+        ENABLE_MMR="1" if mmr_on else "0",
         ENABLE_ADAPTIVE_WEIGHTS="1",
         # chunk the served corpus at the encoder's window (the manager-
         # direct protocol indexes ~110-word windows; default 512-word
@@ -109,90 +122,119 @@ def main() -> None:
         RAG_CHUNK_BASE="110",
         RAG_CHUNK_MAX="160",
         RAG_CHUNK_MIN="32",
+        # bulk-load admission: this bench measures retrieval quality and
+        # true serving latency, not the default admission policy — a
+        # 10-req/min ingest bucket would turn a 70-batch corpus load
+        # into rate-limiter sleeps and fold 429 backoffs into the
+        # query-latency columns
+        RAG_INGEST_RPM="100000",
+        RAG_RETRIEVE_RPM="100000",
         PORT=str(args.port),
     )
-    log = open("/tmp/quality_service.log", "w")
-    srv = subprocess.Popen(
-        [_sys.executable, "-m", "advanced_rag_tpu.service.app"],
-        env=env, cwd=str(REPO), stdout=log, stderr=log)
-    try:
-        for _ in range(120):
-            time.sleep(2)
-            try:
-                urllib.request.urlopen(
-                    f"http://127.0.0.1:{args.port}/healthz", timeout=5)
-                break
-            except Exception:
-                if srv.poll() is not None:
-                    raise SystemExit(
-                        "service died on startup; /tmp/quality_service.log")
-        else:
-            raise SystemExit("service never became healthy")
+    def run_deployment(mmr_on: bool) -> dict:
+        """Boot a server, ingest, warm, query the test half -> row."""
+        tag = "mmr_on" if mmr_on else "mmr_off"
+        log = open(f"/tmp/quality_service.{tag}.log", "w")
+        srv = subprocess.Popen(
+            [_sys.executable, "-m", "advanced_rag_tpu.service.app"],
+            env=make_env(mmr_on), cwd=str(REPO), stdout=log, stderr=log)
+        try:
+            # startup work (checkpoint loads + first XLA compiles of a
+            # new geometry over the tunnel) happens before the port
+            # binds; give a cold build up to 15 min
+            for _ in range(450):
+                time.sleep(2)
+                try:
+                    urllib.request.urlopen(
+                        f"http://127.0.0.1:{args.port}/healthz", timeout=5)
+                    break
+                except Exception:
+                    if srv.poll() is not None:
+                        raise SystemExit(
+                            f"service died on startup; {log.name}")
+            else:
+                raise SystemExit("service never became healthy")
 
-        print("ingesting corpus through /ingest...", flush=True)
-        t0 = time.perf_counter()
-        payload = [{"doc_id": d[0], "content": d[2]} for d in docs]
-        for i in range(0, len(payload), 256):
-            _post(args.port, "/ingest", {"documents": payload[i:i + 256]},
-                  timeout=600)
-        ingest_s = time.perf_counter() - t0
-        print(f"  ingested {len(payload)} docs in {ingest_s:.0f}s",
-              flush=True)
-        _post(args.port, "/admin/warmup", {}, timeout=1800)
-
-        print(f"querying {len(test_q)} test-half queries...", flush=True)
-        hits, rr, lat = 0, 0.0, []
-        for q, gold in zip(test_q, test_gold):
+            print(f"[{tag}] ingesting corpus through /ingest...",
+                  flush=True)
             t0 = time.perf_counter()
-            # top_k=20 chunks -> top-10 DISTINCT docs: matches the
-            # manager-direct depth-20 slate + doc-dedupe protocol
-            out = _post(args.port, "/retrieve", {"query": q, "top_k": 20},
-                        timeout=60)
-            lat.append((time.perf_counter() - t0) * 1e3)
-            seen, ranked_docs = set(), []
-            for r in out["results"]:
-                if r["doc_id"] not in seen:
-                    seen.add(r["doc_id"])
-                    ranked_docs.append(r["doc_id"])
-            ranked_docs = ranked_docs[:10]
-            if gold in ranked_docs[:10]:
-                hits += 1
-                rr += 1.0 / (ranked_docs.index(gold) + 1)
-        n = len(test_q)
-        row = {
-            "recall_at_10": round(hits / n, 4),
-            "mrr_at_10": round(rr / n, 4),
-            "ms_per_query_p50": round(float(np.percentile(lat, 50)), 1),
-            "ms_per_query_p99": round(float(np.percentile(lat, 99)), 1),
-        }
-        ref = rk.get("recall_at_10")
-        result = {
-            "metric": "service_e2e_recall_at_10",
-            "value": row["recall_at_10"],
-            "unit": "recall",
-            "extra": {
-                "service_e2e": row,
-                "manager_direct_fused": {"recall_at_10": ref,
-                                         "mrr_at_10": rk.get("mrr_at_10")},
-                "delta_recall": (round(row["recall_at_10"] - ref, 4)
-                                 if ref is not None else None),
-                "n_docs": len(docs), "n_queries": n,
+            payload = [{"doc_id": d[0], "content": d[2]} for d in docs]
+            for i in range(0, len(payload), 256):
+                _post(args.port, "/ingest",
+                      {"documents": payload[i:i + 256]}, timeout=600)
+            ingest_s = time.perf_counter() - t0
+            print(f"  ingested {len(payload)} docs in {ingest_s:.0f}s",
+                  flush=True)
+            _post(args.port, "/admin/warmup", {"top_k": [48]},
+                  timeout=1800)
+
+            print(f"[{tag}] querying {len(test_q)} test-half queries...",
+                  flush=True)
+            hits, rr, lat = 0, 0.0, []
+            for q, gold in zip(test_q, test_gold):
+                t0 = time.perf_counter()
+                # top_k=48 chunks -> top-10 DISTINCT docs: the
+                # manager-direct protocol retrieves 48 chunks per query
+                # before doc dedupe (bench_quality_real.py searcher);
+                # a 20-chunk slate dedupes to ~13 docs and silently
+                # caps recall@10
+                out = _post(args.port, "/retrieve",
+                            {"query": q, "top_k": 48}, timeout=60)
+                lat.append((time.perf_counter() - t0) * 1e3)
+                seen, ranked_docs = set(), []
+                for r in out["results"]:
+                    if r["doc_id"] not in seen:
+                        seen.add(r["doc_id"])
+                        ranked_docs.append(r["doc_id"])
+                ranked_docs = ranked_docs[:10]
+                if gold in ranked_docs:
+                    hits += 1
+                    rr += 1.0 / (ranked_docs.index(gold) + 1)
+            n = len(test_q)
+            return {
+                "recall_at_10": round(hits / n, 4),
+                "mrr_at_10": round(rr / n, 4),
+                "ms_per_query_p50": round(float(np.percentile(lat, 50)), 1),
+                "ms_per_query_p99": round(float(np.percentile(lat, 99)), 1),
                 "ingest_s": round(ingest_s, 1),
-                "knobs": {k: rk.get(k) for k in
-                          ("base", "mix", "mode", "alpha", "weights")},
-            },
-        }
-        art = REPO / "artifacts" / "QUALITY_SERVICE.json"
-        art.write_text(json.dumps(result, indent=2))
-        print(json.dumps(result))
-    finally:
-        if not args.keep_server:
-            srv.send_signal(signal.SIGTERM)
-            try:
-                srv.wait(timeout=30)
-            except subprocess.TimeoutExpired:
-                srv.kill()
-        log.close()
+            }
+        finally:
+            if not args.keep_server:
+                srv.send_signal(signal.SIGTERM)
+                try:
+                    srv.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    srv.kill()
+            log.close()
+
+    # two deployments: the full serving stack with MMR on (production
+    # default) and off (the manager-direct protocol's setting) — the
+    # difference isolates MMR's deliberate diversity/recall trade from
+    # any serving-stack quality regression
+    row_off = run_deployment(mmr_on=False)
+    row_on = run_deployment(mmr_on=True)
+    ref = rk.get("recall_at_10")
+    result = {
+        "metric": "service_e2e_recall_at_10",
+        "value": row_off["recall_at_10"],
+        "unit": "recall",
+        "extra": {
+            "service_e2e": row_off,
+            "service_e2e_mmr_on": row_on,
+            "manager_direct_fused": {"recall_at_10": ref,
+                                     "mrr_at_10": rk.get("mrr_at_10")},
+            "delta_recall": (round(row_off["recall_at_10"] - ref, 4)
+                             if ref is not None else None),
+            "mmr_recall_cost": round(
+                row_off["recall_at_10"] - row_on["recall_at_10"], 4),
+            "n_docs": len(docs), "n_queries": len(test_q),
+            "knobs": {k: rk.get(k) for k in
+                      ("base", "mix", "mode", "alpha", "weights")},
+        },
+    }
+    art = REPO / "artifacts" / "QUALITY_SERVICE.json"
+    art.write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

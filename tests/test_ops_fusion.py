@@ -89,6 +89,30 @@ def test_mmr_respects_valid_and_pads():
     assert (sel[2:] == -1).all()
 
 
+def test_mmr_rrf_scale_keeps_relevant_docs():
+    """RRF scores have ~1/rrf_k dynamic range; MMR must min-max the
+    relevance before blending or the similarity penalty dominates and
+    off-topic docs win from rank 2 (observed on a 2-topic corpus:
+    4/10 on-topic at lambda=0.8 where the fused order was 10/10)."""
+    rng = np.random.default_rng(0)
+    topic = rng.standard_normal((1, 8)).astype(np.float32)
+    other = rng.standard_normal((1, 8)).astype(np.float32)
+    # 6 near-duplicate on-topic candidates, 4 clearly off-topic
+    emb = np.concatenate([
+        topic + 0.05 * rng.standard_normal((6, 8)).astype(np.float32),
+        other + 0.05 * rng.standard_normal((4, 8)).astype(np.float32)])
+    # RRF-scale relevance: on-topic docs rank 1..6, off-topic 7..10
+    rel = np.asarray([1.0 / (60 + r) for r in range(1, 11)], np.float32)
+    sel = np.asarray(mmr_select(jnp.asarray(emb), jnp.asarray(rel), 6,
+                                lambda_mult=0.8))
+    # top pick is pure relevance; near-dupes may legitimately cede ONE
+    # late slot to diversity, but the raw-scale failure mode (off-topic
+    # from rank 2, only 4/10 on-topic) must be gone
+    assert sel[0] == 0
+    on_topic = sum(1 for s in sel.tolist() if s < 6)
+    assert on_topic >= 5, sel
+
+
 def test_recency_boost_halves_per_half_life():
     now = jnp.float32(86400.0 * 60)
     ts = jnp.asarray([86400.0 * 60, 86400.0 * 30, 0.0], dtype=jnp.float32)

@@ -407,3 +407,63 @@ class TestEndToEndRelevance:
             mrrs.append(out["metrics"].mrr)
         assert float(np.mean(precs)) >= 0.8, precs
         assert float(np.mean(mrrs)) >= 0.9, mrrs
+
+    def test_explicit_top_k_is_honored(self):
+        """An explicit top_k returns that many results through the
+        rerank stage (reference service.py:378-426 returns the
+        requested top_k); without one the configured rerank_top_k
+        serves (chat contexts)."""
+        from advanced_rag_tpu.config import PipelineConfig
+        from advanced_rag_tpu.pipeline.orchestrator import AdvancedRAGPipeline
+
+        docs = [{"doc_id": f"d{i}",
+                 "content": f"document {i} about retrieval topic "
+                            f"alpha{i % 3} beta{i % 5} gamma."}
+                for i in range(30)]
+        p = AdvancedRAGPipeline(PipelineConfig())
+        p.ingest_documents(docs)
+        out = p.retrieve("retrieval topic alpha1 beta2", top_k=12)
+        assert len(out["results"]) == 12
+        out_default = p.retrieve("retrieval topic alpha1 beta2")
+        assert len(out_default["results"]) == p.config.rerank_top_k
+
+    def test_configured_weights_reach_the_search(self):
+        """RetrievalConfig.dense/sparse_weight (RAG_*_WEIGHT env) must
+        flow into the actual search for profiles that don't specialize
+        weights — previously the profile class constants silently
+        overrode the deployment's configured operating point."""
+        from advanced_rag_tpu.config import PipelineConfig
+        from advanced_rag_tpu.pipeline.orchestrator import AdvancedRAGPipeline
+
+        cfg = PipelineConfig()
+        cfg.retrieval.dense_weight = 0.0     # sparse-only operating point
+        cfg.retrieval.sparse_weight = 1.0
+        p = AdvancedRAGPipeline(cfg)
+        # two docs: one shares the query's exact words (lexical win),
+        # one is lexically disjoint
+        p.ingest_documents([
+            {"doc_id": "lex", "content": "zanzibar quorum flotilla "
+                                         "gossamer ratchet."},
+            {"doc_id": "sem", "content": "completely unrelated text "
+                                         "about nothing specific."}])
+        captured = {}
+        orig = p.index_manager.hybrid_search_batch_sync
+
+        def spy(queries, k, *a, **kw):
+            captured["dense_weight"] = kw.get("dense_weight")
+            captured["sparse_weight"] = kw.get("sparse_weight")
+            return orig(queries, k, *a, **kw)
+
+        p.index_manager.hybrid_search_batch_sync = spy
+        hits, _ = p.retriever.retrieve_sync_ex("zanzibar quorum", 2, None)
+        assert captured["dense_weight"] == 0.0
+        assert captured["sparse_weight"] == 1.0
+        assert hits and hits[0]["doc_id"] == "lex"
+
+    def test_enable_mmr_flag_reaches_retriever(self):
+        """PipelineConfig(enable_mmr=False) must turn MMR off in the
+        retrieval config (previously only the service env wiring did)."""
+        from advanced_rag_tpu.config import PipelineConfig
+
+        assert PipelineConfig(enable_mmr=False).retrieval.use_mmr is False
+        assert PipelineConfig().retrieval.use_mmr is True
