@@ -179,6 +179,13 @@ class PipelineConfig:
     # candidates on device.  Costs 4*fused_token_len B/row of HBM.
     fused_rerank: bool = False
     fused_token_len: int = 48
+    # Rerank DOC-DISTINCT slates in the fused program: over-retrieve a
+    # 3x chunk pool and keep the best-ranked chunk per distinct parent
+    # doc before the cross-encoder (ops/e2e.py doc_dedupe).  Production
+    # answers are doc-level, so chunk-row slates waste CE capacity on
+    # duplicate docs and cap doc recall at however many distinct docs
+    # the top-K chunks span (scripts/ablate_service_quality.py).
+    fused_doc_dedupe: bool = True
     # Rerank key (both the fused program and the host rerank stage):
     #   rerank_mode  "residual": base + alpha*CE (the trained objective,
     #                train/rerank.py) | "zblend": alpha*z(CE)+(1-alpha)*
@@ -204,8 +211,12 @@ class PipelineConfig:
         # through the service's env wiring, so
         # PipelineConfig(enable_mmr=False) silently kept MMR on in
         # library use.  AND-combine so an explicit retrieval.use_mmr
-        # False also sticks.
-        self.retrieval.use_mmr = self.retrieval.use_mmr and self.enable_mmr
+        # False also sticks.  Never mutate the nested instance in
+        # place: dataclasses.replace() shares it, so an in-place write
+        # here would flip use_mmr on the ORIGINAL config too.
+        if not self.enable_mmr and self.retrieval.use_mmr:
+            self.retrieval = dataclasses.replace(
+                self.retrieval, use_mmr=False)
 
 
 def _apply_section(cfg: Any, section: Dict[str, Any]) -> Any:

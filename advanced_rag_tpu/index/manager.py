@@ -718,6 +718,7 @@ class MultiIndexManager:
         rerank_mode: str = "zblend",
         rerank_base: str = "fused",
         rescore_mix: float = 0.5,
+        doc_dedupe: bool = False,
     ) -> List[List[Dict[str, Any]]]:
         """Embed -> hybrid search -> cross-encoder rerank in ONE device
         dispatch (requires ``config.fused_rerank``; the corpus token
@@ -729,6 +730,11 @@ class MultiIndexManager:
         (NeuralEmbedder) + CrossEncoderReranker; bf16/f32/SQ8 dense
         tiers (IVF/PQ corpora use hybrid_search_batch_sync + host
         rerank); no domain family.
+
+        ``doc_dedupe=True`` reranks a DOC-DISTINCT slate (ops/e2e.py):
+        the program over-retrieves a 3x chunk pool and keeps the
+        best-ranked chunk per distinct doc before the cross-encoder,
+        so the returned k_final rows are k_final distinct documents.
         """
         from ..models.cross_encoder import CrossEncoderReranker
         from ..ops.e2e import make_retrieve_rerank
@@ -763,6 +769,11 @@ class MultiIndexManager:
         k_out = min(-(-max(k_rerank, k_final) // 8) * 8,
                     self.config.retrieval.max_top_k)
         k_rerank = min(k_rerank, k_out)
+        # doc-distinct slates need a deeper chunk pool: top-K chunks
+        # span ~0.65*K distinct docs on multi-chunk corpora, so a 3x
+        # pool keeps the slate full after the in-program dedupe
+        k_pool = (min(-(-3 * k_out // 8) * 8, 256)
+                  if doc_dedupe else k_out)
         mask = self._row_mask(filters)
 
         dense_impl = "sq8" if self.semantic._sq8 else (
@@ -791,20 +802,26 @@ class MultiIndexManager:
                 # (ops/rescore.py); no recompile across mix values
                 post_kw["rescore_mix"] = self._scalar(rescore_mix)
 
-        key = (qb, k_out, k_rerank, k_final, dense_impl, sparse_impl,
-               use_mmr, rerank_mode, rerank_base, id(reranker))
+        key = (qb, k_pool, k_rerank, k_final, dense_impl, sparse_impl,
+               use_mmr, rerank_mode, rerank_base, doc_dedupe,
+               id(reranker))
         program = self._e2e_programs.get(key)
         if program is None:
             program = make_retrieve_rerank(
                 self.embedder.model, reranker.model,
-                k_cand=2 * k_out, k_out=k_out, k_rerank=k_rerank,
+                k_cand=2 * k_pool, k_out=k_pool, k_rerank=k_rerank,
                 k_final=k_final, dense_impl=dense_impl,
                 sparse_impl=sparse_impl, use_mmr=use_mmr,
                 rerank_mode=rerank_mode, rerank_base=rerank_base,
+                doc_dedupe=doc_dedupe,
                 pad_id=self.token_table.tokenizer.config.pad_id,
                 sep_id=self.token_table.tokenizer.config.sep_id,
             )
             self._e2e_programs[key] = program
+        if doc_dedupe:
+            cols = self.store.device_arrays()
+            post_kw["doc_lo"] = cols["doc_hash_lo"]
+            post_kw["doc_hi"] = cols["doc_hash_hi"]
 
         tok = self.embedder.tokenizer
         texts = list(queries) + [""] * (qb - nq)

@@ -65,6 +65,7 @@ def make_retrieve_rerank(
     rrf_k: int = 60,
     rerank_mode: str = "zblend",
     rerank_base: str = "fused",
+    doc_dedupe: bool = False,
     **hybrid_static: Any,
 ):
     """Build the jitted one-dispatch program.
@@ -75,6 +76,19 @@ def make_retrieve_rerank(
     pad_id-padded) — the text column of the corpus, resident in HBM.
     Returns ``program(params_bi, params_ce, q_ids, q_mask, q_sp_idx,
     q_sp_tf, doc_tokens, index_arrays...) -> E2EResult``.
+
+    ``doc_dedupe=True`` makes the rerank slate DOC-DISTINCT: the hybrid
+    search over-retrieves a k_out-deep chunk pool and the slate keeps
+    the best-ranked chunk per distinct parent document (matched via the
+    corpus ``doc_hash_lo/hi`` device columns, passed as runtime args).
+    Production answers are document-level (the app layer dedupes chunk
+    hits by doc_id), so a chunk-row slate of K spends CE capacity on
+    duplicate docs and caps doc recall at however many distinct docs
+    the top-K chunks happen to span (~0.65*K measured on the real-text
+    corpus) — the unfused host protocol never had this cap because it
+    built per-doc slates before the CE (scripts/bench_quality_real.py
+    collect()).  Reference behavior being matched: retrieval returns
+    top_k chunks of distinct relevance, reference retrieval.py:421-491.
     """
     if k_rerank > k_out:
         raise ValueError(f"k_rerank ({k_rerank}) must be <= k_out ({k_out})")
@@ -103,6 +117,8 @@ def make_retrieve_rerank(
         emb_scale: Optional[jnp.ndarray] = None,
         rerank_alpha: Optional[jnp.ndarray] = None,
         rescore_mix: Optional[jnp.ndarray] = None,
+        doc_lo: Optional[jnp.ndarray] = None,   # [N] i32 doc-hash cols
+        doc_hi: Optional[jnp.ndarray] = None,   # (required w/ doc_dedupe)
     ) -> E2EResult:
         # 1. query embedding on the MXU (replaces indexing.py:553-599)
         q_dense = bi_model.apply(params_bi, q_ids, q_mask)     # [Q, D] f32
@@ -116,8 +132,38 @@ def make_retrieve_rerank(
             dense_impl=dense_impl, sparse_impl=sparse_impl,
             use_mmr=use_mmr, rrf_k=rrf_k, **hybrid_static,
         )
-        cand = res.ids[:, :k_rerank]                           # [Q, K]
-        cand_s = res.scores[:, :k_rerank]
+        if doc_dedupe:
+            if doc_lo is None or doc_hi is None:
+                raise ValueError(
+                    "doc_dedupe=True requires the doc_lo/doc_hi corpus "
+                    "hash columns")
+            # best-ranked chunk per distinct doc, in rank order, over
+            # the full k_out pool.  K0^2 compare is trivial (K0 <= a few
+            # hundred) and stays on device — no host round trip.
+            pool = res.ids                                     # [Q, K0]
+            K0 = pool.shape[1]
+            pvalid = pool >= 0
+            psafe = jnp.clip(pool, 0, None)
+            plo = doc_lo[psafe]
+            phi = doc_hi[psafe]                                # [Q, K0]
+            same = ((plo[:, :, None] == plo[:, None, :])
+                    & (phi[:, :, None] == phi[:, None, :])
+                    & pvalid[:, None, :])                      # [Q, K0, K0]
+            earlier = jnp.tril(
+                jnp.ones((K0, K0), jnp.bool_), k=-1)           # j < i
+            is_dup = jnp.any(same & earlier[None], axis=-1)    # [Q, K0]
+            keep = pvalid & ~is_dup
+            ranks = jnp.arange(K0, dtype=jnp.int32)[None, :]
+            penalty = jnp.where(keep, ranks, K0 + ranks)
+            # smallest penalties first == keepers in original rank order
+            _, sel = jax.lax.top_k(-penalty, k_rerank)         # [Q, K]
+            cand = jnp.take_along_axis(pool, sel, axis=1)
+            cand_s = jnp.take_along_axis(res.scores, sel, axis=1)
+            keep_sel = jnp.take_along_axis(keep, sel, axis=1)
+            cand = jnp.where(keep_sel, cand, -1)
+        else:
+            cand = res.ids[:, :k_rerank]                       # [Q, K]
+            cand_s = res.scores[:, :k_rerank]
 
         # 3. device-side candidate document gather (the step that is a
         #    host round trip in every client/server design)

@@ -110,13 +110,25 @@ class AdvancedRAGPipeline:
         self._retrieve_latencies: List[float] = []
         self._sla_met = 0
         self._sla_total = 0
-        # fused program shapes compiled so far: {(k_out, k_rerank)}.
-        # The service's strict latency budget must not apply to a
-        # signature whose one-dispatch program hasn't compiled yet —
-        # retriever.is_warm only tracks the UNFUSED shapes, and trusting
-        # it in fused mode 504'd the first live query while its program
-        # compiled under the warm budget.
-        self._fused_warm: set = set()
+        # fused program shapes compiled so far: {(k_out, k_rerank) ->
+        # compile-relevant state fingerprint}.  The service's strict
+        # latency budget must not apply to a signature whose
+        # one-dispatch program hasn't compiled yet — retriever.is_warm
+        # only tracks the UNFUSED shapes, and trusting it in fused mode
+        # 504'd the first live query while its program compiled under
+        # the warm budget.  The fingerprint invalidates warmth when the
+        # program would retrace anyway: reranker rewired, capacity
+        # doubling (emb array shape), or a storage-tier flip.
+        self._fused_warm: Dict[tuple, tuple] = {}
+
+    def _fused_state(self) -> tuple:
+        """Compile-relevant state of the fused program: a change in any
+        element forces an XLA retrace, so warmth recorded under the old
+        state must not carry over (a strict budget would 504 the
+        retracing query)."""
+        sem = self.index_manager.semantic
+        return (id(self.retriever.reranker), sem.capacity,
+                sem.has_ivf, sem._pq_mode, sem._sq8)
 
     def _use_fused_path(self) -> bool:
         """One-dispatch retrieve+rerank is used when configured AND all
@@ -140,7 +152,8 @@ class AdvancedRAGPipeline:
         k-shapes bucket to multiples of 8 so distinct requests share
         compiled programs."""
         if top_k is not None:
-            k_out = max(1, min(int(top_k), 64))
+            k_out = max(1, min(int(top_k),
+                               self.config.retrieval.max_top_k))
             k_rerank = -(-max(k_out, 16) // 8) * 8
         else:
             k_out = self.config.rerank_top_k
@@ -152,7 +165,8 @@ class AdvancedRAGPipeline:
         actually take: the fused one-dispatch program's signature in
         fused mode, the retriever's program shapes otherwise."""
         if self._use_fused_path():
-            return self._fused_sig(top_k) in self._fused_warm
+            return (self._fused_warm.get(self._fused_sig(top_k))
+                    == self._fused_state())
         return self.retriever.is_warm(query, top_k)
 
     # -- telemetry ---------------------------------------------------------------
@@ -294,8 +308,9 @@ class AdvancedRAGPipeline:
                               else self.config.rerank_alpha),
                 rerank_mode=self.config.rerank_mode,
                 rerank_base=self.config.rerank_base,
-                rescore_mix=self.config.rescore_mix)[0]
-            self._fused_warm.add((k_out, k_rerank))
+                rescore_mix=self.config.rescore_mix,
+                doc_dedupe=self.config.fused_doc_dedupe)[0]
+            self._fused_warm[(k_out, k_rerank)] = self._fused_state()
             self._record(PipelineStage.RETRIEVAL, t0)
             self._record(PipelineStage.RERANKING, t0)
         else:
@@ -385,16 +400,19 @@ class AdvancedRAGPipeline:
             "results": merged[: (top_k or self.config.top_k)],
         }
 
-    def warm_up(self, top_k: Optional[int] = None) -> None:
+    def warm_up(self, top_k: Optional[int] = None,
+                parallel: bool = False) -> None:
         """Compile every retrieval program shape (all micro-batch
         buckets) before taking traffic — see HybridRetriever.warm_up.
         Warms both k-buckets the serving path can hit: the retrieve
-        ``top_k`` and the rerank depth."""
+        ``top_k`` and the rerank depth.  ``parallel=True`` overlaps
+        the per-program XLA compiles from a thread pool (cold-start
+        lever, scripts/bench_cold_start.py)."""
         if self.index_manager.store.size == 0:
             return
         ks = {top_k or self.config.top_k, self.config.rerank_top_k}
         for k in sorted(ks):
-            self.retriever.warm_up(k)
+            self.retriever.warm_up(k, parallel=parallel)
         if self._use_fused_path():
             # compile the one-dispatch serving programs: the default
             # signature (no explicit top_k) and each warmed k as an
@@ -402,7 +420,7 @@ class AdvancedRAGPipeline:
             # derives, so the strict budget holds from the first query
             for sig_k in [None] + sorted(ks):
                 sig = self._fused_sig(sig_k)
-                if sig in self._fused_warm:
+                if self._fused_warm.get(sig) == self._fused_state():
                     continue
                 k_out, k_rerank = sig
                 self.index_manager.fused_retrieve_batch_sync(
@@ -418,8 +436,9 @@ class AdvancedRAGPipeline:
                                   else self.config.rerank_alpha),
                     rerank_mode=self.config.rerank_mode,
                     rerank_base=self.config.rerank_base,
-                    rescore_mix=self.config.rescore_mix)
-                self._fused_warm.add(sig)
+                    rescore_mix=self.config.rescore_mix,
+                    doc_dedupe=self.config.fused_doc_dedupe)
+                self._fused_warm[sig] = self._fused_state()
 
     # -- drift & report ---------------------------------------------------------------------
 

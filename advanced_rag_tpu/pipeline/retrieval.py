@@ -295,7 +295,8 @@ class HybridRetriever:
         self._warm_buckets.setdefault(ck, set()).add(bucket)
         return out
 
-    def warm_up(self, top_k: Optional[int] = None) -> None:
+    def warm_up(self, top_k: Optional[int] = None,
+                parallel: bool = False) -> None:
         """Deterministically compile every program shape live traffic
         can hit: each DISTINCT (k-bucket, candidate depth, mmr)
         signature across the configured profiles (the compile-relevant
@@ -307,9 +308,16 @@ class HybridRetriever:
         compile lazily under traffic (seconds each) with the cold
         budget, and continuous batching makes WHICH batch buckets form
         load-dependent — a never-formed bucket compiling mid-traffic
-        measured p95 8.6 s vs 96 ms warm."""
+        measured p95 8.6 s vs 96 ms warm.
+
+        ``parallel=True`` compiles the distinct program shapes from a
+        small thread pool: XLA compilation is C++-side and
+        thread-safe, so concurrent warms overlap the per-program
+        compile latency (the whole cold-start cost on a fresh cache —
+        scripts/bench_cold_start.py phase attribution)."""
         seen: set = set()
         top = self._pow2(self.config.micro_batch_size)
+        tasks = []
         for profile in self.profiles.values():
             k = min(top_k or profile.top_k, self.config.max_top_k)
             use_mmr = profile.use_mmr and self.config.use_mmr
@@ -329,9 +337,21 @@ class HybridRetriever:
             )
             bucket = 1
             while bucket <= top:
-                self._run_batch(["warm up"] * min(
-                    bucket, self.config.micro_batch_size), k, **knobs)
+                tasks.append((sig, use_mmr, k, min(
+                    bucket, self.config.micro_batch_size), knobs))
                 bucket *= 2
+        if parallel and len(tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(
+                    lambda t: self._run_batch(["warm up"] * t[3],
+                                              t[2], **t[4]),
+                    tasks))
+        else:
+            for t in tasks:
+                self._run_batch(["warm up"] * t[3], t[2], **t[4])
+        for sig, use_mmr, *_ in tasks:
             self._warm_keys.add((sig[0], use_mmr))
 
     # -- rerank (reference retrieval.py:518-563) ------------------------------------

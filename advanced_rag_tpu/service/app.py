@@ -218,6 +218,10 @@ class ServiceState:
         # neural bi-encoder + device token table + in-program
         # cross-encoder (the reranker is wired in _wire_rerankers)
         cfg.fused_rerank = flag("RAG_FUSED_E2E", cfg.fused_rerank)
+        # doc-distinct rerank slates in the fused program (on by
+        # default; RAG_FUSED_DOC_DEDUPE=0 restores chunk-row slates)
+        cfg.fused_doc_dedupe = flag("RAG_FUSED_DOC_DEDUPE",
+                                    cfg.fused_doc_dedupe)
         # rerank-key knobs (config.py PipelineConfig; pick alpha/mix on
         # a dev split — scripts/bench_quality_real.py prints them)
         cfg.rerank_mode = os.environ.get("RAG_RERANK_MODE",
@@ -304,19 +308,21 @@ class ServiceState:
             retriever.reranker = CrossEncoderReranker()
         elif kind.startswith("ckpt:") and retriever.reranker is None:
             if self._preloaded_reranker is not None:
-                # loaded in __init__ to size the token table
+                # loaded in __init__ to size the token table; fall
+                # through (no return) so the adaptive-weights wiring
+                # below still runs for ckpt-reranker deployments
                 retriever.reranker = self._preloaded_reranker
-                return
-            from ..models.cross_encoder import CrossEncoderReranker
-            from ..train.rerank import load_reranker
+            else:
+                from ..models.cross_encoder import CrossEncoderReranker
+                from ..train.rerank import load_reranker
 
-            # supervised/distilled params trained in-framework
-            # (train/rerank.py, train/distill.py), geometry restored
-            # from the checkpoint itself
-            ce_cfg, ce_params, layout = load_reranker(
-                os.environ["RAG_RERANKER"][5:])
-            retriever.reranker = CrossEncoderReranker(
-                config=ce_cfg, params=ce_params, **layout)
+                # supervised/distilled params trained in-framework
+                # (train/rerank.py, train/distill.py), geometry restored
+                # from the checkpoint itself
+                ce_cfg, ce_params, layout = load_reranker(
+                    os.environ["RAG_RERANKER"][5:])
+                retriever.reranker = CrossEncoderReranker(
+                    config=ce_cfg, params=ce_params, **layout)
         elif kind.startswith("hf:") and retriever.reranker is None:
             from ..models.hf_cross_encoder import HFCrossEncoder
 
@@ -1049,7 +1055,9 @@ def create_app(config: Optional[PipelineConfig] = None,
     if os.environ.get("RAG_WARMUP", "0") == "1" \
             and state.pipeline.index_manager.store.size > 0:
         try:
-            state.pipeline.warm_up()
+            # RAG_WARMUP_PARALLEL=0 opts out of threaded compile overlap
+            state.pipeline.warm_up(parallel=os.environ.get(
+                "RAG_WARMUP_PARALLEL", "1") != "0")
             logger.info("retrieval programs warmed")
         except Exception:
             logger.exception("warm-up failed; shapes will compile lazily")

@@ -874,26 +874,71 @@ def main() -> None:
             mgr3 = build_manager(embedder=emb, fused_rerank=True,
                                  fused_token_len=D_LEN)
 
-            def fused_search(batch):
-                # chunked: the device program ranks chunk rows; doc
-                # dedupe is the app layer's job, so ask for the full
-                # reranked slate and dedupe host-side
-                out = mgr3.fused_retrieve_batch_sync(
-                    list(batch), k_final=(DEPTH if chunked else 10),
-                    k_rerank=DEPTH, reranker=rr,
-                    dense_weight=best[0], sparse_weight=best[1],
-                    use_mmr=False, rerank_alpha=best_alpha,
-                    rerank_mode=("residual" if best_mode == "residual"
-                                 else "zblend"),
-                    rerank_base=base_kind, rescore_mix=best_mix)
-                return [dedupe_docs(hits, 10) for hits in out]
+            def fused_search(k_rerank, doc_dedupe):
+                def run(batch):
+                    # chunked: the device program ranks chunk rows; doc
+                    # dedupe is the app layer's job (or in-program with
+                    # doc_dedupe=True), so ask for the full reranked
+                    # slate and dedupe host-side
+                    out = mgr3.fused_retrieve_batch_sync(
+                        list(batch), k_final=(k_rerank if chunked else 10),
+                        k_rerank=k_rerank, reranker=rr,
+                        dense_weight=best[0], sparse_weight=best[1],
+                        use_mmr=False, rerank_alpha=best_alpha,
+                        rerank_mode=("residual"
+                                     if best_mode == "residual"
+                                     else "zblend"),
+                        rerank_base=base_kind, rescore_mix=best_mix,
+                        doc_dedupe=doc_dedupe)
+                    return [dedupe_docs(hits, 10) for hits in out]
+                return run
 
-            fused_row = evaluate(fused_search, test_q, test_t)
+            fused_row = evaluate(fused_search(DEPTH, False), test_q, test_t)
             fused_row.update({"weights": list(best), "base": base_kind,
                               "mix": best_mix,
                               "mode": best_mode, "alpha": best_alpha})
             results["tiers"]["fused_reranked"] = fused_row
             print("fused_reranked:", fused_row, flush=True)
+
+            if chunked:
+                # fused parity with the unfused protocol (VERDICT r4
+                # #3): doc_dedupe=True makes the in-program slate
+                # doc-distinct — the same slate semantics collect()
+                # builds host-side — so this tier should match
+                # trained_reranked within noise
+                dd_row = evaluate(fused_search(DEPTH, True),
+                                  test_q, test_t)
+                dd_row.update({"weights": list(best), "base": base_kind,
+                               "mix": best_mix, "mode": best_mode,
+                               "alpha": best_alpha, "doc_dedupe": True})
+                results["tiers"]["fused_reranked_dd"] = dd_row
+                print("fused_reranked_dd:", dd_row, flush=True)
+
+                # ---- dev-picked fused SERVING shape ------------------
+                # The service retrieves a deeper slate (top_k=48) than
+                # the depth-20 protocol; pick (k_rerank, doc_dedupe) on
+                # the DEV half and record it for the serving bench
+                # (scripts/bench_quality_service.py reads it) — the
+                # service then runs the shape this corpus actually
+                # prefers instead of an arbitrary static.
+                shape_dev = {}
+                for kk in (DEPTH, 48):
+                    for dd in (False, True):
+                        m = evaluate(fused_search(kk, dd), dev_q, dev_t)
+                        shape_dev[(kk, dd)] = (m["mrr_at_10"],
+                                               m["recall_at_10"])
+                        print(f"  dev fused shape k={kk} dd={dd}: {m}",
+                              flush=True)
+                best_shape = max(shape_dev, key=shape_dev.get)
+                serve_row = evaluate(fused_search(*best_shape),
+                                     test_q, test_t)
+                serve_row.update({
+                    "weights": list(best), "base": base_kind,
+                    "mix": best_mix, "mode": best_mode,
+                    "alpha": best_alpha, "k_rerank": best_shape[0],
+                    "doc_dedupe": best_shape[1]})
+                results["tiers"]["fused_serving"] = serve_row
+                print("fused_serving:", serve_row, flush=True)
 
     Path("QUALITY_REAL.json").write_text(json.dumps(results, indent=1))
     print("-> QUALITY_REAL.json")

@@ -73,11 +73,19 @@ def main() -> None:
     ap.add_argument("--max-docs", type=int, default=24000)
     ap.add_argument("--queries", type=int, default=384)
     ap.add_argument("--keep-server", action="store_true")
+    ap.add_argument("--one", action="store_true",
+                    help="single deployment (MMR off) for fast iteration")
     args = ap.parse_args()
 
     quality = json.loads((REPO / "QUALITY_REAL.json").read_text())
-    rk = quality["tiers"].get("fused_reranked") or \
-        quality["tiers"]["trained_reranked"]
+    # serving shape: the dev-picked fused_serving tier when present
+    # (k_rerank depth + doc_dedupe chosen on the dev half by
+    # bench_quality_real.py), else the protocol fused tier's knobs
+    rk = (quality["tiers"].get("fused_serving")
+          or quality["tiers"].get("fused_reranked")
+          or quality["tiers"]["trained_reranked"])
+    serve_top_k = int(rk.get("k_rerank", 48))
+    serve_dedupe = "1" if rk.get("doc_dedupe") else "0"
     bi_ckpt = REPO / "artifacts" / "biencoder_ckpt"
     ce_ckpt = REPO / "artifacts" / "reranker_ckpt"
     for p in (bi_ckpt, ce_ckpt):
@@ -114,6 +122,7 @@ def main() -> None:
         RAG_RESCORE_MIX=str(rk.get("mix", 0.5)),
         RAG_DENSE_WEIGHT=str(rk.get("weights", [0.7, 0.3])[0]),
         RAG_SPARSE_WEIGHT=str(rk.get("weights", [0.7, 0.3])[1]),
+        RAG_FUSED_DOC_DEDUPE=serve_dedupe,
         ENABLE_MMR="1" if mmr_on else "0",
         ENABLE_ADAPTIVE_WEIGHTS="1",
         # chunk the served corpus at the encoder's window (the manager-
@@ -165,22 +174,33 @@ def main() -> None:
             ingest_s = time.perf_counter() - t0
             print(f"  ingested {len(payload)} docs in {ingest_s:.0f}s",
                   flush=True)
-            _post(args.port, "/admin/warmup", {"top_k": [48]},
+            _post(args.port, "/admin/warmup", {"top_k": [serve_top_k]},
                   timeout=1800)
 
             print(f"[{tag}] querying {len(test_q)} test-half queries...",
                   flush=True)
             hits, rr, lat = 0, 0.0, []
+            methods: dict = {}
+            n_results, n_empty = [], 0
             for q, gold in zip(test_q, test_gold):
                 t0 = time.perf_counter()
-                # top_k=48 chunks -> top-10 DISTINCT docs: the
-                # manager-direct protocol retrieves 48 chunks per query
-                # before doc dedupe (bench_quality_real.py searcher);
-                # a 20-chunk slate dedupes to ~13 docs and silently
-                # caps recall@10
+                # serve_top_k chunks -> top-10 DISTINCT docs: the
+                # slate depth and doc_dedupe flag come from the
+                # dev-picked fused_serving shape (bench_quality_real.py)
                 out = _post(args.port, "/retrieve",
-                            {"query": q, "top_k": 48}, timeout=60)
+                            {"query": q, "top_k": serve_top_k}, timeout=60)
                 lat.append((time.perf_counter() - t0) * 1e3)
+                # serving-path diagnostics: which code path answered
+                # (fused_rerank vs staged hybrid), how full the slate is
+                # — a silent fallback or shed would tank recall while
+                # latency still looks healthy
+                n_results.append(len(out["results"]))
+                if not out["results"]:
+                    n_empty += 1
+                else:
+                    m = out["results"][0].get("metadata", {}).get(
+                        "method", "?")
+                    methods[m] = methods.get(m, 0) + 1
                 seen, ranked_docs = set(), []
                 for r in out["results"]:
                     if r["doc_id"] not in seen:
@@ -197,6 +217,9 @@ def main() -> None:
                 "ms_per_query_p50": round(float(np.percentile(lat, 50)), 1),
                 "ms_per_query_p99": round(float(np.percentile(lat, 99)), 1),
                 "ingest_s": round(ingest_s, 1),
+                "result_methods": methods,
+                "empty_results": n_empty,
+                "n_results_p50": float(np.percentile(n_results, 50)),
             }
         finally:
             if not args.keep_server:
@@ -212,7 +235,7 @@ def main() -> None:
     # difference isolates MMR's deliberate diversity/recall trade from
     # any serving-stack quality regression
     row_off = run_deployment(mmr_on=False)
-    row_on = run_deployment(mmr_on=True)
+    row_on = row_off if args.one else run_deployment(mmr_on=True)
     ref = rk.get("recall_at_10")
     result = {
         "metric": "service_e2e_recall_at_10",

@@ -82,3 +82,19 @@ def test_stage_timer_window():
     rep = st.report()
     assert rep["x"]["count"] == 3
     assert rep["x"]["p50"] >= 0
+
+
+def test_replace_does_not_mutate_nested_retrieval():
+    """dataclasses.replace shares the nested RetrievalConfig; the
+    __post_init__ MMR combine must not write through to the ORIGINAL
+    config's retrieval (ADVICE r4: replace(cfg, enable_mmr=False) used
+    to flip cfg.retrieval.use_mmr on the source instance too)."""
+    import dataclasses
+
+    cfg = PipelineConfig()
+    assert cfg.retrieval.use_mmr is True
+    off = dataclasses.replace(cfg, enable_mmr=False)
+    assert off.retrieval.use_mmr is False
+    # the source config is untouched
+    assert cfg.retrieval.use_mmr is True
+    assert cfg.enable_mmr is True

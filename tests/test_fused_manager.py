@@ -273,3 +273,46 @@ def test_fused_exact_postings_requires_postings(manager, reranker):
         manager.fused_retrieve_batch_sync(
             ["anything"], k_final=4, reranker=reranker, k_rerank=4,
             rerank_alpha=0.0, rerank_base="exact_postings")
+
+
+def test_fused_doc_dedupe_returns_distinct_docs(reranker):
+    """doc_dedupe=True: the reranked slate holds the best-ranked chunk
+    per DISTINCT doc, so k_final rows are k_final distinct documents —
+    chunk-row slates (doc_dedupe=False) can spend every slot on one
+    doc's near-identical chunks (VERDICT r4 #3: the fused path's doc
+    recall was capped below the unfused per-doc-slate protocol)."""
+    cfg = PipelineConfig(fused_rerank=True)
+    cfg.semantic_dim = 32
+    tok = HashingTokenizer(TokenizerConfig(vocab_size=2048, max_len=32))
+    emb = NeuralEmbedder(dim=32, config=CFG, tokenizer=tok)
+    mgr = MultiIndexManager(cfg, embedder=emb)
+    recs = []
+    # doc "dup" has 4 near-identical chunks that dominate the query;
+    # three other docs share a weaker term overlap
+    for i in range(4):
+        recs.append(ChunkRecord(
+            chunk_id=f"dup{i}", doc_id="dup",
+            content=f"reciprocal rank fusion merges ranked lists v{i}"))
+    for i, t in enumerate([
+            "rank fusion background reading material",
+            "ranked retrieval evaluation metrics overview",
+            "fusion reactors are unrelated to ranking"]):
+        recs.append(ChunkRecord(chunk_id=f"o{i}", doc_id=f"other{i}",
+                                content=t))
+    mgr.index_chunks(recs)
+    q = "reciprocal rank fusion merges ranked lists"
+
+    plain = mgr.fused_retrieve_batch_sync(
+        [q], k_final=4, reranker=reranker, k_rerank=4, use_mmr=False,
+        doc_dedupe=False)[0]
+    deduped = mgr.fused_retrieve_batch_sync(
+        [q], k_final=4, reranker=reranker, k_rerank=4, use_mmr=False,
+        doc_dedupe=True)[0]
+
+    # chunk-row slate: the dup doc's chunks crowd the slate
+    assert sum(h["doc_id"] == "dup" for h in plain) >= 2
+    # doc-distinct slate: every row is a different doc, dup kept once
+    docs = [h["doc_id"] for h in deduped]
+    assert len(docs) == len(set(docs)) == 4
+    assert "dup" in docs
+    mgr.close()

@@ -467,3 +467,48 @@ class TestEndToEndRelevance:
 
         assert PipelineConfig(enable_mmr=False).retrieval.use_mmr is False
         assert PipelineConfig().retrieval.use_mmr is True
+
+    def test_fused_sig_honors_max_top_k(self):
+        """An explicit top_k clamps to config.retrieval.max_top_k, not
+        a hardcoded 64 (ADVICE r4: retrieve(top_k=100) silently
+        returned 64 results)."""
+        p = AdvancedRAGPipeline()
+        cap = p.config.retrieval.max_top_k
+        assert cap > 64  # reference MAX_TOP_K=100 (constants.py:49)
+        k_out, k_rerank = p._fused_sig(cap + 50)
+        assert k_out == cap
+        assert p._fused_sig(100)[0] == min(100, cap)
+        assert p._fused_sig(48) == (48, 48)
+
+    def test_fused_warm_invalidated_on_compile_state_change(self):
+        """_fused_warm must not report warm after the fused program's
+        compile-relevant state changes (reranker rewired, capacity
+        growth, tier flip) — the retrace would 504 under the strict
+        budget (ADVICE r4)."""
+        p = AdvancedRAGPipeline()
+        sig = p._fused_sig(8)
+        p._fused_warm[sig] = p._fused_state()
+        assert p._fused_warm.get(sig) == p._fused_state()
+        # rewiring the reranker changes the fingerprint
+        class _FakeRR:
+            model = object()
+        p.retriever.reranker = _FakeRR()
+        assert p._fused_warm.get(sig) != p._fused_state()
+
+    def test_warm_up_parallel_covers_same_buckets(self):
+        """parallel=True (threaded compile overlap, the serving
+        default) must warm exactly the buckets the serial path does."""
+        pipe = AdvancedRAGPipeline()
+        pipe.ingest_documents(DOCS)
+        r = pipe.retriever
+        r._warm_keys.clear()
+        r._warm_buckets.clear()
+        pipe.warm_up(parallel=True)
+        assert r.is_warm("warm up", pipe.config.top_k)
+        key = r._program_key("warm up", pipe.config.top_k)
+        top = r._pow2(r.config.micro_batch_size)
+        want, need = set(), 1
+        while need <= top:
+            want.add(need)
+            need *= 2
+        assert want <= r._warm_buckets[key]

@@ -300,6 +300,33 @@ class TestEnvFlags:
         finally:
             await client.close()
 
+    async def test_fused_ckpt_reranker_still_wires_adaptive_weights(
+            self, loop, tmp_path, monkeypatch):
+        """RAG_FUSED_E2E=1 + RAG_RERANKER=ckpt: + adaptive weights ON —
+        the exact env scripts/bench_quality_service.py sets — must
+        install BOTH the preloaded reranker and the
+        LearnedHybridAdapter (ADVICE r4: an early return skipped the
+        adapter wiring)."""
+        from advanced_rag_tpu.models.encoder import (
+            EncoderConfig, init_cross_encoder)
+        from advanced_rag_tpu.train import save_reranker
+
+        cfg = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=2,
+                            num_heads=4, mlp_dim=64, max_len=64)
+        _, params = init_cross_encoder(cfg, seed=3)
+        path = tmp_path / "rr_ckpt"
+        save_reranker(params, cfg, path, q_len=8, d_len=24)
+
+        monkeypatch.delenv("API_KEY", raising=False)
+        monkeypatch.setenv("RAG_FUSED_E2E", "1")
+        monkeypatch.setenv("ENABLE_ADAPTIVE_WEIGHTS", "1")
+        monkeypatch.setenv("RAG_RERANKER", f"ckpt:{path}")
+        db = DatabasePool(sqlite_path=str(tmp_path / "h.db"))
+        app = create_app(db=db)
+        retriever = app["state"].pipeline.retriever
+        assert retriever.reranker is app["state"]._preloaded_reranker
+        assert retriever.weight_adapter is not None
+
 
 class TestAdminEndpoints:
     async def test_index_stats(self, client):
