@@ -181,11 +181,17 @@ class PipelineConfig:
     fused_token_len: int = 48
     # Rerank DOC-DISTINCT slates in the fused program: over-retrieve a
     # 3x chunk pool and keep the best-ranked chunk per distinct parent
-    # doc before the cross-encoder (ops/e2e.py doc_dedupe).  Production
-    # answers are doc-level, so chunk-row slates waste CE capacity on
-    # duplicate docs and cap doc recall at however many distinct docs
-    # the top-K chunks span (scripts/ablate_service_quality.py).
-    fused_doc_dedupe: bool = True
+    # doc before the cross-encoder (ops/e2e.py doc_dedupe).  Measured
+    # (artifacts/ABLATE_SERVICE.json): +0.02 R@10 at depth 20 — the
+    # per-doc slate the unfused protocol reranks — but -0.02..-0.04 at
+    # depth 48, where a chunk slate's duplicate docs act as extra
+    # lottery tickets for the gold doc while doc-distinct slates hand
+    # the CE more tail docs to mis-promote.  Default OFF (the
+    # reference's chunk-level semantics, retrieval.py:421-491); the
+    # quality bench dev-picks the serving shape per corpus
+    # (QUALITY_REAL.json fused_serving) and the service env sets
+    # RAG_FUSED_DOC_DEDUPE accordingly.
+    fused_doc_dedupe: bool = False
     # Rerank key (both the fused program and the host rerank stage):
     #   rerank_mode  "residual": base + alpha*CE (the trained objective,
     #                train/rerank.py) | "zblend": alpha*z(CE)+(1-alpha)*

@@ -39,15 +39,26 @@ class HashingTokenizer:
 
     def __init__(self, config: TokenizerConfig | None = None):
         self.config = config or TokenizerConfig()
+        # word -> id memo: corpora are Zipf-distributed, so the blake2b
+        # per word OCCURRENCE (~8M calls per 40k-chunk ingest) collapses
+        # to one per DISTINCT word.  Bounded by the corpus vocabulary;
+        # dict get/set is GIL-atomic, safe under the threaded warm-up.
+        self._memo: dict = {}
 
     def _word_id(self, word: str) -> int:
-        cfg = self.config
-        h = hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest()
-        bucket = int.from_bytes(h, "little") % (cfg.vocab_size - cfg.num_reserved)
-        return cfg.num_reserved + bucket
+        wid = self._memo.get(word)
+        if wid is None:
+            cfg = self.config
+            h = hashlib.blake2b(word.encode("utf-8"), digest_size=8).digest()
+            wid = cfg.num_reserved + int.from_bytes(h, "little") % (
+                cfg.vocab_size - cfg.num_reserved)
+            if len(self._memo) < 2_000_000:
+                self._memo[word] = wid
+        return wid
 
     def tokenize(self, text: str) -> List[int]:
-        return [self._word_id(w) for w in _WORD_RE.findall(text.lower())]
+        wid = self._word_id
+        return [wid(w) for w in _WORD_RE.findall(text.lower())]
 
     def encode_batch(
         self, texts: Sequence[str], max_len: int | None = None

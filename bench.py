@@ -430,7 +430,10 @@ def main() -> None:
             jax.block_until_ready(
                 run(big, encode_queries(_queries(rng, 1))).ids)
             lat10 = []
-            for _ in range(max(iters // 3, 8)):
+            # >= 24 samples: p99 of an 8-sample leg is just the max, so
+            # one tunnel hiccup decided the round-4 SLA verdict
+            # (80.47 ms driver vs 75.5 builder on identical code)
+            for _ in range(max(iters, 24)):
                 qtext = _queries(rng, 1)
                 t0 = time.perf_counter()
                 res = run(big, encode_queries(qtext))

@@ -202,6 +202,8 @@ def main() -> None:
     ap.add_argument("--out-dim", type=int, default=256)
     ap.add_argument("--hard-neg-rounds", type=int, default=1,
                     help="ANCE-style re-mine+retrain iterations")
+    ap.add_argument("--batch-size", type=int, default=128,
+                    help="contrastive batch (in-batch negative count)")
     ap.add_argument("--queries", type=int, default=384)
     ap.add_argument("--rerank-steps", type=int, default=4000)
     ap.add_argument("--rerank-pairs", type=int, default=40000)
@@ -277,6 +279,11 @@ def main() -> None:
 
     results = {"corpus": "installed-package docstrings",
                "n_docs": len(docs), "n_queries": n_eval, "tiers": {},
+               # protocol v1 = whole-doc chunks (rounds 1-3, retired);
+               # v2 = chunked doc-level eval (round 4+).  Tables that
+               # mix rows across versions are invalid (VERDICT r4 weak
+               # #6); gen_perf_tables.py stamps this into captions.
+               "protocol_version": 2 if chunked else 1,
                "protocol": {"chunked": chunked,
                             "n_chunks": len(chunk_texts),
                             "window_words": args.window_words,
@@ -414,7 +421,7 @@ def main() -> None:
                     "d_mask": jnp.asarray(pd_mask[sel])}
 
         t0 = time.perf_counter()
-        bsz = min(128, len(train_pool))
+        bsz = min(args.batch_size, len(train_pool))
         for s in range(args.train_steps):
             sel = rng.integers(0, len(train_pool), bsz)
             params, opt_state, metrics = step(params, opt_state,

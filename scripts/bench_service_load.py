@@ -86,12 +86,12 @@ async def run(args) -> None:
         # (HTTP-burst "warming" was tried first: continuous batching
         # coalesces arbitrary sizes, so bursts leave buckets unformed
         # and they compile seconds-long mid-run — measured p95 8.6 s.)
-        r = await s.post(f"{base}/admin/warmup", json={"top_k": [5]})
+        r = await s.post(f"{base}/admin/warmup", json={"top_k": [args.top_k]})
         print("warmup:", await r.json(), flush=True)
         # touch the HTTP path end-to-end once per client
         await asyncio.gather(*[
             s.post(f"{base}/retrieve",
-                   json={"query": f"warm up {i}", "top_k": 5})
+                   json={"query": f"warm up {i}", "top_k": args.top_k})
             for i in range(args.clients)])
 
         lat: list = []
@@ -107,7 +107,7 @@ async def run(args) -> None:
                 t = time.perf_counter()
                 try:
                     r = await s.post(f"{base}/retrieve",
-                                     json={"query": q, "top_k": 5})
+                                     json={"query": q, "top_k": args.top_k})
                     body = await r.json()
                     if r.status == 429:
                         # admission/shed reject — first-class SLO column
@@ -182,6 +182,9 @@ async def run(args) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=32)
+    ap.add_argument("--top-k", type=int, default=5,
+                    help="retrieve depth per request (the quality-"
+                         "serving config uses 48)")
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--docs", type=int, default=500)
     ap.add_argument("--port", type=int, default=8123)

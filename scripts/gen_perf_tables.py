@@ -119,7 +119,8 @@ def quality_table() -> str:
     qr = json.loads((_repo / "QUALITY_REAL.json").read_text())
     order = ["bm25", "hash_hybrid", "trained_hybrid", "trained_dense_only",
              "trained_hybrid_adapted", "bm25_test_half", "trained_rescored",
-             "trained_reranked", "fused_reranked"]
+             "trained_reranked", "fused_reranked", "fused_reranked_dd",
+             "fused_serving"]
     label = {
         "bm25": "BM25 only (full query set)",
         "hash_hybrid": "hash hybrid (training-free), default 0.7/0.3",
@@ -134,6 +135,10 @@ def quality_table() -> str:
             "**+ trained cross-encoder rerank (test half)**",
         "fused_reranked":
             "**+ fused one-dispatch rerank (`ops/e2e.py`, test half)**",
+        "fused_reranked_dd":
+            "**+ fused rerank, doc-distinct slate (`doc_dedupe`)**",
+        "fused_serving":
+            "**fused SERVING shape (dev-picked k x dedupe, test half)**",
     }
     out = ["| Tier | R@10 | MRR@10 |", "|---|---|---|"]
     for name in order:
@@ -144,7 +149,12 @@ def quality_table() -> str:
                    f"{fmt(t['recall_at_10'], 3)} | "
                    f"{fmt(t['mrr_at_10'], 3)} |")
     out.append("")
-    out.append(f"({qr.get('n_docs')} docs, {qr.get('n_queries')} queries; "
+    pv = qr.get("protocol_version",
+                2 if qr.get("protocol", {}).get("chunked") else 1)
+    out.append(f"({qr.get('n_docs')} docs, {qr.get('n_queries')} queries, "
+               f"quality protocol v{pv} "
+               f"({'chunked doc-level' if pv >= 2 else 'whole-doc'}); "
+               "rows are comparable only within one protocol version; "
                "generated from QUALITY_REAL.json — do not hand-edit)")
     return "\n".join(out)
 

@@ -512,3 +512,132 @@ class TestEndToEndRelevance:
             want.add(need)
             need *= 2
         assert want <= r._warm_buckets[key]
+
+
+class TestMutationHardening:
+    """Pin behaviors whose mutants survived the round-5 mutation run
+    (scripts/mutation_score.py): exact values, boundaries, and
+    off-by-one geometry that the broader tests only smoke-covered."""
+
+    def test_enricher_keyword_scores_exact(self):
+        from advanced_rag_tpu.pipeline.enrichment import SemanticEnricher
+
+        r = SemanticEnricher().enrich("alpha alpha beta")
+        assert r.keyword_scores["alpha"] == pytest.approx(2 / 3)
+        assert r.keyword_scores["beta"] == pytest.approx(1 / 3)
+        # stopwords never become topics
+        r2 = SemanticEnricher().enrich("the the the alpha")
+        assert "the" not in r2.topics
+
+    def test_experiments_success_rate_and_config_update(self):
+        from advanced_rag_tpu.pipeline.experiments import ExperimentManager
+
+        m = ExperimentManager(epsilon=0.0)
+        m.record_outcome("a", True)
+        m.record_outcome("a", False)
+        assert m.variants["a"].success_rate == pytest.approx(0.5)
+        assert m.variants["a"].total_reward == pytest.approx(1.0)
+        # re-register with config MERGES into the existing variant
+        m.register("a", {"x": 1})
+        m.register("a", {"y": 2})
+        assert m.variants["a"].config == {"x": 1, "y": 2}
+
+    def test_experiments_greedy_picks_best(self):
+        from advanced_rag_tpu.pipeline.experiments import ExperimentManager
+
+        m = ExperimentManager(epsilon=0.0)
+        for _ in range(3):
+            m.record_outcome("good", True, reward=1.0)
+            m.record_outcome("bad", False, reward=0.0)
+        assert all(m.choose_variant() == "good" for _ in range(5))
+
+    def test_ranker_recency_half_life_exact(self):
+        import time as _t
+
+        from advanced_rag_tpu.pipeline.ranker import LearnedRanker
+
+        lr = LearnedRanker()
+        now = _t.time()
+        half = lr.config.recency_half_life_days
+        base, methods, recency = lr.featurize(
+            {"score": 0.7, "method_count": 2,
+             "timestamp": now - half * 86400.0}, now=now)
+        assert (base, methods) == (0.7, 2.0)
+        assert recency == pytest.approx(0.5, abs=1e-6)
+        # future timestamps clamp to age 0 -> recency exactly 1
+        _, _, fresh = lr.featurize({"timestamp": now + 10}, now=now)
+        assert fresh == pytest.approx(1.0)
+
+    def test_adapter_query_length_boundaries(self):
+        from advanced_rag_tpu.pipeline.ranker import LearnedHybridAdapter
+
+        ad = LearnedHybridAdapter()
+        # defaults: d_rate = s_rate = 0.5 -> d = 0.5, s = 0.5
+        d3, s3 = ad("one two three", 0.5, 0.5)        # <=3 words: s*1.2
+        assert (d3, s3) == (pytest.approx(0.5 / 1.1),
+                            pytest.approx(0.6 / 1.1))
+        d4, s4 = ad("one two three four", 0.5, 0.5)   # no boost
+        assert d4 == pytest.approx(0.5) and s4 == pytest.approx(0.5)
+        d12, s12 = ad(" ".join(["w"] * 12), 0.5, 0.5)  # >=12: d*1.2
+        assert (d12, s12) == (pytest.approx(0.6 / 1.1),
+                              pytest.approx(0.5 / 1.1))
+
+    def test_rewriter_expands_only_known_abbreviations(self):
+        from advanced_rag_tpu.pipeline.query_ops import QueryRewriter
+
+        rw = QueryRewriter()
+        assert rw.rewrite("what is RAG?") == \
+            "what is retrieval augmented generation"
+        assert rw.rewrite("plain words stay") == "plain words stay"
+        # punctuation stripped for lookup, disabled config passes through
+        rw.config.enabled = False
+        assert rw.rewrite("what is RAG?") == "what is RAG?"
+
+    def test_coherence_exact_bounds(self):
+        from advanced_rag_tpu.pipeline.diagnostics import DocumentDiagnostics
+
+        d = DocumentDiagnostics()
+        same = d.analyze_document("alpha beta gamma. alpha beta gamma.")
+        assert same.coherence == pytest.approx(1.0)
+        disjoint = d.analyze_document("alpha beta gamma. delta epsilon zeta.")
+        assert disjoint.coherence == pytest.approx(0.0)
+
+    def test_complexity_monotonic_in_sentence_length(self):
+        from advanced_rag_tpu.pipeline.diagnostics import DocumentDiagnostics
+
+        d = DocumentDiagnostics()
+        short = d.analyze_document("cat. dog. fox. owl.")
+        words = " ".join(f"w{i}" for i in range(40))
+        long = d.analyze_document(f"{words}. {words}.")
+        assert 0.0 <= short.complexity <= 1.0
+        assert long.complexity > short.complexity
+
+    def test_chunker_sentence_overlap_geometry(self):
+        from advanced_rag_tpu.pipeline.chunking import AdaptiveChunker
+
+        # 6 sentences x 10 tokens, target 30, overlap 0.5 -> chunks of 3
+        # sentences stepping back exactly ONE sentence (budget 15 fits
+        # one 10-token sentence, not two)
+        sents = [" ".join(f"s{i}w{j}" for j in range(10)) + "."
+                 for i in range(6)]
+        text = " ".join(sents)
+        ck = AdaptiveChunker(base_chunk_size=30, max_chunk_size=30,
+                             min_chunk_size=30, overlap_ratio=0.5)
+        pieces = ck.chunk_document(text, doc_id="d")
+        starts = [p.content.split()[0] for p in pieces]
+        # chunk 0 covers s0-s2; chunk 1 must start at s2 (one back)
+        assert starts[0] == "s0w0"
+        assert starts[1] == "s2w0"
+
+    def test_lineage_tree_depth_cutoff(self):
+        c = ComplianceManager()
+        c.add_lineage("b", ["a"])
+        c.add_lineage("c", ["b"])
+        tree = c.get_lineage_tree("c", max_depth=1)
+        assert tree["parents"][0]["doc_id"] == "b"
+        # depth cap: b's own parents are NOT expanded at max_depth=1
+        assert tree["parents"][0]["parents"] == []
+
+    def test_verify_integrity_unknown_doc_is_false(self):
+        c = ComplianceManager()
+        assert c.verify_data_integrity("nope", "anything") is False

@@ -299,3 +299,40 @@ class TestDeviceTiming:
         ms_big = scanned_ms(
             lambda eps, a: (a + eps) @ a.T, rounds=20, operands=(big,))
         assert ms_big > ms_small
+
+
+class TestMutationHardening:
+    """Pin stat-counter and backend-switch exactness (round-5 mutation
+    survivors: cache.py expiration accounting, db_pool.py close path)."""
+
+    def test_cache_expiration_counts_exactly_once(self):
+        import time as _time
+
+        import numpy as np
+
+        from advanced_rag_tpu.utils.cache import EmbeddingCache
+
+        c = EmbeddingCache(capacity=4, ttl_seconds=0.01)
+        c.put_sync("x", np.zeros(1, np.float32))
+        _time.sleep(0.03)
+        assert c.get_sync("x") is None
+        s = c.get_stats()
+        assert s.expirations == 1
+        assert s.misses == 1
+        assert s.hits == 0
+        assert s.size == 0          # expired entry actually removed
+        # a later hit counts as exactly one hit
+        c.put_sync("y", np.zeros(1, np.float32))
+        assert c.get_sync("y") is not None
+        assert c.get_stats().hits == 1
+
+    def test_sqlite_close_never_touches_pg_pool(self, tmp_path):
+        from advanced_rag_tpu.utils.db_pool import DatabasePool
+
+        p = DatabasePool(sqlite_path=str(tmp_path / "t.db"))
+        with p.get_connection() as conn:
+            conn.execute("CREATE TABLE t (x INTEGER)")
+        assert p.get_stats()["backend"] == "sqlite"
+        # the close path must take the sqlite branch (a flipped backend
+        # guard would call closeall() on the absent pg pool and raise)
+        p.close()
