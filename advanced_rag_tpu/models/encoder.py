@@ -42,6 +42,19 @@ class EncoderConfig:
     # O(L^2 * H) attention it rides along with.
     lexical_match: bool = False
     num_reserved_ids: int = 8      # ids < this never count as matches
+    # Learned lexical channel (BiEncoder only): project the sqrt-tf
+    # hashed bag-of-words through a per-bucket scale + linear map and
+    # ADD it to the transformer embedding before L2.  On corpora where
+    # queries share exact rare terms with their documents (the
+    # harvested-docstring bench; most technical corpora), a
+    # from-scratch transformer on a hashed vocab under-learns token
+    # identity — measured trained_dense_only R@10 0.42 vs BM25 0.54
+    # even at 4x capacity.  The BoW path expresses IDF-weighted exact
+    # match directly (q.d contains bow_q * S W^T W S * bow_d), is
+    # vocabulary-free (hash buckets), and trains jointly with the same
+    # InfoNCE objective — the bi-encoder analogue of the CE's
+    # cross_segment_match channel above.
+    lexical_pool: bool = False
 
 
 class TransformerBlock(nn.Module):
@@ -124,6 +137,24 @@ class BiEncoder(nn.Module):
         m = mask[:, :, None].astype(jnp.float32)
         pooled = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
         out = nn.Dense(self.out_dim, dtype=jnp.float32, name="proj")(pooled)
+        cfg = self.config
+        if cfg.lexical_pool:
+            # sqrt-tf hashed BoW (special/pad ids excluded) -> learned
+            # per-bucket scale (the IDF analogue, init 1) -> linear
+            # projection into the SAME embedding space.  One scatter-add
+            # + one [B, V] @ [V, out] MXU matmul per batch.
+            valid = jnp.logical_and(mask > 0, ids >= cfg.num_reserved_ids)
+            B = ids.shape[0]
+            bow = jnp.zeros((B, cfg.vocab_size), jnp.float32)
+            bow = bow.at[jnp.arange(B)[:, None], ids].add(
+                valid.astype(jnp.float32), mode="drop")
+            bow = jnp.sqrt(bow)
+            scale = self.param("lex_scale", nn.initializers.ones,
+                               (cfg.vocab_size,))
+            lex = nn.Dense(self.out_dim, use_bias=False,
+                           dtype=jnp.float32, name="lex_proj")(
+                bow * scale[None, :])
+            out = out + lex
         norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))
         return out / jnp.maximum(norm, 1e-12)
 

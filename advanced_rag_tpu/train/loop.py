@@ -124,6 +124,7 @@ def load_biencoder(path: str | Path):
         dropout=float(meta["dropout"]),
         lexical_match=bool(meta.get("lexical_match", False)),
         num_reserved_ids=int(meta.get("num_reserved_ids", 8)),
+        lexical_pool=bool(meta.get("lexical_pool", False)),
     )
     return cfg, int(meta["out_dim"]), blob["params"]
 

@@ -471,6 +471,7 @@ def load_reranker(path):
         dropout=float(meta["dropout"]),
         lexical_match=bool(meta.get("lexical_match", False)),
         num_reserved_ids=int(meta.get("num_reserved_ids", 8)),
+        lexical_pool=bool(meta.get("lexical_pool", False)),
     )
     layout = {}
     if "pair_q_len" in meta:

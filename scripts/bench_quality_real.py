@@ -204,6 +204,9 @@ def main() -> None:
                     help="ANCE-style re-mine+retrain iterations")
     ap.add_argument("--batch-size", type=int, default=128,
                     help="contrastive batch (in-batch negative count)")
+    ap.add_argument("--no-lexical-pool", action="store_true",
+                    help="disable the bi-encoder's learned hashed-BoW "
+                         "channel (models/encoder.py lexical_pool)")
     ap.add_argument("--queries", type=int, default=384)
     ap.add_argument("--rerank-steps", type=int, default=4000)
     ap.add_argument("--rerank-pairs", type=int, default=40000)
@@ -392,7 +395,8 @@ def main() -> None:
                                 num_layers=args.num_layers,
                                 num_heads=args.num_heads,
                                 mlp_dim=args.mlp_dim,
-                                max_len=L)
+                                max_len=L,
+                                lexical_pool=not args.no_lexical_pool)
         tok = HashingTokenizer(TokenizerConfig(vocab_size=args.vocab,
                                                max_len=L))
         tcfg = TrainConfig(learning_rate=5e-4, warmup_steps=50,

@@ -146,3 +146,50 @@ def test_reranker_ckpt_roundtrips_lexical_match(tmp_path):
     cfg2, _, layout = load_reranker(tmp_path / "ck")
     assert cfg2.lexical_match is True
     assert layout == {"q_len": 8, "d_len": 12}
+
+
+def test_biencoder_lexical_pool_channel():
+    """lexical_pool: hashed-BoW channel makes exact-term-sharing pairs
+    closer than disjoint pairs even UNTRAINED (random projection of
+    sqrt-tf bags approximately preserves lexical dot products), and the
+    params carry the lex_proj/lex_scale leaves for checkpoint serde."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advanced_rag_tpu.models.encoder import EncoderConfig, init_bi_encoder
+    from advanced_rag_tpu.models.tokenizer import (
+        HashingTokenizer, TokenizerConfig)
+
+    cfg = EncoderConfig(vocab_size=2048, hidden_dim=32, num_layers=1,
+                        num_heads=4, mlp_dim=64, max_len=32,
+                        lexical_pool=True)
+    model, params = init_bi_encoder(cfg, out_dim=64, seed=0)
+    leaves = params["params"]
+    assert "lex_proj" in leaves and "lex_scale" in leaves
+    tok = HashingTokenizer(TokenizerConfig(vocab_size=2048, max_len=32))
+    texts = ["zanzibar quorum flotilla gossamer ratchet",
+             "zanzibar quorum flotilla gossamer pinion",
+             "completely different words about nothing shared"]
+    ids, mask = tok.encode_batch(texts)
+    emb = np.asarray(model.apply(params, jnp.asarray(ids),
+                                 jnp.asarray(mask)))
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0,
+                               atol=1e-4)
+    overlap = float(emb[0] @ emb[1])
+    disjoint = float(emb[0] @ emb[2])
+    assert overlap > disjoint
+
+
+def test_biencoder_ckpt_roundtrips_lexical_pool(tmp_path):
+    from advanced_rag_tpu.models.encoder import EncoderConfig, init_bi_encoder
+    from advanced_rag_tpu.train.loop import load_biencoder, save_biencoder
+
+    cfg = EncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1,
+                        num_heads=4, mlp_dim=64, max_len=16,
+                        lexical_pool=True)
+    _, params = init_bi_encoder(cfg, out_dim=16, seed=1)
+    save_biencoder(params, cfg, 16, tmp_path / "ck")
+    got_cfg, out_dim, got = load_biencoder(tmp_path / "ck")
+    assert got_cfg.lexical_pool is True
+    assert out_dim == 16
+    assert "lex_proj" in got["params"]
