@@ -618,7 +618,8 @@ class MultiIndexManager:
                     self.sparse.build_postings()
                 sparse_impl = "postings"
                 post_args = {"post_rows": self.sparse.post_rows,
-                             "post_tf": self.sparse.post_tf}
+                             "post_tf": self.sparse.post_tf,
+                             "post_tfw": self.sparse.post_tfw}
             else:
                 sparse_impl = "pallas" if (on_tpu and qb <= 2) else "xla"
         else:
@@ -664,6 +665,13 @@ class MultiIndexManager:
             rrf_k=rrf_k, use_mmr=use_mmr, enable_sparse=sparse_on,
             dense_block_size=self.semantic.config.scan_block_size,
             dense_impl=dense_impl, sparse_impl=sparse_impl,
+            # postings aggregation rung (10M attribution, PERF.md r5):
+            # scatter+approx_max_k wins small batches on big corpora
+            sparse_agg=("scatter"
+                        if (sparse_impl == "postings" and on_tpu
+                            and qb <= 2
+                            and self.semantic.capacity >= 4_000_000)
+                        else "sort"),
             **pq_kwargs,
         )
         # One blocking transfer for everything the host needs.
@@ -785,7 +793,8 @@ class MultiIndexManager:
         if sparse_on and self.sparse.has_postings:
             sparse_impl = "postings"
             post_kw = {"post_rows": self.sparse.post_rows,
-                       "post_tf": self.sparse.post_tf}
+                       "post_tf": self.sparse.post_tf,
+                       "post_tfw": self.sparse.post_tfw}
         if self.semantic._sq8:
             post_kw["emb_scale"] = self.semantic.emb_scale
         if rerank_alpha is not None:
@@ -802,8 +811,13 @@ class MultiIndexManager:
                 # (ops/rescore.py); no recompile across mix values
                 post_kw["rescore_mix"] = self._scalar(rescore_mix)
 
+        sparse_agg = ("scatter"
+                      if (sparse_impl == "postings"
+                          and jax.default_backend() == "tpu" and qb <= 2
+                          and self.semantic.capacity >= 4_000_000)
+                      else "sort")
         key = (qb, k_pool, k_rerank, k_final, dense_impl, sparse_impl,
-               use_mmr, rerank_mode, rerank_base, doc_dedupe,
+               sparse_agg, use_mmr, rerank_mode, rerank_base, doc_dedupe,
                id(reranker))
         program = self._e2e_programs.get(key)
         if program is None:
@@ -811,7 +825,8 @@ class MultiIndexManager:
                 self.embedder.model, reranker.model,
                 k_cand=2 * k_pool, k_out=k_pool, k_rerank=k_rerank,
                 k_final=k_final, dense_impl=dense_impl,
-                sparse_impl=sparse_impl, use_mmr=use_mmr,
+                sparse_impl=sparse_impl, sparse_agg=sparse_agg,
+                use_mmr=use_mmr,
                 rerank_mode=rerank_mode, rerank_base=rerank_base,
                 doc_dedupe=doc_dedupe,
                 pad_id=self.token_table.tokenizer.config.pad_id,

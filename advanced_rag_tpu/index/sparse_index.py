@@ -163,6 +163,25 @@ class SparseIndex:
         self._post_fill = (rows >= 0).sum(axis=1).astype(np.int64)
         self._post_rows = jnp.asarray(rows)
         self._post_tf = jnp.asarray(tf, jnp.bfloat16)
+        # precomputed BM25 tf-weights: removes the per-posting doc_len
+        # random gather from the query path (ops/postings.py
+        # postings_tf_weights; ~25% of the 10M sparse stage).  avg_len
+        # is frozen at build time; appends keep per-row dl exact but
+        # the average drifts until the next rebuild (documented).
+        from ..ops.postings import postings_tf_weights
+
+        lens = self._host_len[: self.size]
+        if valid is not None:
+            live = np.asarray(valid[: self.size], bool)
+            self._post_avg_len = float(lens[live].mean()) if live.any() else 1.0
+        else:
+            self._post_avg_len = float(lens.mean()) if self.size else 1.0
+        tfw = postings_tf_weights(rows, tf, self._host_len[: self.size],
+                                  self._post_avg_len,
+                                  k1=self.config.bm25_k1,
+                                  b=self.config.bm25_b)
+        self._host_post_tfw = tfw
+        self._post_tfw = jnp.asarray(tfw, jnp.bfloat16)
 
     @property
     def post_rows(self):
@@ -171,6 +190,14 @@ class SparseIndex:
     @property
     def post_tf(self):
         return getattr(self, "_post_tf", None)
+
+    @property
+    def post_tfw(self):
+        return getattr(self, "_post_tfw", None)
+
+    @property
+    def post_avg_len(self):
+        return getattr(self, "_post_avg_len", None)
 
     def _postings_append(self, start: int, idx: np.ndarray,
                          tf: np.ndarray) -> None:
@@ -191,7 +218,10 @@ class SparseIndex:
             grown_r[:, : self._post_cap] = self._host_post_rows
             grown_t = np.zeros((self.vocab_size, new_cap), np.float32)
             grown_t[:, : self._post_cap] = self._host_post_tf
+            grown_w = np.zeros((self.vocab_size, new_cap), np.float32)
+            grown_w[:, : self._post_cap] = self._host_post_tfw
             self._host_post_rows, self._host_post_tf = grown_r, grown_t
+            self._host_post_tfw = grown_w
             self._post_cap = new_cap
             grew = True
         # positions per posting: per-term running cursor (vectorized via
@@ -204,11 +234,21 @@ class SparseIndex:
         ok = pos < self._post_cap  # beyond-cap postings dropped (hi limit)
         self._host_post_rows[st[ok], pos[ok]] = sr[ok]
         self._host_post_tf[st[ok], pos[ok]] = stf[ok]
+        # tf-weight for the new postings: per-row dl is exact; avg_len
+        # stays the build-time value until the next rebuild
+        dl_new = self._host_len[sr[ok]].astype(np.float32)
+        k1, b = self.config.bm25_k1, self.config.bm25_b
+        avg = max(getattr(self, "_post_avg_len", 1.0) or 1.0, 1.0)
+        denom = stf[ok] + k1 * (1.0 - b + b * dl_new / avg)
+        tfw_new = (stf[ok] * (k1 + 1.0)
+                   / np.maximum(denom, 1e-6)).astype(np.float32)
+        self._host_post_tfw[st[ok], pos[ok]] = tfw_new
         np.add.at(self._post_fill, st[ok], 1)
         if grew:
             # capacity changed: one full upload of the grown layout
             self._post_rows = jnp.asarray(self._host_post_rows)
             self._post_tf = jnp.asarray(self._host_post_tf, jnp.bfloat16)
+            self._post_tfw = jnp.asarray(self._host_post_tfw, jnp.bfloat16)
             return
         # steady state: device-side scatter of ONLY the new postings —
         # a full [V, cap] re-upload is ~1.5 GB at the 1M tier, vs
@@ -229,6 +269,13 @@ class SparseIndex:
         self._post_rows = self._post_rows.at[ti, pi].set(jnp.asarray(r_new))
         self._post_tf = self._post_tf.at[ti, pi].set(
             jnp.asarray(tf_new, jnp.bfloat16))
+        tfw_dev = tfw_new
+        if len(tfw_dev) != len(t_new):   # same idempotent pow2 padding
+            tfw_dev = np.concatenate(
+                [tfw_dev, np.repeat(tfw_dev[:1], len(t_new) - len(tfw_dev),
+                                    axis=0)])
+        self._post_tfw = self._post_tfw.at[ti, pi].set(
+            jnp.asarray(tfw_dev, jnp.bfloat16))
 
     def search_postings(
         self,
@@ -241,12 +288,26 @@ class SparseIndex:
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if not self.has_postings:
             self.build_postings()
+        # rung choice (10M attribution, docs/PERF.md round 5): the
+        # scatter+approx_max_k aggregation wins for small query batches
+        # on large corpora; the sort path amortizes bigger batches
+        import jax as _jax
+
+        q_n = np.asarray(q_idx).shape[0]
+        impl = ("scatter"
+                if (_jax.default_backend() == "tpu" and q_n <= 2
+                    and self.doc_len.shape[0] >= 4_000_000
+                    and scoring == "bm25")
+                else "sort")
         return postings_topk(
             self._post_rows, self._post_tf, self.doc_len, self.df,
             jnp.float32(max(self.n_docs, 1)), jnp.asarray(q_idx),
             jnp.asarray(q_tf), k,
             mask[: self.doc_len.shape[0]] if mask is not None else None,
+            post_tfw=(getattr(self, "_post_tfw", None)
+                      if scoring == "bm25" else None),
             scoring=scoring, k1=self.config.bm25_k1, b=self.config.bm25_b,
+            impl=impl,
         )
 
     def remove_rows(self, rows: Sequence[int]) -> None:

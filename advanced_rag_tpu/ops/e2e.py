@@ -114,6 +114,7 @@ def make_retrieve_rerank(
         mmr_lambda: jnp.ndarray,
         post_rows: Optional[jnp.ndarray] = None,
         post_tf: Optional[jnp.ndarray] = None,
+        post_tfw: Optional[jnp.ndarray] = None,
         emb_scale: Optional[jnp.ndarray] = None,
         rerank_alpha: Optional[jnp.ndarray] = None,
         rescore_mix: Optional[jnp.ndarray] = None,
@@ -127,7 +128,8 @@ def make_retrieve_rerank(
         res = hybrid_retrieve(
             emb, doc_idx, doc_tf, doc_len, df, n_docs,
             q_dense, q_sp_idx, q_sp_tf, valid, weights, mmr_lambda,
-            post_rows=post_rows, post_tf=post_tf, emb_scale=emb_scale,
+            post_rows=post_rows, post_tf=post_tf, post_tfw=post_tfw,
+            emb_scale=emb_scale,
             k_cand=k_cand, k_out=k_out, metric=metric,
             dense_impl=dense_impl, sparse_impl=sparse_impl,
             use_mmr=use_mmr, rrf_k=rrf_k, **hybrid_static,

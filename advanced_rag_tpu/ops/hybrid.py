@@ -43,7 +43,8 @@ class HybridResult(NamedTuple):
     static_argnames=(
         "k_cand", "k_out", "metric", "scoring", "rrf_k", "use_mmr",
         "dense_block_size", "sparse_block_size", "enable_sparse",
-        "dense_impl", "sparse_impl", "nprobe", "ivf_tail_start",
+        "dense_impl", "sparse_impl", "sparse_agg", "nprobe",
+        "ivf_tail_start",
         "ivf_tail_pad", "pq_m", "pq_bits", "pq_impl", "dense_depth",
     ),
 )
@@ -72,6 +73,9 @@ def hybrid_retrieve(
     # inverted postings layout (required when sparse_impl="postings")
     post_rows: Optional[jnp.ndarray] = None,    # [V, L]
     post_tf: Optional[jnp.ndarray] = None,      # [V, L]
+    # precomputed BM25 tf-weights (ops/postings.py postings_tf_weights)
+    # — removes the per-posting doc_len gather from the sparse stage
+    post_tfw: Optional[jnp.ndarray] = None,     # [V, L]
     # SQ8 tier (ops/quant.py): per-row dequant scales when emb is int8
     # codes (required when dense_impl="sq8")
     emb_scale: Optional[jnp.ndarray] = None,    # [N] f32
@@ -94,6 +98,7 @@ def hybrid_retrieve(
     sparse_block_size: int = 8192,
     dense_impl: str = "scan",    # "scan" | "approx" | "sq8" | "ivf" | "pq"
     sparse_impl: str = "xla",    # "xla" compare-scan | "pallas" VMEM kernel
+    sparse_agg: str = "sort",    # postings aggregation: "sort"|"scatter"
     nprobe: int = 32,            # IVF probes (dense_impl="ivf")
     ivf_tail_start: int = 0,     # first appended-tail row (static)
     ivf_tail_pad: int = 0,       # pow2-padded tail length; 0 = no tail
@@ -214,7 +219,8 @@ def hybrid_retrieve(
             s_s, s_i = postings_topk(
                 post_rows, post_tf, doc_len, df, n_docs, q_idx, q_tf,
                 k_cand, valid[: doc_len.shape[0]] if valid is not None
-                else None, scoring=scoring,
+                else None, post_tfw=post_tfw, scoring=scoring,
+                impl=sparse_agg,
             )
         elif sparse_impl == "pallas":
             from .pallas_sparse import sparse_topk_pallas

@@ -61,7 +61,7 @@ def _segment_topk(rows: jnp.ndarray, contrib: jnp.ndarray, k: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "scoring", "k1", "b"),
+    jax.jit, static_argnames=("k", "scoring", "k1", "b", "impl"),
 )
 def postings_topk(
     post_rows: jnp.ndarray,   # [V, L] i32 row ids per term (-1 pad)
@@ -74,12 +74,33 @@ def postings_topk(
     k: int,
     valid: Optional[jnp.ndarray] = None,   # [N] bool (row-indexed)
     avg_len: Optional[jnp.ndarray] = None,
-    *,
-    scoring: str = "bm25",
-    k1: float = 1.2,
+    post_tfw: Optional[jnp.ndarray] = None,  # [V, L] precomputed BM25
+    *,                                       # tf-weights (build-time
+    scoring: str = "bm25",                   # avg_len; see
+    k1: float = 1.2,                         # postings_tf_weights)
     b: float = 0.75,
+    impl: str = "sort",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Same contract as ops.sparse.sparse_topk, postings-backed."""
+    """Same contract as ops.sparse.sparse_topk, postings-backed.
+
+    Performance shape (measured at 10M rows, postings cap 40k, Q=1 —
+    docs/PERF.md round-5 sparse attribution): the sort-based segmented
+    sum is ~13 ms, and the per-posting doc_len/valid RANDOM gathers add
+    ~10 ms more.  Two independent levers, composable:
+
+    - ``post_tfw``: the BM25 tf-saturation term precomputed per posting
+      at BUILD time (length normalization uses the build-time live
+      avg_len — exact until appends shift the average, and maintenance
+      rebuilds refresh it).  Removes the [T*L] doc_len gather and the
+      denominator math from the query path entirely.
+    - ``impl="scatter"``: accumulate contributions into a [Q, N] HBM
+      accumulator via scatter-add and reduce with the sort-free
+      ``approx_max_k`` (recall_target 0.99 — the same reduction the
+      dense rung uses), applying the validity mask VECTORIZED on the
+      accumulator instead of a per-posting random gather.  Wins for
+      small query batches (accumulator is Q*N*4 B); the sort path
+      amortizes Q and stays the rung for larger batches.
+    """
     n = doc_len.shape[0]
     v = valid.astype(jnp.bool_) if valid is not None else jnp.ones((n,), jnp.bool_)
     if avg_len is None:
@@ -99,26 +120,84 @@ def postings_topk(
 
     k1f, bf = jnp.float32(k1), jnp.float32(b)
 
+    if impl == "scatter":
+        Q, T = q_idx.shape
+
+        def step(acc, t):
+            qi_t = q_idx[:, t]                           # [Q]
+            safe_t = jnp.clip(qi_t, 0)
+            rows = post_rows[safe_t]                     # [Q, L]
+            if scoring != "bm25" or post_tfw is None:
+                tf = post_tf[safe_t].astype(jnp.float32)
+                if scoring == "bm25":
+                    dlen = doc_len[jnp.clip(rows, 0)].astype(jnp.float32)
+                    denom = tf + k1f * (1.0 - bf + bf * dlen
+                                        / jnp.maximum(avg_len, 1.0))
+                    tfw = tf * (k1f + 1.0) / jnp.maximum(denom, 1e-6)
+                else:
+                    tfw = tf
+            else:
+                tfw = post_tfw[safe_t].astype(jnp.float32)
+            w = q_w[:, t][:, None] * tfw                 # [Q, L]
+            ok = (rows >= 0) & (qi_t >= 0)[:, None]
+            # out-of-range index drops the update (mode="drop")
+            safe_r = jnp.where(ok, rows, n)
+            acc = acc.at[jnp.arange(Q)[:, None], safe_r].add(
+                jnp.where(ok, w, 0.0), mode="drop")
+            return acc, None
+
+        acc, _ = lax.scan(step, jnp.zeros((Q, n), jnp.float32),
+                          jnp.arange(T))
+        acc = jnp.where(v[None, :], acc, 0.0)            # vectorized mask
+        top_s, top_i = lax.approx_max_k(acc, k, recall_target=0.99)
+        top_i = jnp.where(top_s > 0.0, top_i, -1)
+        top_s = jnp.where(top_s > 0.0, top_s, NEG_INF)
+        return top_s, top_i
+
     def one_query(qi, qw):
         safe_t = jnp.clip(qi, 0)
         rows = post_rows[safe_t]                       # [T, L]
-        tf = post_tf[safe_t].astype(jnp.float32)       # [T, L]
         term_ok = (qi >= 0)[:, None]
         rows = jnp.where(term_ok, rows, -1)
         safe_r = jnp.clip(rows, 0)
         row_ok = (rows >= 0) & v[safe_r]
-        if scoring == "bm25":
+        if scoring == "bm25" and post_tfw is not None:
+            tfw = post_tfw[safe_t].astype(jnp.float32)
+        elif scoring == "bm25":
+            tf = post_tf[safe_t].astype(jnp.float32)   # [T, L]
             dlen = doc_len[safe_r].astype(jnp.float32)
             denom = tf + k1f * (1.0 - bf + bf * dlen / jnp.maximum(avg_len, 1.0))
             tfw = tf * (k1f + 1.0) / jnp.maximum(denom, 1e-6)
         else:
-            tfw = tf
+            tfw = post_tf[safe_t].astype(jnp.float32)
         contrib = jnp.where(row_ok, qw[:, None] * tfw, 0.0)
         rows = jnp.where(row_ok, rows, -1)
         return _segment_topk(rows.reshape(-1), contrib.reshape(-1), k)
 
     top_s, top_i = jax.vmap(one_query)(q_idx, q_w)
     return top_s, top_i
+
+
+def postings_tf_weights(post_rows, post_tf, doc_len, avg_len: float,
+                        k1: float = 1.2, b: float = 0.75):
+    """Precompute the BM25 tf-saturation weight per posting (numpy).
+
+    tfw = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avg_len)) — everything the
+    query path needs from ``tf`` and ``doc_len``, folded at build time
+    so queries touch neither (the doc_len random gather was ~25% of the
+    10M sparse stage).  avg_len is the build-time LIVE average; appends
+    shift the true average until the next maintenance rebuild — the
+    same documented staleness as postings compaction.
+    """
+    import numpy as np
+
+    rows = np.asarray(post_rows)
+    tf = np.asarray(post_tf, np.float32)
+    dl = np.asarray(doc_len, np.float32)[np.clip(rows, 0, None)]
+    denom = tf + k1 * (1.0 - b + b * dl / max(avg_len, 1.0))
+    tfw = tf * (k1 + 1.0) / np.maximum(denom, 1e-6)
+    tfw[rows < 0] = 0.0
+    return tfw.astype(np.float32)
 
 
 def build_postings(
@@ -161,4 +240,4 @@ def auto_postings_cap(n_docs: int, doc_nnz: int, vocab_size: int,
     return max(lo, min(hi, cap))
 
 
-__all__ = ["postings_topk", "build_postings", "auto_postings_cap"]
+__all__ = ["postings_topk", "postings_tf_weights", "build_postings", "auto_postings_cap"]

@@ -114,6 +114,14 @@ def main() -> None:
                                        jnp.int32)
         post_tf = (1.0 + jax.random.uniform(k3, (vocab, cap))).astype(
             jnp.bfloat16)
+        # precomputed BM25 tf-weights (ops/postings.py): synthetic
+        # doc_len is constant 1.5*nnz, so tfw folds exactly on device.
+        # One fused jitted elementwise pass in bf16 — an f32 .astype here
+        # materializes a 2.6 GB transient at the 10M postings cap and
+        # OOMs the 10M staging
+        post_tfw = jax.jit(
+            lambda t: (t * jnp.bfloat16(2.2)
+                       / (t + jnp.bfloat16(1.2))))(post_tf)
         doc_tokens = jax.random.randint(k4, (n_alloc, ld), 8, 32768,
                                         jnp.int32).astype(jnp.uint16)
         df = jax.random.randint(k5, (vocab,), 1, max(n_rows // 10, 2),
@@ -140,7 +148,8 @@ def main() -> None:
         # fetch completing implies the whole staging queue ran
         jax.device_get((codes[:1, :1], doc_tokens[:1, :1]))
         return dict(codes=codes, scale=scale, post_rows=post_rows,
-                    post_tf=post_tf, doc_tokens=doc_tokens, df=df,
+                    post_tf=post_tf, post_tfw=post_tfw,
+                    doc_tokens=doc_tokens, df=df,
                     doc_len=doc_len, valid=valid, dummy_idx=dummy_idx,
                     dummy_tf=dummy_tf, n=n_rows, n_dev=n_dev)
 
@@ -190,10 +199,19 @@ def main() -> None:
     # Production rank key (config.py defaults): exact per-tier rescore
     # base + residual CE (ops/rescore.py) — the bench times the function
     # production serves, including the in-program candidate gathers.
+    # two aggregation rungs for the sparse postings stage (PERF.md r5
+    # 10M attribution): scatter+approx_max_k for the Q=1 latency legs,
+    # the Q-amortizing sort for the batched throughput legs
     program = make_retrieve_rerank(
         bi, ce, k_cand=40, k_out=24, k_rerank=k_rerank, k_final=k_final,
-        dense_impl="sq8", sparse_impl="postings", use_mmr=True,
-        rerank_mode="residual", rerank_base="exact_postings")
+        dense_impl="sq8", sparse_impl="postings", sparse_agg="sort",
+        use_mmr=True, rerank_mode="residual",
+        rerank_base="exact_postings")
+    program_q1 = make_retrieve_rerank(
+        bi, ce, k_cand=40, k_out=24, k_rerank=k_rerank, k_final=k_final,
+        dense_impl="sq8", sparse_impl="postings", sparse_agg="scatter",
+        use_mmr=True, rerank_mode="residual",
+        rerank_base="exact_postings")
     extra["rerank_key"] = "exact_postings_residual"
     weights = jnp.asarray([0.7, 0.3], jnp.float32)
     # device scalars created ONCE: a fresh jnp scalar per call is a
@@ -213,16 +231,24 @@ def main() -> None:
         return (jnp.asarray(q_ids), jnp.asarray(q_mask),
                 jnp.asarray(q_idx), jnp.asarray(q_tf))
 
-    def run(c, args):
+    def run(c, args, prog=None):
         # every operand below is a staged device array — run() performs
-        # ZERO host->device uploads beyond the query args themselves
-        return program(p_bi, p_ce, *args, c["doc_tokens"],
-                       c["codes"], c["dummy_idx"], c["dummy_tf"],
-                       c["doc_len"], c["df"], c["n_dev"],
-                       c["valid"], weights, mmr_dev,
-                       post_rows=c["post_rows"], post_tf=c["post_tf"],
-                       emb_scale=c["scale"],
-                       rerank_alpha=alpha_dev, rescore_mix=mix_dev)
+        # ZERO host->device uploads beyond the query args themselves.
+        # Q=1 calls on BIG corpora route to the scatter-aggregation
+        # program (measured crossover ~4M rows: scatter 137.8 vs sort
+        # ~169 QPS pipelined at 1M, but 58.6 vs 72.1 ms p50 at 10M)
+        if prog is None:
+            prog = (program_q1
+                    if args[0].shape[0] == 1 and c["n"] >= 4_000_000
+                    else program)
+        return prog(p_bi, p_ce, *args, c["doc_tokens"],
+                    c["codes"], c["dummy_idx"], c["dummy_tf"],
+                    c["doc_len"], c["df"], c["n_dev"],
+                    c["valid"], weights, mmr_dev,
+                    post_rows=c["post_rows"], post_tf=c["post_tf"],
+                    post_tfw=c["post_tfw"],
+                    emb_scale=c["scale"],
+                    rerank_alpha=alpha_dev, rescore_mix=mix_dev)
 
     def fetch(res):
         # ONE device->host copy for everything the host needs — each
@@ -415,8 +441,8 @@ def main() -> None:
     if run_10m:
         try:
             for name in ("codes", "scale", "post_rows", "post_tf",
-                         "doc_tokens", "df", "doc_len", "valid",
-                         "dummy_idx", "dummy_tf"):
+                         "post_tfw", "doc_tokens", "df", "doc_len",
+                         "valid", "dummy_idx", "dummy_tf"):
                 corpus[name] = None
             t0 = time.perf_counter()
             big = stage_corpus(10_000_000, d, 3,

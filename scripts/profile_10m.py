@@ -136,41 +136,36 @@ def main() -> None:
         rounds=args.iters), 2)
     print("e2e", out["e2e_chained_ms"], flush=True)
 
-    # hybrid only (no CE, no rescore): same statics, alpha path off
-    hyb = jax.jit(lambda q, qi, qt: hybrid_retrieve(
-        codes, dummy_idx, dummy_tf, doc_len, df, n_dev,
-        q, qi, qt, valid, weights, mmr_dev,
-        post_rows=post_rows, post_tf=post_tf, emb_scale=scale,
-        k_cand=40, k_out=24, metric="ip", dense_impl="sq8",
-        sparse_impl="postings", use_mmr=True, rrf_k=60).ids)
     qv = jax.random.normal(jax.random.PRNGKey(7), (1, d), jnp.float32)
     _, _, qi1, qt1 = args1
-    jax.block_until_ready(hyb(qv, qi1, qt1))
-    out["hybrid_chained_ms"] = round(chained_ms(
-        lambda i, eps: hyb(qv + eps, qi1, qt1), rounds=args.iters), 2)
-    print("hybrid", out["hybrid_chained_ms"], flush=True)
 
     # dense sq8 scan + topk alone (the rung the hybrid picks at 10M)
     from advanced_rag_tpu.ops.quant import dense_topk_sq8_approx
 
-    dt = jax.jit(lambda q: dense_topk_sq8_approx(
-        codes, scale, q, 40, valid, metric="ip",
+    # arrays as ARGUMENTS, never closure captures: jit constant-folds
+    # captured device arrays, and "compiling" a 6.4 GB constant wedges
+    # the tunnel-side compile for tens of minutes
+    dt = jax.jit(lambda cd, sc, v, q: dense_topk_sq8_approx(
+        cd, sc, q, 40, v, metric="ip",
         normalize_queries=False)[1])
-    jax.block_until_ready(dt(qv))
+    jax.block_until_ready(dt(codes, scale, valid, qv))
     out["dense_sq8_chained_ms"] = round(chained_ms(
-        lambda i, eps: dt(qv + eps), rounds=args.iters), 2)
+        lambda i, eps: dt(codes, scale, valid, qv + eps),
+        rounds=args.iters), 2)
     print("dense", out["dense_sq8_chained_ms"], flush=True)
 
     # sparse postings alone
     from advanced_rag_tpu.ops.postings import postings_topk
 
-    sp = jax.jit(lambda qi, qt: postings_topk(
-        post_rows, post_tf, doc_len, df, n_dev, qi, qt, 40,
-        n_alloc, valid=valid)[1])
+    sp = jax.jit(lambda pr, pt, dl, df_, v, qi, qt: postings_topk(
+        pr, pt, dl, df_, n_dev, qi, qt, 40,
+        valid=v)[1])
     try:
-        jax.block_until_ready(sp(qi1, qt1))
+        jax.block_until_ready(sp(post_rows, post_tf, doc_len, df,
+                                 valid, qi1, qt1))
         out["sparse_postings_chained_ms"] = round(chained_ms(
-            lambda i, eps: sp(qi1 + (eps * 0).astype(jnp.int32), qt1),
+            lambda i, eps: sp(post_rows, post_tf, doc_len, df, valid,
+                              qi1 + (eps * 0).astype(jnp.int32), qt1),
             rounds=args.iters), 2)
     except Exception as exc:
         out["sparse_postings_error"] = str(exc)[:120]
@@ -178,14 +173,65 @@ def main() -> None:
 
     # exact_postings rescore alone (K=20 slate)
     cand = jnp.asarray(rng.integers(0, n, (1, 20)), jnp.int32)
-    rs = jax.jit(lambda c, q, qi, qt: exact_tier_scores_postings(
-        c, q, qi, qt, codes, post_rows, post_tf, doc_len, df, n_dev,
-        valid=valid, emb_scale=scale)[0])
-    jax.block_until_ready(rs(cand, qv, qi1, qt1))
+    rs = jax.jit(lambda c, q, qi, qt, cd, pr, pt, dl, df_, v, sc:
+                 exact_tier_scores_postings(
+                     c, q, qi, qt, cd, pr, pt, dl, df_, n_dev,
+                     valid=v, emb_scale=sc)[0])
+    rs_args = (codes, post_rows, post_tf, doc_len, df, valid, scale)
+    jax.block_until_ready(rs(cand, qv, qi1, qt1, *rs_args))
     out["rescore_postings_chained_ms"] = round(chained_ms(
-        lambda i, eps: rs(cand, qv + eps, qi1, qt1),
+        lambda i, eps: rs(cand, qv + eps, qi1, qt1, *rs_args),
         rounds=args.iters), 2)
     print("rescore", out["rescore_postings_chained_ms"], flush=True)
+
+    # hybrid only (no CE, no rescore): same statics, alpha path off
+    hyb = jax.jit(lambda cd, dl, df_, v, sc, pr, pt, q, qi, qt:
+                  hybrid_retrieve(
+                      cd, dummy_idx, dummy_tf, dl, df_, n_dev,
+                      q, qi, qt, v, weights, mmr_dev,
+                      post_rows=pr, post_tf=pt, emb_scale=sc,
+                      k_cand=40, k_out=24, metric="ip", dense_impl="sq8",
+                      sparse_impl="postings", use_mmr=True,
+                      rrf_k=60).ids)
+    hy_args = (codes, doc_len, df, valid, scale, post_rows, post_tf)
+    jax.block_until_ready(hyb(*hy_args, qv, qi1, qt1))
+    out["hybrid_chained_ms"] = round(chained_ms(
+        lambda i, eps: hyb(*hy_args, qv + eps, qi1, qt1),
+        rounds=args.iters), 2)
+    print("hybrid", out["hybrid_chained_ms"], flush=True)
+
+    # hybrid WITHOUT mmr (same rungs): isolates the MMR gather/compare
+    hyb2 = jax.jit(lambda cd, dl, df_, v, sc, pr, pt, q, qi, qt:
+                   hybrid_retrieve(
+                       cd, dummy_idx, dummy_tf, dl, df_, n_dev,
+                       q, qi, qt, v, weights, mmr_dev,
+                       post_rows=pr, post_tf=pt, emb_scale=sc,
+                       k_cand=40, k_out=24, metric="ip",
+                       dense_impl="sq8", sparse_impl="postings",
+                       use_mmr=False, rrf_k=60).ids)
+    jax.block_until_ready(hyb2(*hy_args, qv, qi1, qt1))
+    out["hybrid_nommr_chained_ms"] = round(chained_ms(
+        lambda i, eps: hyb2(*hy_args, qv + eps, qi1, qt1),
+        rounds=args.iters), 2)
+    print("hybrid_nommr", out["hybrid_nommr_chained_ms"], flush=True)
+
+    # dense-only hybrid (enable_sparse=False): dense rung + RRF + MMR
+    hyb3 = jax.jit(lambda cd, dl, df_, v, sc, q, qi, qt:
+                   hybrid_retrieve(
+                       cd, dummy_idx, dummy_tf, dl, df_, n_dev,
+                       q, qi, qt, v, weights, mmr_dev,
+                       emb_scale=sc,
+                       k_cand=40, k_out=24, metric="ip",
+                       dense_impl="sq8", sparse_impl="xla",
+                       enable_sparse=False,
+                       use_mmr=True, rrf_k=60).ids)
+    hy3_args = (codes, doc_len, df, valid, scale)
+    jax.block_until_ready(hyb3(*hy3_args, qv, qi1, qt1))
+    out["hybrid_nosparse_chained_ms"] = round(chained_ms(
+        lambda i, eps: hyb3(*hy3_args, qv + eps, qi1, qt1),
+        rounds=args.iters), 2)
+    print("hybrid_nosparse", out["hybrid_nosparse_chained_ms"],
+          flush=True)
 
     print(json.dumps(out))
 

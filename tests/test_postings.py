@@ -208,3 +208,92 @@ def test_delete_compaction_drops_dead_postings():
     # search still finds live rows
     s, i = mgr.sparse.search_postings(*mgr.sparse.encode_query(["word20"]), 5)
     assert 20 in np.asarray(i)[0]
+
+
+class TestPostingsFastPath:
+    """Round-5 sparse fast path: scatter aggregation + precomputed BM25
+    tf-weights (the 10M sparse stage attribution, docs/PERF.md)."""
+
+    def test_scatter_matches_sort(self, corpus):
+        doc_idx, doc_tf, doc_len, df, post_rows, post_tf, vocab, n = corpus
+        q_idx, q_tf = encode_queries(
+            ["alpha fox gamma", "zeta theta"], vocab, 16)
+        args = (jnp.asarray(post_rows), jnp.asarray(post_tf),
+                jnp.asarray(doc_len), jnp.asarray(df), jnp.float32(n),
+                jnp.asarray(q_idx), jnp.asarray(q_tf), 10)
+        s_sort, i_sort = postings_topk(*args, impl="sort")
+        s_sc, i_sc = postings_topk(*args, impl="scatter")
+        ss, si = _sorted_rows(s_sort, i_sort)
+        cs, ci = _sorted_rows(s_sc, i_sc)
+        np.testing.assert_allclose(np.asarray(cs), np.asarray(ss),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(ci), np.asarray(si))
+
+    def test_tfw_path_matches_on_the_fly(self, corpus):
+        from advanced_rag_tpu.ops.postings import postings_tf_weights
+
+        doc_idx, doc_tf, doc_len, df, post_rows, post_tf, vocab, n = corpus
+        avg = float(np.asarray(doc_len)[:n].mean())
+        tfw = postings_tf_weights(post_rows, post_tf, doc_len, avg)
+        q_idx, q_tf = encode_queries(["alpha fox gamma"], vocab, 16)
+        base = (jnp.asarray(post_rows), jnp.asarray(post_tf),
+                jnp.asarray(doc_len), jnp.asarray(df), jnp.float32(n),
+                jnp.asarray(q_idx), jnp.asarray(q_tf), 10)
+        s_ref, i_ref = postings_topk(*base, impl="sort")
+        for impl in ("sort", "scatter"):
+            s_w, i_w = postings_topk(*base, post_tfw=jnp.asarray(tfw),
+                                     impl=impl)
+            rs, ri = _sorted_rows(s_ref, i_ref)
+            ws, wi = _sorted_rows(s_w, i_w)
+            np.testing.assert_allclose(np.asarray(ws), np.asarray(rs),
+                                       rtol=1e-3, atol=1e-3)
+            np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
+
+    def test_scatter_respects_validity(self, corpus):
+        doc_idx, doc_tf, doc_len, df, post_rows, post_tf, vocab, n = corpus
+        q_idx, q_tf = encode_queries(["alpha fox"], vocab, 16)
+        full = postings_topk(
+            jnp.asarray(post_rows), jnp.asarray(post_tf),
+            jnp.asarray(doc_len), jnp.asarray(df), jnp.float32(n),
+            jnp.asarray(q_idx), jnp.asarray(q_tf), 5, impl="scatter")[1]
+        banned = {int(r) for r in np.asarray(full)[0] if r >= 0}
+        mask = np.ones(doc_len.shape[0], bool)
+        mask[list(banned)] = False
+        s2, i2 = postings_topk(
+            jnp.asarray(post_rows), jnp.asarray(post_tf),
+            jnp.asarray(doc_len), jnp.asarray(df), jnp.float32(n),
+            jnp.asarray(q_idx), jnp.asarray(q_tf), 5,
+            jnp.asarray(mask), impl="scatter")
+        assert banned.isdisjoint({int(r) for r in np.asarray(i2)[0]
+                                  if r >= 0})
+
+    def test_sparse_index_maintains_tfw_across_appends(self):
+        from advanced_rag_tpu.config import PipelineConfig
+        from advanced_rag_tpu.index.corpus import ChunkRecord
+        from advanced_rag_tpu.index.manager import MultiIndexManager
+
+        mgr = MultiIndexManager(PipelineConfig())
+        texts = [f"alpha beta doc{i} gamma delta term{i % 7}"
+                 for i in range(64)]
+        mgr.index_chunks([ChunkRecord(chunk_id=f"c{i}", doc_id=f"d{i}",
+                                      content=t)
+                          for i, t in enumerate(texts[:48])])
+        mgr.sparse.build_postings()
+        assert mgr.sparse.post_tfw is not None
+        # appends maintain the tfw mirror incrementally
+        mgr.index_chunks([ChunkRecord(chunk_id=f"c{i}", doc_id=f"d{i}",
+                                      content=texts[i])
+                          for i in range(48, 64)])
+        host = mgr.sparse._host_post_tfw
+        dev = np.asarray(mgr.sparse.post_tfw, np.float32)
+        fill = mgr.sparse._post_fill
+        # every filled slot's device tfw matches the host mirror (bf16)
+        for t in np.nonzero(fill)[0][:50]:
+            np.testing.assert_allclose(dev[t, : fill[t]],
+                                       host[t, : fill[t]],
+                                       rtol=1e-2, atol=1e-2)
+        # and queries over appended rows still match the slot scan
+        out = mgr.hybrid_search_batch_sync(["alpha term6"], 5,
+                                           use_mmr=False)
+        assert out[0]
+        mgr.close()
