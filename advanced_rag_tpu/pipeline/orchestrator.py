@@ -20,6 +20,7 @@ fused device dispatch (ops/hybrid.py) + optional jitted cross-encoder.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from dataclasses import dataclass, field
 from enum import Enum
@@ -120,6 +121,60 @@ class AdvancedRAGPipeline:
         # program would retrace anyway: reranker rewired, capacity
         # doubling (emb array shape), or a storage-tier flip.
         self._fused_warm: Dict[tuple, tuple] = {}
+        # fused-path micro-batcher (lazy): the one-dispatch program is
+        # ~8x more efficient per query at batch 8-16 (bench.py pipelined
+        # curve 970 QPS at b16 vs 137 at b1), but round-4 served every
+        # /retrieve as its own dispatch — the device did 145 QPS while
+        # capable of ~6x that.  Concurrent fused retrieves now coalesce
+        # through the same continuous-batching MicroBatcher the unfused
+        # path uses (pipeline/batcher.py), keyed by (k-statics, filter
+        # spec) so semantics equal unbatched execution.
+        self._fused_batcher = None
+        self._fused_batcher_lock = threading.Lock()
+
+    def _fused_run_batch(self, queries: List[str], *, k_out: int,
+                         k_rerank: int, filters=None) -> List[Any]:
+        return self.index_manager.fused_retrieve_batch_sync(
+            queries, k_out, filters,
+            reranker=self.retriever.reranker,
+            k_rerank=k_rerank,
+            dense_weight=self.config.retrieval.dense_weight,
+            sparse_weight=self.config.retrieval.sparse_weight,
+            use_mmr=self.config.retrieval.use_mmr,
+            mmr_lambda=self.config.retrieval.mmr_lambda,
+            rerank_alpha=(None if self.config.rerank_mode == "replace"
+                          else self.config.rerank_alpha),
+            rerank_mode=self.config.rerank_mode,
+            rerank_base=self.config.rerank_base,
+            rescore_mix=self.config.rescore_mix,
+            doc_dedupe=self.config.fused_doc_dedupe)
+
+    def _fused_dispatch(self, query: str, k_out: int, k_rerank: int,
+                        filters) -> List[Dict[str, Any]]:
+        """One fused retrieve, micro-batched when enabled."""
+        if not self.config.retrieval.enable_micro_batching:
+            return self._fused_run_batch([query], k_out=k_out,
+                                         k_rerank=k_rerank,
+                                         filters=filters)[0]
+        if self._fused_batcher is None:
+            with self._fused_batcher_lock:
+                if self._fused_batcher is None:
+                    from .batcher import MicroBatcher
+
+                    self._fused_batcher = MicroBatcher(
+                        self._fused_run_batch,
+                        max_batch=self.config.retrieval.micro_batch_size,
+                        max_wait_s=(
+                            self.config.retrieval.micro_batch_wait_ms
+                            / 1e3),
+                    )
+        import json as _json
+
+        fkey = (_json.dumps(filters, sort_keys=True, default=str)
+                if filters else None)
+        return self._fused_batcher.submit(
+            (k_out, k_rerank, fkey), query,
+            k_out=k_out, k_rerank=k_rerank, filters=filters)
 
     def _fused_state(self) -> tuple:
         """Compile-relevant state of the fused program: a change in any
@@ -293,23 +348,12 @@ class AdvancedRAGPipeline:
             # one-dispatch retrieve+rerank (ops/e2e.py): embed, hybrid
             # search, and the cross-encoder run as a single device
             # program with one host round trip — retrieval + reranking
-            # stages collapse into one timed record each side
+            # stages collapse into one timed record each side.
+            # Concurrent requests coalesce into one program call
+            # (_fused_dispatch -> MicroBatcher).
             t0 = time.perf_counter()
-            hits = self.index_manager.fused_retrieve_batch_sync(
-                [rewritten], k_out, filters,
-                reranker=self.retriever.reranker,
-                k_rerank=k_rerank,
-                dense_weight=self.config.retrieval.dense_weight,
-                sparse_weight=self.config.retrieval.sparse_weight,
-                use_mmr=self.config.retrieval.use_mmr,
-                mmr_lambda=self.config.retrieval.mmr_lambda,
-                rerank_alpha=(None
-                              if self.config.rerank_mode == "replace"
-                              else self.config.rerank_alpha),
-                rerank_mode=self.config.rerank_mode,
-                rerank_base=self.config.rerank_base,
-                rescore_mix=self.config.rescore_mix,
-                doc_dedupe=self.config.fused_doc_dedupe)[0]
+            hits = self._fused_dispatch(rewritten, k_out, k_rerank,
+                                        filters)
             self._fused_warm[(k_out, k_rerank)] = self._fused_state()
             self._record(PipelineStage.RETRIEVAL, t0)
             self._record(PipelineStage.RERANKING, t0)
@@ -418,27 +462,38 @@ class AdvancedRAGPipeline:
             # signature (no explicit top_k) and each warmed k as an
             # explicit request — these are the exact statics retrieve()
             # derives, so the strict budget holds from the first query
+            sigs = []
             for sig_k in [None] + sorted(ks):
                 sig = self._fused_sig(sig_k)
-                if self._fused_warm.get(sig) == self._fused_state():
+                if (sig in sigs
+                        or self._fused_warm.get(sig)
+                        == self._fused_state()):
                     continue
+                sigs.append(sig)
+
+            def _warm_sig(sig):
                 k_out, k_rerank = sig
-                self.index_manager.fused_retrieve_batch_sync(
-                    ["warm up"], k_out,
-                    reranker=self.retriever.reranker,
-                    k_rerank=k_rerank,
-                    dense_weight=self.config.retrieval.dense_weight,
-                    sparse_weight=self.config.retrieval.sparse_weight,
-                    use_mmr=self.config.retrieval.use_mmr,
-                    mmr_lambda=self.config.retrieval.mmr_lambda,
-                    rerank_alpha=(None
-                                  if self.config.rerank_mode == "replace"
-                                  else self.config.rerank_alpha),
-                    rerank_mode=self.config.rerank_mode,
-                    rerank_base=self.config.rerank_base,
-                    rescore_mix=self.config.rescore_mix,
-                    doc_dedupe=self.config.fused_doc_dedupe)
+                # compile every pow2 query-batch bucket the fused
+                # micro-batcher can form (mirrors the unfused
+                # warm_up's bucket coverage)
+                top = (self.config.retrieval.micro_batch_size
+                       if self.config.retrieval.enable_micro_batching
+                       else 1)
+                b = 1
+                while b <= top:
+                    self._fused_run_batch(["warm up"] * b, k_out=k_out,
+                                          k_rerank=k_rerank)
+                    b *= 2
                 self._fused_warm[sig] = self._fused_state()
+
+            if parallel and len(sigs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    list(pool.map(_warm_sig, sigs))
+            else:
+                for sig in sigs:
+                    _warm_sig(sig)
 
     # -- drift & report ---------------------------------------------------------------------
 
@@ -478,6 +533,8 @@ class AdvancedRAGPipeline:
         batcher = getattr(self.retriever, "_batcher", None)
         if batcher is not None:
             report["micro_batcher"] = dict(batcher.stats)
+        if self._fused_batcher is not None:
+            report["fused_micro_batcher"] = dict(self._fused_batcher.stats)
         return report
 
     # -- admin -------------------------------------------------------------------------------
@@ -493,6 +550,8 @@ class AdvancedRAGPipeline:
 
     def close(self) -> None:
         """Reference pipeline.py:444-448."""
+        if self._fused_batcher is not None:
+            self._fused_batcher.close()
         self.retriever.close()
         self.index_manager.close()
 

@@ -174,6 +174,7 @@ async def run(args) -> None:
             "stages_p50_ms": {k: round(v["p50"], 1)
                               for k, v in perf["stages_ms"].items()},
             "micro_batcher": perf.get("micro_batcher"),
+            "fused_micro_batcher": perf.get("fused_micro_batcher"),
         },
     }
     print(json.dumps(out))

@@ -316,3 +316,40 @@ def test_fused_doc_dedupe_returns_distinct_docs(reranker):
     assert len(docs) == len(set(docs)) == 4
     assert "dup" in docs
     mgr.close()
+
+
+def test_pipeline_fused_path_micro_batches(reranker):
+    """Concurrent fused retrieves coalesce into one program dispatch
+    (round-5: the fused path previously bypassed the micro-batcher —
+    the device ran batch-1 programs at ~1/6th its batched throughput)."""
+    import concurrent.futures
+
+    from advanced_rag_tpu.pipeline import AdvancedRAGPipeline
+
+    mgr = make_manager()
+    pipe = AdvancedRAGPipeline(mgr.config, index_manager=mgr)
+    pipe.retriever.reranker = reranker
+    assert pipe._use_fused_path()
+    calls = []
+    orig = mgr.fused_retrieve_batch_sync
+
+    def spy(queries, *a, **kw):
+        calls.append(len(queries))
+        return orig(queries, *a, **kw)
+
+    mgr.fused_retrieve_batch_sync = spy
+    # warm the single-query shape so the batched burst isn't serialized
+    # behind a compile
+    pipe.retrieve(DOCS[0], top_k=4)
+    with concurrent.futures.ThreadPoolExecutor(8) as pool:
+        outs = list(pool.map(
+            lambda q: pipe.retrieve(q, top_k=4),
+            [f"{t} run {i}" for i, t in enumerate(DOCS)]))
+    assert all(o["results"] for o in outs)
+    assert all(o["results"][0].metadata["method"] == "fused_rerank"
+               for o in outs)
+    # at least one dispatch carried multiple queries
+    assert max(calls) > 1, calls
+    stats = pipe.get_performance_report().get("fused_micro_batcher", {})
+    assert stats.get("requests", 0) >= len(DOCS)
+    pipe.close()
