@@ -161,6 +161,11 @@ class PipelineConfig:
     chunk_base_size: int = ChunkingConstants.BASE_CHUNK_SIZE
     chunk_max_size: int = ChunkingConstants.MAX_CHUNK_SIZE
     chunk_min_size: int = ChunkingConstants.MIN_CHUNK_SIZE
+    # "sentence" (diagnostics-sized packing) | "window" (fixed word
+    # windows at chunk_base_size with chunk_overlap — the encoder-
+    # geometry protocol; +0.01-0.02 R@10 measured on real text)
+    chunk_strategy: str = "sentence"
+    chunk_overlap: float = ChunkingConstants.OVERLAP_RATIO
     # storage dtype for the semantic embedding matrix: "bfloat16" (default),
     # "float32", "int8" (SQ8 tier, ops/quant.py — ~30M rows/chip), or
     # "pq" (product-quantized tier, ops/pq.py — ~250M rows/chip)

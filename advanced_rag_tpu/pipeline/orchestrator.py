@@ -87,6 +87,8 @@ class AdvancedRAGPipeline:
             base_chunk_size=self.config.chunk_base_size,
             max_chunk_size=self.config.chunk_max_size,
             min_chunk_size=self.config.chunk_min_size,
+            overlap_ratio=self.config.chunk_overlap,
+            strategy=self.config.chunk_strategy,
         )
         self.enricher = SemanticEnricher()
         self.rewriter = QueryRewriter()

@@ -249,6 +249,13 @@ class ServiceState:
             cfg.chunk_max_size = int(os.environ["RAG_CHUNK_MAX"])
         if os.environ.get("RAG_CHUNK_MIN"):
             cfg.chunk_min_size = int(os.environ["RAG_CHUNK_MIN"])
+        # sliding-window ingest geometry (the quality protocol's):
+        # RAG_CHUNK_STRATEGY=window + RAG_CHUNK_OVERLAP=0.27 indexes
+        # base-size word windows at stride base*(1-overlap)
+        if os.environ.get("RAG_CHUNK_STRATEGY"):
+            cfg.chunk_strategy = os.environ["RAG_CHUNK_STRATEGY"]
+        if os.environ.get("RAG_CHUNK_OVERLAP"):
+            cfg.chunk_overlap = float(os.environ["RAG_CHUNK_OVERLAP"])
         # RAG_MICRO_BATCH: device query-batch cap for continuous
         # batching (pow2; each bucket compiles once at warm-up)
         mb = os.environ.get("RAG_MICRO_BATCH")

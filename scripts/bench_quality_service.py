@@ -131,6 +131,11 @@ def main() -> None:
         RAG_CHUNK_BASE="110",
         RAG_CHUNK_MAX="160",
         RAG_CHUNK_MIN="32",
+        # sliding-window ingest at the quality protocol's exact
+        # geometry (110-word windows, stride 80): measured +0.01-0.02
+        # R@10 over sentence packing (artifacts/ABLATE_SERVICE.json)
+        RAG_CHUNK_STRATEGY="window",
+        RAG_CHUNK_OVERLAP="0.273",
         # bulk-load admission: this bench measures retrieval quality and
         # true serving latency, not the default admission policy — a
         # 10-req/min ingest bucket would turn a 70-batch corpus load
@@ -235,7 +240,7 @@ def main() -> None:
     # difference isolates MMR's deliberate diversity/recall trade from
     # any serving-stack quality regression
     row_off = run_deployment(mmr_on=False)
-    row_on = row_off if args.one else run_deployment(mmr_on=True)
+    row_on = None if args.one else run_deployment(mmr_on=True)
     ref = rk.get("recall_at_10")
     result = {
         "metric": "service_e2e_recall_at_10",
@@ -243,13 +248,14 @@ def main() -> None:
         "unit": "recall",
         "extra": {
             "service_e2e": row_off,
-            "service_e2e_mmr_on": row_on,
+            "service_e2e_mmr_on": row_on,   # None under --one
             "manager_direct_fused": {"recall_at_10": ref,
                                      "mrr_at_10": rk.get("mrr_at_10")},
             "delta_recall": (round(row_off["recall_at_10"] - ref, 4)
                              if ref is not None else None),
-            "mmr_recall_cost": round(
-                row_off["recall_at_10"] - row_on["recall_at_10"], 4),
+            "mmr_recall_cost": (round(
+                row_off["recall_at_10"] - row_on["recall_at_10"], 4)
+                if row_on else None),
             "n_docs": len(docs), "n_queries": len(test_q),
             "knobs": {k: rk.get(k) for k in
                       ("base", "mix", "mode", "alpha", "weights")},

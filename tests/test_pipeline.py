@@ -641,3 +641,26 @@ class TestMutationHardening:
     def test_verify_integrity_unknown_doc_is_false(self):
         c = ComplianceManager()
         assert c.verify_data_integrity("nope", "anything") is False
+
+    def test_window_chunking_strategy(self):
+        """strategy='window': fixed base-size word windows at
+        stride base*(1-overlap), diagnostics sizing NOT applied —
+        the encoder-geometry ingest mode (RAG_CHUNK_STRATEGY=window)."""
+        from advanced_rag_tpu.pipeline.chunking import AdaptiveChunker
+
+        words = " ".join(f"w{i}" for i in range(300))
+        ck = AdaptiveChunker(base_chunk_size=110, overlap_ratio=0.273,
+                             strategy="window")
+        pieces = ck.chunk_document(words, doc_id="d")
+        # stride = 110*(1-0.273) = 80 -> starts at w0, w80, w160, w240
+        starts = [p.content.split()[0] for p in pieces]
+        assert starts == ["w0", "w80", "w160", "w240"]
+        assert len(pieces[0].content.split()) == 110
+        # config plumbs through the pipeline
+        from advanced_rag_tpu.config import PipelineConfig
+        pipe = AdvancedRAGPipeline(PipelineConfig(
+            chunk_strategy="window", chunk_base_size=110,
+            chunk_overlap=0.273))
+        assert pipe.chunker.strategy == "window"
+        with pytest.raises(ValueError):
+            AdaptiveChunker(strategy="nope")
