@@ -664,3 +664,61 @@ class TestMutationHardening:
         assert pipe.chunker.strategy == "window"
         with pytest.raises(ValueError):
             AdaptiveChunker(strategy="nope")
+
+    def test_drift_affected_queries_filter(self):
+        """evaluation.py:343: the affected set contains exactly the
+        high-risk / low-top-score queries from recent history."""
+        e = RAGEvaluator(history_maxlen=100)
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            e.embedding_history.append(
+                rng.standard_normal(8).astype(np.float32)
+                + np.array([5.0] + [0] * 7, np.float32))
+        for _ in range(20):
+            e.embedding_history.append(
+                rng.standard_normal(8).astype(np.float32)
+                + np.array([-5.0] + [0] * 7, np.float32))
+        import time as _t
+
+        now = _t.time()
+        e.query_history.extend([
+            {"query": "risky", "hallucination_risk": 0.9,
+             "top_score": 0.9, "timestamp": now},
+            {"query": "weak", "hallucination_risk": 0.0,
+             "top_score": 0.1, "timestamp": now},
+            {"query": "clean", "hallucination_risk": 0.1,
+             "top_score": 0.9, "timestamp": now},
+        ])
+        rep = e.detect_drift()
+        assert "risky" in rep.affected_queries      # risk > 0.5
+        assert "weak" in rep.affected_queries       # top_score < 0.3
+        assert "clean" not in rep.affected_queries
+
+    def test_decomposer_drops_single_word_parts(self):
+        """query_ops decompose: ' and '-split parts need >= 2 words —
+        a dangling conjunct must not become its own sub-query."""
+        d = QueryDecomposer()
+        res = d.decompose("explain dense retrieval ranking methods and x")
+        assert res.sub_queries == [
+            "explain dense retrieval ranking methods and x"]
+        assert not res.is_complex
+
+    def test_diagnostics_python_path_parity(self):
+        """Non-ASCII text forces the PYTHON diagnostics path (the C++
+        fast path is ASCII-only); its coherence/complexity must agree
+        with the native path on the equivalent ASCII text — kills the
+        mutants hiding behind the native shadow (diagnostics.py
+        python-path lines) and guards native/python parity."""
+        d = DocumentDiagnostics()
+        ascii_text = ("alpha beta gamma delta. alpha beta gamma delta. "
+                      "epsilon zeta eta theta.")
+        uni_text = ascii_text + " café."
+        m_ascii = d.analyze_document(ascii_text)
+        m_uni = d.analyze_document(uni_text)
+        assert abs(m_ascii.coherence - m_uni.coherence) < 0.35
+        assert 0.0 <= m_uni.complexity <= 1.0
+        assert m_uni.entropy > 0
+        # python-path coherence exactness (same inputs as the native
+        # test above, via the public helper)
+        assert d.coherence(["a b c", "a b c"]) == pytest.approx(1.0)
+        assert d.coherence(["a b c", "x y z"]) == pytest.approx(0.0)
