@@ -240,6 +240,11 @@ def main() -> None:
     # difference isolates MMR's deliberate diversity/recall trade from
     # any serving-stack quality regression
     row_off = run_deployment(mmr_on=False)
+    if not args.one:
+        # let the first server's device context fully release before
+        # the next boots (observed: back-to-back deployments raced the
+        # chip into a FAILED_PRECONDITION on the second ingest)
+        time.sleep(20)
     row_on = None if args.one else run_deployment(mmr_on=True)
     ref = rk.get("recall_at_10")
     result = {
