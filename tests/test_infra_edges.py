@@ -354,3 +354,96 @@ class TestComplianceEdges:
         time.sleep(0.02)
         cm.log_ingestion("other", 1)
         assert len(cm.get_versions("held")) == 1
+
+
+class TestInfraBoundaryExactness:
+    """Boundary-exact pins for the L2 infra (mutation batch 3): each
+    assert distinguishes the shipped comparison/arith from its nearest
+    mutant (>= vs >, and vs or, capacity off-by-one, +1 literals)."""
+
+    def test_cache_ttl_exact_boundary(self):
+        t = [100.0]
+        c = EmbeddingCache(capacity=4, ttl_seconds=10.0, clock=lambda: t[0])
+        c.put_sync("k", np.ones(3))
+        t[0] = 110.0                      # exactly ttl old: still valid
+        assert c.get_sync("k") is not None
+        t[0] = 110.001                    # past ttl: expired
+        assert c.get_sync("k") is None
+        st = c.get_stats()
+        assert (st.hits, st.misses, st.expirations, st.size) == (1, 1, 1, 0)
+
+    def test_cache_capacity_exact_fifo(self):
+        c = EmbeddingCache(capacity=2, ttl_seconds=1e9)
+        c.put_sync("a", np.zeros(1))
+        c.put_sync("b", np.ones(1))
+        # re-putting an EXISTING key at capacity must not evict
+        c.put_sync("a", np.full(1, 2.0))
+        st = c.get_stats()
+        assert (st.size, st.evictions) == (2, 0)
+        assert c.get_sync("a")[0] == 2.0
+        # a NEW key at capacity evicts exactly one, FIFO order ("a"
+        # keeps its original insertion slot: put_sync overwrites in
+        # place, so "a" is still oldest)
+        c.put_sync("c", np.full(1, 3.0))
+        st = c.get_stats()
+        assert (st.size, st.evictions) == (2, 1)
+        assert c.get_sync("a") is None
+        assert c.get_sync("b") is not None and c.get_sync("c") is not None
+
+    def test_breaker_thresholds_and_timeout_exact(self, monkeypatch):
+        import advanced_rag_tpu.utils.circuit_breaker as cbm
+
+        now = [100.0]
+        monkeypatch.setattr(cbm.time, "monotonic", lambda: now[0])
+        br = CircuitBreaker(CircuitBreakerConfig(
+            failure_threshold=3, timeout_seconds=5.0, success_threshold=2))
+        br.record_failure()
+        br.record_failure()
+        assert br.state == CircuitState.CLOSED    # threshold-1: still closed
+        br.record_failure()
+        assert br.state == CircuitState.OPEN      # opens at exactly 3
+        now[0] = 104.999                          # just under timeout
+        assert br.state == CircuitState.OPEN
+        now[0] = 105.0                            # exactly timeout: half-open
+        assert br.state == CircuitState.HALF_OPEN
+        br.record_success()
+        assert br.state == CircuitState.HALF_OPEN  # threshold-1 probes
+        br.record_success()
+        assert br.state == CircuitState.CLOSED     # closes at exactly 2
+
+    def test_breaker_probe_failure_reopens_with_fresh_clock(self, monkeypatch):
+        import advanced_rag_tpu.utils.circuit_breaker as cbm
+
+        now = [50.0]
+        monkeypatch.setattr(cbm.time, "monotonic", lambda: now[0])
+        br = CircuitBreaker(CircuitBreakerConfig(
+            failure_threshold=1, timeout_seconds=5.0, success_threshold=2))
+        br.record_failure()
+        assert br.state == CircuitState.OPEN
+        now[0] = 55.0
+        assert br.state == CircuitState.HALF_OPEN
+        br.record_failure()                       # probe failure re-opens
+        assert br.state == CircuitState.OPEN
+        now[0] = 59.999                           # window restarts at 55.0
+        assert br.state == CircuitState.OPEN
+        now[0] = 60.0
+        assert br.state == CircuitState.HALF_OPEN
+
+    def test_db_pool_exact_counters(self, tmp_path):
+        from advanced_rag_tpu.utils.db_pool import DatabasePool
+
+        pool = DatabasePool(sqlite_path=str(tmp_path / "t.db"))
+        with pool.get_connection() as conn:
+            conn.execute("CREATE TABLE t (x INTEGER)")
+            conn.execute("INSERT INTO t VALUES (1)")
+        with pytest.raises(RuntimeError):
+            with pool.get_connection() as conn:
+                conn.execute("INSERT INTO t VALUES (2)")
+                raise RuntimeError("boom")        # rollback path
+        with pool.get_connection() as conn:
+            rows = conn.execute("SELECT COUNT(*) AS n FROM t").fetchone()
+        assert rows["n"] == 1                     # the rollback really rolled back
+        st = pool.get_stats()
+        assert (st["connections_served"], st["commits"], st["rollbacks"]) \
+            == (3, 2, 1)
+        pool.close()

@@ -722,3 +722,181 @@ class TestMutationHardening:
         # test above, via the public helper)
         assert d.coherence(["a b c", "a b c"]) == pytest.approx(1.0)
         assert d.coherence(["a b c", "x y z"]) == pytest.approx(0.0)
+
+
+class TestBoundaryExactMath:
+    """Mutation batch 3: boundary-exact pins across the pipeline layer.
+    Every assert is chosen to distinguish the shipped operator from its
+    nearest mutant (cmp flips at the exact threshold, +/- and */÷ swaps
+    via closed-form expectations, off-by-one int literals)."""
+
+    # -- rank metrics (evaluation.py) ----------------------------------
+
+    def test_rank_metrics_closed_form(self):
+        ev = RAGEvaluator
+        assert ev.mrr(["x", "y", "g"], ["g"]) == pytest.approx(1.0 / 3.0)
+        assert ev.mrr(["x", "y"], ["g"]) == 0.0
+        assert ev.precision_at_k(["g1", "x", "g2", "y"], ["g1", "g2"], 3) \
+            == pytest.approx(2.0 / 3.0)
+        # k beyond the list: denominator is len(top), not k
+        assert ev.precision_at_k(["g1", "x"], ["g1"], 5) == pytest.approx(0.5)
+        assert ev.recall_at_k(["g1", "x"], ["g1", "g2"], 2) == pytest.approx(0.5)
+        dcg = 1.0 + 0.5                      # hits at ranks 1 and 3
+        ideal = 1.0 + 1.0 / np.log2(3.0)
+        assert ev.ndcg_at_k(["g1", "x", "g2"], ["g1", "g2"], 3) \
+            == pytest.approx(dcg / ideal)
+
+    def test_confidence_and_hallucination_closed_form(self):
+        from advanced_rag_tpu.pipeline.evaluation import EC
+
+        conf, unc = RAGEvaluator.confidence(np.array([0.8, 0.6]))
+        assert conf == pytest.approx(0.8 * 1.2)
+        assert unc == pytest.approx(1.0 - 0.8 * 1.2)
+        ev = RAGEvaluator()
+        # all-good signals: every term zero
+        assert ev.hallucination_risk(
+            "q", np.array([1.0, 1.0]), diversity=1.0,
+            contents=["c"], coverage=1.0) == pytest.approx(0.0)
+        # zero-variance all-bad: risk = sum of the non-variance weights
+        expected = (EC.HALLUCINATION_DIVERSITY_WEIGHT
+                    + EC.HALLUCINATION_TOP_SCORE_WEIGHT
+                    + EC.HALLUCINATION_COVERAGE_WEIGHT)
+        assert ev.hallucination_risk(
+            "q", np.array([0.0, 0.0]), diversity=0.0,
+            contents=["c"], coverage=0.0) == pytest.approx(expected)
+
+    def test_coverage_and_diversity_closed_form(self):
+        assert RAGEvaluator.query_coverage("alpha beta", ["alpha only"]) \
+            == pytest.approx(0.5)
+        assert RAGEvaluator.pairwise_diversity(
+            None, ["a b", "a b"]) == pytest.approx(0.0)
+        assert RAGEvaluator.pairwise_diversity(
+            None, ["a b", "c d"]) == pytest.approx(1.0)
+        same = np.tile(np.array([[1.0, 0.0]]), (3, 1))
+        assert RAGEvaluator.pairwise_diversity(same) == pytest.approx(0.0)
+
+    # -- rankers -------------------------------------------------------
+
+    def test_ranker_featurize_closed_form(self):
+        r = LearnedRanker()
+        now = 1_000_000.0
+        half = r.config.recency_half_life_days
+        base, methods, rec = r.featurize(
+            {"score": 0.25, "method_count": 3,
+             "timestamp": now - half * 86400.0}, now=now)
+        assert (base, methods) == (0.25, 3.0)
+        assert rec == pytest.approx(0.5)          # exactly one half-life
+        # future timestamps clamp to age 0, missing methods default to 1
+        _, m1, rec1 = r.featurize({"score": 1.0, "timestamp": now + 999},
+                                  now=now)
+        assert (m1, rec1) == (1.0, pytest.approx(1.0))
+        assert r.featurize({"score": 0, "methods": ["a", "b"],
+                            "timestamp": now}, now=now)[1] == 2.0
+
+    def test_ranker_sgd_step_closed_form(self):
+        import time as _time
+
+        r = LearnedRanker()
+        w0 = r.weights.copy()
+        # far-future timestamp => recency exactly 1.0 regardless of clock
+        res = {"score": 2.0, "method_count": 1,
+               "timestamp": _time.time() + 1e6}
+        feats = np.array([2.0, 1.0, 1.0])
+        pred = 1.0 / (1.0 + np.exp(-feats @ w0))
+        expected = w0 - r.config.learning_rate * (pred - 1.0) * feats
+        r.update_from_feedback(res, positive=True)
+        assert np.allclose(r.weights, expected, atol=1e-12)
+        assert len(r.examples) == 1 and r.examples[0].label == 1.0
+
+    def test_adapter_word_count_boundaries(self):
+        a = LearnedHybridAdapter()          # default rates: 0.5/0.5
+        d, s = a("one two three four", 0.6, 0.4)   # 4 words: no boost
+        assert d == pytest.approx(0.6) and s == pytest.approx(0.4)
+        d3, s3 = a("one two three", 0.6, 0.4)      # exactly 3: sparse x1.2
+        assert s3 == pytest.approx(0.48 / (0.6 + 0.48))
+        d12, _ = a(" ".join(["w"] * 12), 0.6, 0.4)  # exactly 12: dense x1.2
+        assert d12 == pytest.approx(0.72 / (0.72 + 0.4))
+        assert d3 + s3 == pytest.approx(1.0)
+
+    # -- chunking geometry ---------------------------------------------
+
+    def test_window_strategy_exact_geometry(self):
+        ch = AdaptiveChunker(base_chunk_size=4, overlap_ratio=0.25,
+                             strategy="window")
+        words = [f"w{i}" for i in range(10)]
+        chunks = ch.chunk_document(" ".join(words))
+        # stride = round(4 * 0.75) = 3 -> windows at 0, 3, 6 (6+4 >= 10 stops)
+        assert [c.content for c in chunks] == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+        assert [c.metadata.token_count for c in chunks] == [4, 4, 4]
+        assert chunks[0].metadata.start_char == 0
+
+    def test_sentence_packing_exact_boundaries(self):
+        text = ("alpha one two. beta three four. "
+                "gamma five six. delta seven eight.")
+        # target 6 fits exactly two 3-token sentences; overlap budget
+        # int(6*0.1) = 0 steps back zero sentences
+        ch = AdaptiveChunker(base_chunk_size=6, min_chunk_size=1,
+                             max_chunk_size=100, overlap_ratio=0.1)
+        chunks = ch.chunk_document(text)
+        assert len(chunks) == 2
+        assert [c.metadata.token_count for c in chunks] == [6, 6]
+        assert "alpha" in chunks[0].content and "three" in chunks[0].content
+        assert "five" not in chunks[0].content
+        # overlap budget int(6*0.5) = 3 steps back exactly one sentence
+        ch2 = AdaptiveChunker(base_chunk_size=6, min_chunk_size=1,
+                              max_chunk_size=100, overlap_ratio=0.5)
+        chunks2 = ch2.chunk_document(text)
+        assert len(chunks2) == 3
+        assert "beta" in chunks2[0].content and "beta" in chunks2[1].content
+
+    # -- query ops -----------------------------------------------------
+
+    def test_decomposer_exact_boundaries(self):
+        qd = QueryDecomposer()              # min_complex_words = 6
+        r5 = qd.decompose("alpha beta gamma delta epsilon")
+        assert not r5.is_complex and r5.sub_queries == [
+            "alpha beta gamma delta epsilon"]
+        r6 = qd.decompose("alpha beta and gamma delta epsilon")
+        assert r6.is_complex and r6.sub_queries == [
+            "alpha beta", "gamma delta epsilon"]
+        # two-word parts survive the >= 2 filter
+        r2w = qd.decompose("alpha beta and gamma delta and epsilon zeta")
+        assert r2w.is_complex and len(r2w.sub_queries) == 3
+        # one-word parts are dropped; a single survivor is not complex
+        r1w = qd.decompose("x and y and alpha beta gamma")
+        assert not r1w.is_complex
+
+    def test_classifier_analysis_length_boundary(self):
+        qc = QueryClassifier()
+        q200 = ("zz " * 66) + "zz"          # exactly 200 chars, no keywords
+        assert len(q200) == 200
+        assert qc.classify(q200) == "analysis"
+        assert qc.classify(q200[:199]) == "default"
+
+    # -- enrichment / experiments --------------------------------------
+
+    def test_enricher_exact_scores_and_caps(self):
+        e = SemanticEnricher(max_entities=1, max_topics=2)
+        res = e.enrich("apple apple banana Paris Paris London")
+        assert res.entities == ["Paris"]            # capped at exactly 1
+        assert len(res.topics) == 2
+        assert res.keyword_scores["apple"] == pytest.approx(2.0 / 6.0)
+
+    def test_epsilon_greedy_exact_selection(self):
+        import random as _random
+
+        em = ExperimentManager(epsilon=0.0, rng=_random.Random(0))
+        em.register("a")
+        em.register("b")
+        em.record_outcome("a", False)
+        em.record_outcome("b", True)
+        em.record_outcome("b", True)
+        assert all(em.choose_variant() == "b" for _ in range(10))
+        assert em.variants["b"].mean_reward == pytest.approx(1.0)
+        assert em.variants["b"].success_rate == pytest.approx(1.0)
+        # exact tie: lexicographic winner
+        em2 = ExperimentManager(epsilon=0.0, rng=_random.Random(0))
+        em2.record_outcome("b", True)
+        em2.record_outcome("a", True)
+        assert em2.choose_variant() == "a"
